@@ -1,24 +1,68 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import graft.corpus.CorpusGen
+import graft.pipeline.{DedupConfig, DedupPipeline}
+
+/** Per-round benchmark: headline operator queries on SPARK_GRAFT_SF_DIR
+  * plus the end-to-end dedup-cluster pipeline on a deterministic synthetic
+  * corpus. Prints ONE JSON line.
+  */
 object Bench {
+
+  /** Headline subset: the shuffle/window/join-heavy operators plus the
+    * flagship pipeline-on-documents query.
+    */
+  val headline: Seq[String] = Seq(
+    "q1_agg", "q_first_writer", "q_topk_per_group", "q_cum_packing",
+    "q_broadcast_join", "q_distinct_agg", "q_lru_stack", "q_min_sample",
+    "q_segment_bounds", "d_exact_dedup", "d_ngram_shingles", "d_fingerprint",
+    "d_doc_clusters", "e_ann_topk", "e_lsh_buckets")
+
+  def runPipeline(spark: SparkSession, nBases: Long): (Long, Double) = {
+    val cfg = DedupConfig()
+    val files = CorpusGen.generate(spark, nBases)
+    val t0 = System.nanoTime()
+    val features = DedupPipeline.featurize(files, cfg).persist()
+    val nFiles = features.count()
+    val clusters = DedupPipeline.cluster(features, cfg)
+    clusters.count()
+    val dt = (System.nanoTime() - t0) / 1e9
+    features.unpersist()
+    (nFiles, dt)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nBases = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASES", "20000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val results = headline.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val t0 = System.nanoTime()
+        val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+        name -> ((System.nanoTime() - t0) / 1e9, n)
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val (nFiles, pipeSec) = runPipeline(spark, nBases)
+    val filesPerSec = nFiles / pipeSec
+
+    val qs = (results.map { case (k, (s, _)) => s""""$k":$s""" } :+
+      s""""dedup_pipeline":$pipeSec""").mkString("{", ",", "}")
+    val total = results.map(_._2._1).sum + pipeSec
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""pipeline_files":$nFiles,"pipeline_sec":$pipeSec,""" +
+      s""""files_per_sec":$filesPerSec,"cpus":$cpus,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,566 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.corpus.CorpusFile
+import graft.pipeline._
+
+/** The operator surface exposed through the driver contract: each entry is
+  * one operator family from SURVEY.md §2 (or a training-data-pipeline op)
+  * expressed over the driver's parquet tables, with an ANSI-SQL oracle in
+  * [[Queries.oracle]] where the semantics are SQL-expressible.
+  *
+  * Determinism rules for oracle-checked queries:
+  *  - monetary doubles are converted to bigint cents via round(x*100)
+  *    before aggregation (associative integer sums — no float-order drift);
+  *  - ranking windows always carry a unique tiebreaker;
+  *  - floor/rank results are cast to bigint on both sides.
+  */
+object Queries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast("long")
+
+  // ====================================================================
+  // TPC-H-ish relational operator inventory (SURVEY.md §2.2-2.6)
+  // ====================================================================
+
+  /** A8 dedup-ratio-style global aggregation (multi-key groupBy + sums). */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("sum_disc_cents"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** J1/J4 first-writer-wins: earliest lineitem per part in stream order. */
+  def qFirstWriter(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
+    li.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_partkey"), col("l_orderkey").as("first_orderkey"),
+        col("l_linenumber").as("first_linenumber"))
+  }
+
+  /** T1/W4 top-k per group (champion selection / capping). */
+  def qTopkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rk"))
+  }
+
+  /** W2 sessionization: runs of equal event_type per user (CFL run windows). */
+  def qSessionRuns(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    e.withColumn("prev", lag(col("event_type"), 1).over(w))
+      .withColumn("isNew",
+        when(col("prev").isNull || col("prev") =!= col("event_type"), 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("isNew")).as("n_runs"), count(lit(1)).as("n_events"))
+  }
+
+  /** A12 container packing analog: running sum → capacity bins. */
+  def qCumPacking(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    li.withColumn("cum_qty", sum(col("l_quantity").cast("long")).over(w))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("cum_qty"),
+        ((col("cum_qty") - 1) / 500).cast("long").as("bin"))
+  }
+
+  /** J7 broadcast dim join chain (orders→customer→nation→region). */
+  def qBroadcastJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    val r = t(spark, dir, "region")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .filter(r("r_name") === "ASIA")
+      .groupBy(n("n_name"))
+      .agg(count(lit(1)).as("order_count"),
+        sum(cents(col("o_totalprice"))).as("total_cents"))
+  }
+
+  /** J6 GC liveness anti join: orders with no surviving lineitems
+    * (dead recipes after collection).
+    */
+  def qAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val li = t(spark, dir, "lineitem")
+    o.join(li, o("o_orderkey") === li("l_orderkey"), "left_anti")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+  }
+
+  /** Semi join: customers having at least one order above threshold. */
+  def qSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders").filter(col("o_totalprice") > 100000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+  }
+
+  /** A8 distinct aggregation: distinct parts/suppliers per return flag. */
+  def qDistinctAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** A5 container-utilization-style decile histogram. */
+  def qHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    o.select(least(floor(col("o_totalprice") / 50000), lit(9)).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** W10 LRU stack-distance analytics: per (user,type) gap between
+    * consecutive accesses in the user's global access sequence.
+    */
+  def qLruStack(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val wSeq = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wType = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    e.withColumn("seq", row_number().over(wSeq).cast("long"))
+      .withColumn("prevSeq", lag(col("seq"), 1).over(wType))
+      .withColumn("gap", col("seq") - col("prevSeq"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(col("gap")).as("reaccesses"),
+        sum(when(col("gap") <= 8, 1L).otherwise(0L)).as("hits_within_8"))
+  }
+
+  /** W9 OPT (Belady) next-access analytics via lead(). */
+  def qNextAccess(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    e.withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .withColumn("reuse_us",
+        unix_micros(col("next_ts").cast("timestamp"))
+          - unix_micros(col("ts").cast("timestamp")))
+      .groupBy(col("event_type"))
+      .agg(count(col("reuse_us")).as("n_reuses"),
+        sum(when(col("reuse_us") <= 3600000000L, 1L).otherwise(0L)).as("reuse_within_1h"))
+  }
+
+  /** A3 min sampling: per-group minimum of a deterministic digest. */
+  def qMinSample(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    li.withColumn("digest",
+        md5(concat_ws("-", col("l_partkey"), col("l_linenumber"), col("l_orderkey"))))
+      .groupBy(col("l_orderkey"))
+      .agg(min(col("digest")).as("min_feature"), count(lit(1)).as("n_chunks"))
+  }
+
+  /** A2 random (hash-mod) sampling: Sparse-Index-style 1/32 selection. */
+  def qRandomSample(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    li.filter(pmod(col("l_partkey"), lit(32)) === 0)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("sampled"),
+        sum(cents(col("l_extendedprice"))).as("sampled_cents"))
+  }
+
+  /** W6 content-defined segment boundaries: running boundary count. */
+  def qSegmentBounds(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    li.withColumn("boundary",
+        when(pmod(col("l_partkey"), lit(64)) === 0, 1L).otherwise(0L))
+      .withColumn("segId", sum(col("boundary")).over(w))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("segId"))
+  }
+
+  /** A7 CBR utility quantile: exact discrete quantiles picked by global
+    * rank (element at ceil(q·n)) — engine-independent, no interpolation.
+    * The global window is fine here: the input is a single metrics column;
+    * the scale path uses approx_percentile (see Bench).
+    */
+  def qQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val w = Window.orderBy(col("c"))
+    val src = o.select(cents(col("o_totalprice")).as("c"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    src.agg(
+      max(when(col("rn") === ceil(col("n") * 0.5), col("c"))).as("p50"),
+      max(when(col("rn") === ceil(col("n") * 0.9), col("c"))).as("p90"),
+      max(when(col("rn") === ceil(col("n") * 0.99), col("c"))).as("p99"))
+  }
+
+  // ====================================================================
+  // Training-data text ops over `documents`
+  // ====================================================================
+
+  /** Exact dedup by content hash (hash-groupBy dedup). */
+  def dExactDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    d.groupBy(sha2(col("text"), 256).as("h"))
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("canonical"))
+  }
+
+  /** Token counting (whitespace tokenizer). */
+  def dTokenCount(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    d.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars"))
+  }
+
+  /** Language-ID heuristic: English stopword hits. */
+  def dLangId(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    def hits(word: String) =
+      ((length(col("text")) - length(regexp_replace(col("text"), word, "")))
+        / word.length).cast("long")
+    d.select(col("doc_id"),
+        (hits(" the ") + hits(" and ") + hits(" of ")).as("en_hits"))
+      .withColumn("predicted",
+        when(col("en_hits") >= 1, "en").otherwise("unk"))
+  }
+
+  /** Quality scoring: structural ratios as exact integer counts. */
+  def dQuality(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    def countOf(ch: String) =
+      (length(col("text")) - length(regexp_replace(col("text"), java.util.regex.Pattern.quote(ch), ""))).cast("long")
+    d.select(col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      countOf(" ").as("n_spaces"),
+      countOf(".").as("n_dots"),
+      countOf(",").as("n_commas"))
+  }
+
+  /** Distinct character 5-gram shingles per document. */
+  def dNgramShingles(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    d.filter(length(col("text")) >= 5)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - 4)).as("i"))
+      .select(col("doc_id"), expr("substring(text, i, 5)").as("g"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_shingles"))
+  }
+
+  /** Document fingerprinting: gear-shingle MinHash + SimHash signatures
+    * (not SQL-expressible — rows-only check).
+    */
+  def dFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val shCfg = ShingleConfig()
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val sh = Shingles.shingleHashes(
+          text.getBytes(java.nio.charset.StandardCharsets.UTF_8), shCfg)
+        val mh = Shingles.minhash(sh, shCfg.minhashK)
+        (id, sh.length.toLong, Shingles.simhash(sh),
+          if (mh.nonEmpty) mh(0) else 0L, if (mh.nonEmpty) mh(1) else 0L)
+      }
+      .toDF("doc_id", "n_shingles", "simhash", "mh0", "mh1")
+  }
+
+  /** Full near-dup clustering of the documents table (rows-only check:
+    * the flagship pipeline over a real table).
+    */
+  def dDocClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val files = t(spark, dir, "documents")
+      .select(col("source").as("repo"),
+        concat(lit("doc/"), col("doc_id")).as("path"),
+        lit("0").as("commit"),
+        col("lang"), col("text").as("content"))
+      .as[CorpusFile]
+    val cfg = DedupConfig()
+    val features = DedupPipeline.featurize(files, cfg)
+    DedupPipeline.cluster(features, cfg)
+      .withColumnRenamed("fileId", "file_id")
+      .withColumnRenamed("clusterId", "cluster_id")
+  }
+
+  /** Chunk-level dedup stats over documents (destor metrics contract,
+    * rows-only: CDC not SQL-expressible).
+    */
+  def dChunkStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val files = t(spark, dir, "documents")
+      .select(col("source").as("repo"),
+        concat(lit("doc/"), col("doc_id")).as("path"),
+        lit("0").as("commit"), col("lang"), col("text").as("content"))
+      .as[CorpusFile]
+    // finer chunking so documents (~2 KB) actually split
+    val cfg = DedupConfig(chunker = graft.chunking.ChunkerConfig("fixed", avgSize = 256))
+    val features = DedupPipeline.featurize(files, cfg)
+    val chunks = DedupPipeline.chunkTable(features)
+    chunks.agg(
+      count(lit(1)).as("total_chunks"),
+      countDistinct(col("fp")).as("unique_chunks"),
+      sum(col("size")).as("total_bytes"),
+      sum(when(col("zero"), 1L).otherwise(0L)).as("zero_chunks"))
+  }
+
+  // ====================================================================
+  // Embedding similarity ops over `embeddings`
+  // ====================================================================
+
+  /** Brute-force cosine top-k ANN (baseline path). Dot products in double
+    * precision, sequential array order — deterministic.
+    */
+  def eAnnTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val cands = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("v"))
+    val dot = expr("aggregate(zip_with(q, v, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, z) -> acc + z)")
+    val nq = expr("aggregate(q, cast(0.0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double))")
+    val nv = expr("aggregate(v, cast(0.0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double))")
+    val joined = queries.crossJoin(cands)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", dot / (sqrt(nq) * sqrt(nv)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    joined.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rk"),
+        round(col("cosine"), 4).as("cosine_r"))
+  }
+
+  /** Embedding norms + label stats (vector math via higher-order fns). */
+  def eNormStats(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val sq = expr("aggregate(embedding, cast(0.0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double))")
+    e.withColumn("norm2", sq)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("norm2")), 3).as("sum_norm2"))
+  }
+
+  /** LSH-bucketed ANN scale path: random-hyperplane signs from the
+    * deterministic gear table → 16-bit bucket per vector (rows-only).
+    */
+  def eLshBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val planes = 16
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .as[(Long, Array[Float], Int)]
+      .map { case (id, emb, label) =>
+        var bucket = 0
+        var p = 0
+        while (p < planes) {
+          var s = 0.0
+          var i = 0
+          while (i < emb.length) {
+            // deterministic pseudo-plane component from the gear table
+            val h = graft.functions.Hash64.hashLong(p.toLong * 997 + i, 0x9e37L)
+            s += emb(i) * ((h >> 32).toInt.toDouble / Int.MaxValue)
+            i += 1
+          }
+          if (s > 0) bucket |= (1 << p)
+          p += 1
+        }
+        (id, bucket, label)
+      }
+      .toDF("vec_id", "bucket", "label")
+  }
+
+  // ====================================================================
+  // Registry
+  // ====================================================================
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q_first_writer" -> (qFirstWriter _),
+    "q_topk_per_group" -> (qTopkPerGroup _),
+    "q_session_runs" -> (qSessionRuns _),
+    "q_cum_packing" -> (qCumPacking _),
+    "q_broadcast_join" -> (qBroadcastJoin _),
+    "q_anti_join" -> (qAntiJoin _),
+    "q_semi_join" -> (qSemiJoin _),
+    "q_distinct_agg" -> (qDistinctAgg _),
+    "q_histogram" -> (qHistogram _),
+    "q_lru_stack" -> (qLruStack _),
+    "q_next_access" -> (qNextAccess _),
+    "q_min_sample" -> (qMinSample _),
+    "q_random_sample" -> (qRandomSample _),
+    "q_segment_bounds" -> (qSegmentBounds _),
+    "q_quantile" -> (qQuantile _),
+    "d_exact_dedup" -> (dExactDedup _),
+    "d_token_count" -> (dTokenCount _),
+    "d_lang_id" -> (dLangId _),
+    "d_quality" -> (dQuality _),
+    "d_ngram_shingles" -> (dNgramShingles _),
+    "d_fingerprint" -> (dFingerprint _),
+    "d_doc_clusters" -> (dDocClusters _),
+    "d_chunk_stats" -> (dChunkStats _),
+    "e_ann_topk" -> (eAnnTopK _),
+    "e_norm_stats" -> (eNormStats _),
+    "e_lsh_buckets" -> (eLshBuckets _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q_first_writer" ->
+      """SELECT l_partkey, first_orderkey, first_linenumber FROM (
+        |  SELECT l_partkey, l_orderkey AS first_orderkey, l_linenumber AS first_linenumber,
+        |    row_number() OVER (PARTITION BY l_partkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_suppkey) AS rn
+        |  FROM lineitem) WHERE rn = 1""".stripMargin,
+    "q_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, rk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+        |  FROM orders) WHERE rk <= 3""".stripMargin,
+    "q_session_runs" ->
+      """SELECT user_id, CAST(sum(isNew) AS BIGINT) AS n_runs, count(*) AS n_events FROM (
+        |  SELECT user_id,
+        |    CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS DISTINCT FROM event_type
+        |         THEN 1 ELSE 0 END AS isNew
+        |  FROM events) GROUP BY user_id""".stripMargin,
+    "q_cum_packing" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey, cum_qty,
+        |  CAST(floor((cum_qty - 1) / 500) AS BIGINT) AS bin FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_qty
+        |  FROM lineitem)""".stripMargin,
+    "q_broadcast_join" ->
+      """SELECT n_name, count(*) AS order_count,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' GROUP BY n_name""".stripMargin,
+    "q_anti_join" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(least(floor(o_totalprice / 50000), 9) AS BIGINT) AS bucket, count(*) AS cnt
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q_lru_stack" ->
+      """SELECT user_id, event_type, count(gap) AS reaccesses,
+        |  CAST(sum(CASE WHEN gap <= 8 THEN 1 ELSE 0 END) AS BIGINT) AS hits_within_8
+        |FROM (
+        |  SELECT user_id, event_type,
+        |    seq - lag(seq) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap
+        |  FROM (
+        |    SELECT user_id, event_type, ts, event_id,
+        |      CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq
+        |    FROM events))
+        |GROUP BY user_id, event_type""".stripMargin,
+    "q_next_access" ->
+      """SELECT event_type, count(reuse_us) AS n_reuses,
+        |  CAST(sum(CASE WHEN reuse_us <= 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS reuse_within_1h
+        |FROM (
+        |  SELECT event_type,
+        |    epoch_us(lead(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id))
+        |      - epoch_us(ts) AS reuse_us
+        |  FROM events)
+        |GROUP BY event_type""".stripMargin,
+    "q_min_sample" ->
+      """SELECT l_orderkey,
+        |  min(md5(CAST(l_partkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) || '-' || CAST(l_orderkey AS VARCHAR))) AS min_feature,
+        |  count(*) AS n_chunks
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+    "q_random_sample" ->
+      """SELECT l_returnflag, count(*) AS sampled,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sampled_cents
+        |FROM lineitem WHERE l_partkey % 32 = 0 GROUP BY 1""".stripMargin,
+    "q_segment_bounds" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  CAST(sum(CASE WHEN l_partkey % 64 = 0 THEN 1 ELSE 0 END) OVER (
+        |    PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS segId
+        |FROM lineitem""".stripMargin,
+    "q_quantile" ->
+      """SELECT max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN c END) AS p50,
+        |  max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN c END) AS p90,
+        |  max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN c END) AS p99
+        |FROM (
+        |  SELECT c, CAST(row_number() OVER (ORDER BY c) AS BIGINT) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS c FROM orders))""".stripMargin,
+    "d_exact_dedup" ->
+      """SELECT sha256(text) AS h, count(*) AS cnt, min(doc_id) AS canonical
+        |FROM documents GROUP BY 1""".stripMargin,
+    "d_token_count" ->
+      """SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents""".stripMargin,
+    "d_lang_id" ->
+      """SELECT doc_id, en_hits, CASE WHEN en_hits >= 1 THEN 'en' ELSE 'unk' END AS predicted FROM (
+        |  SELECT doc_id,
+        |    CAST((length(text) - length(replace(text, ' the ', ''))) / 5
+        |      + (length(text) - length(replace(text, ' and ', ''))) / 5
+        |      + (length(text) - length(replace(text, ' of ', ''))) / 4 AS BIGINT) AS en_hits
+        |  FROM documents)""".stripMargin,
+    "d_quality" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
+        |  CAST(length(text) - length(replace(text, '.', '')) AS BIGINT) AS n_dots,
+        |  CAST(length(text) - length(replace(text, ',', '')) AS BIGINT) AS n_commas
+        |FROM documents""".stripMargin,
+    "d_ngram_shingles" ->
+      """SELECT doc_id, count(DISTINCT substr(text, CAST(i AS INTEGER), 5)) AS n_shingles
+        |FROM (
+        |  SELECT doc_id, text, unnest(generate_series(1, length(text) - 4)) AS i
+        |  FROM documents WHERE length(text) >= 5)
+        |GROUP BY doc_id""".stripMargin,
+    "e_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS q FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS v FROM embeddings),
+        |j AS (
+        |  SELECT query_id, neighbor_id,
+        |    list_aggregate(list_transform(list_zip(q, v), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')
+        |      / (sqrt(list_aggregate(list_transform(q, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |       * sqrt(list_aggregate(list_transform(v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cosine
+        |  FROM q, c WHERE query_id <> neighbor_id)
+        |SELECT query_id, neighbor_id, rk, round(cosine, 4) AS cosine_r FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rk
+        |  FROM j) WHERE rk <= 5""".stripMargin,
+    "e_norm_stats" ->
+      """SELECT label, count(*) AS n,
+        |  round(sum(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 3) AS sum_norm2
+        |FROM embeddings GROUP BY label""".stripMargin
+  )
+}

@@ -1,0 +1,304 @@
+package graft.pipeline
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.chunking.{ChunkerConfig, Chunkers}
+import graft.corpus.CorpusFile
+import graft.functions.Hash64
+
+/** Full pipeline configuration (mirrors the reference's config namespace,
+  * src/config.c:19-325 / src/destor.c:78-131, plus the near-dup knobs).
+  */
+final case class DedupConfig(
+    chunker: ChunkerConfig = ChunkerConfig(),
+    shingle: ShingleConfig = ShingleConfig(),
+    /** 4 MiB container minus 32 KiB meta
+      * (reference: src/storage/containerstore.h:13-16). */
+    containerPayload: Long = (4L * 1024 * 1024) - (32 * 1024),
+    ccMaxIter: Int = 25)
+
+/** Per-chunk record (reference `struct chunk`, src/destor.h:288-294;
+  * fp is hex SHA-1, src/destor.h:284).
+  */
+final case class ChunkInfo(offset: Int, size: Int, fp: String, zero: Boolean)
+
+/** Per-file feature row: everything downstream needs, computed in ONE
+  * map-only pass over content so `content` is never shuffled.
+  */
+final case class FileFeatures(
+    fileId: Long,
+    repo: String,
+    path: String,
+    commit: String,
+    lang: String,
+    size: Int,
+    sha256: String,
+    chunks: Seq[ChunkInfo],
+    shingles: Array[Long],
+    minhash: Array[Long],
+    simhash: Long)
+
+final case class ChunkRow(fileId: Long, repo: String, path: String,
+    commit: String, chunkIdx: Int, offset: Int, size: Int, fp: String,
+    zero: Boolean)
+
+/** First instance of a fingerprint in stream order (the "first writer",
+  * reference: src/index/index.c:140-216 recency precedence).
+  */
+final case class UniqueChunk(fp: String, size: Int, repo: String,
+    path: String, commit: String, chunkIdx: Int)
+
+final case class PackedChunk(fp: String, size: Int, containerId: Long)
+
+/** Spark-native dedup + near-dup clustering pipeline (SURVEY.md §7.1).
+  *
+  * Stage graph (every arrow that shuffles is noted):
+  *   corpus --map--> features --explode--> chunks
+  *   chunks --shuffle(fp)--> uniqueChunks --rangeSort--> packed containers
+  *   features --map(bands)--shuffle(band,bucket)--> candidate pairs
+  *   pairs --shuffle(fileId)x2--> verified pairs (exact Jaccard)
+  *   verified pairs + sha256 groups --iterative joins--> clusters
+  */
+object DedupPipeline {
+
+  // ------------------------------------------------------------------
+  // Stage 1: featurize (map-only; content read exactly once, then dropped)
+  // ------------------------------------------------------------------
+
+  def featurizeOne(f: CorpusFile, cfg: DedupConfig,
+      sha1: java.security.MessageDigest,
+      sha256: java.security.MessageDigest): FileFeatures = {
+    val bytes = f.content.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    sha256.reset()
+    val contentHash = toHex(sha256.digest(bytes))
+    val cut = Chunkers.forConfig(cfg.chunker)
+    val bounds = Chunkers.boundaries(bytes, cut)
+    val chunks = bounds.map { b =>
+      sha1.reset()
+      sha1.update(bytes, b.offset, b.length)
+      ChunkInfo(b.offset, b.length, toHex(sha1.digest()),
+        Chunkers.isZeroChunk(bytes, b.offset, b.length))
+    }.toSeq
+    val sh = Shingles.shingleHashes(bytes, cfg.shingle)
+    FileFeatures(
+      fileId = Hash64.fileId(f.repo, f.path, f.commit),
+      repo = f.repo, path = f.path, commit = f.commit, lang = f.lang,
+      size = bytes.length,
+      sha256 = contentHash,
+      chunks = chunks,
+      shingles = sh,
+      minhash = Shingles.minhash(sh, cfg.shingle.minhashK),
+      simhash = Shingles.simhash(sh))
+  }
+
+  def featurize(files: Dataset[CorpusFile], cfg: DedupConfig): Dataset[FileFeatures] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.mapPartitions { it =>
+      val sha1 = java.security.MessageDigest.getInstance("SHA-1")
+      val sha256 = java.security.MessageDigest.getInstance("SHA-256")
+      it.map(f => featurizeOne(f, cfg, sha1, sha256))
+    }
+  }
+
+  def toHex(b: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(b.length * 2)
+    var i = 0
+    while (i < b.length) {
+      sb.append(Character.forDigit((b(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(b(i) & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
+  // ------------------------------------------------------------------
+  // Stage 2: chunk table + exact dedup + container packing
+  // ------------------------------------------------------------------
+
+  def chunkTable(features: Dataset[FileFeatures]): Dataset[ChunkRow] = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    features.flatMap { f =>
+      f.chunks.iterator.zipWithIndex.map { case (c, i) =>
+        ChunkRow(f.fileId, f.repo, f.path, f.commit, i, c.offset, c.size, c.fp, c.zero)
+      }
+    }
+  }
+
+  /** First-writer-wins per fingerprint: the chunk instance with the
+    * smallest (repo,path,commit,chunkIdx) stream position owns the fp
+    * (reference 4-level lookup collapses to this in batch,
+    * src/index/index.c:140-216). One shuffle on fp with map-side combine.
+    */
+  def uniqueChunks(chunks: Dataset[ChunkRow]): Dataset[UniqueChunk] = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    chunks
+      .groupBy($"fp")
+      .agg(
+        min(struct($"repo", $"path", $"commit", $"chunkIdx", $"size"))
+          .as("first"))
+      .select($"fp", $"first.size".as("size"), $"first.repo".as("repo"),
+        $"first.path".as("path"), $"first.commit".as("commit"),
+        $"first.chunkIdx".as("chunkIdx"))
+      .as[UniqueChunk]
+  }
+
+  /** Order-preserving container assignment: unique chunks sorted by
+    * first-writer stream order, containerId = floor((cumEnd-1)/payload).
+    * (Analog of the reference's sequential 4 MiB packing,
+    * src/filter_phase.c:135-190; bin boundaries here are cumulative-sum
+    * based so the fold parallelises: range-sort, per-partition byte
+    * totals, then a map with broadcast prefix offsets — no single-node
+    * scan at any scale.)
+    */
+  def packContainers(unique: Dataset[UniqueChunk], cfg: DedupConfig): Dataset[PackedChunk] = {
+    val spark = unique.sparkSession
+    import spark.implicits._
+    val sorted = unique
+      .repartitionByRange($"repo", $"path", $"commit", $"chunkIdx")
+      .sortWithinPartitions($"repo", $"path", $"commit", $"chunkIdx")
+      .persist()
+    val perPart = sorted
+      .mapPartitions { it =>
+        var bytes = 0L
+        it.foreach(c => bytes += c.size)
+        Iterator((TaskContext.getPartitionId(), bytes))
+      }
+      .collect()
+      .sortBy(_._1)
+    val prefix = new Array[Long](perPart.length + 1)
+    perPart.foreach { case (pid, b) => prefix(pid + 1) = b }
+    var i = 1
+    while (i < prefix.length) { prefix(i) += prefix(i - 1); i += 1 }
+    val prefixB = spark.sparkContext.broadcast(prefix)
+    val payload = cfg.containerPayload
+    val out = sorted.mapPartitions { it =>
+      var cum = prefixB.value(TaskContext.getPartitionId())
+      it.map { c =>
+        cum += c.size
+        PackedChunk(c.fp, c.size, (cum - 1) / payload)
+      }
+    }
+    out
+  }
+
+  /** Chunk table with duplicate marking + owning container — the recipe
+    * table (reference .recipe files, src/recipe/recipestore.h:78-82).
+    */
+  def recipe(chunks: Dataset[ChunkRow], packed: Dataset[PackedChunk]): DataFrame = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    chunks.join(packed.select($"fp", $"containerId"), Seq("fp"))
+      .withColumn("firstWriter",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"fp")
+          .orderBy($"repo", $"path", $"commit", $"chunkIdx")) === 1)
+      .select($"fileId", $"repo", $"path", $"commit", $"chunkIdx",
+        $"offset", $"size", $"fp", $"zero", $"containerId",
+        (!$"firstWriter").as("dup"))
+  }
+
+  // ------------------------------------------------------------------
+  // Stage 3: LSH candidates
+  // ------------------------------------------------------------------
+
+  final case class BandKey(band: Int, bucket: Long, fileId: Long)
+
+  /** Candidate pairs from MinHash LSH banding. Hot buckets (boilerplate
+    * explosion) above cfg.shingle.maxBucket are dropped entirely and
+    * counted — quadratic pair-gen on a mega-bucket is never attempted
+    * (SURVEY.md §7.4 risk 3).
+    */
+  def candidatePairs(features: Dataset[FileFeatures], cfg: DedupConfig): DataFrame = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    val shCfg = cfg.shingle
+    val bands = features
+      .filter(f => f.minhash.nonEmpty)
+      .flatMap { f =>
+        val bh = Shingles.bandHashes(f.minhash, shCfg)
+        bh.iterator.zipWithIndex.map { case (h, b) => BandKey(b, h, f.fileId) }
+      }
+    val maxBucket = shCfg.maxBucket
+    bands
+      .groupByKey(k => (k.band, k.bucket))
+      .flatMapGroups { (_: (Int, Long), it: Iterator[BandKey]) =>
+        // bound memory: never buffer more than maxBucket+1 ids
+        val ids = new scala.collection.mutable.ArrayBuffer[Long](64)
+        var overflow = false
+        while (it.hasNext && !overflow) {
+          ids += it.next().fileId
+          if (ids.length > maxBucket) overflow = true
+        }
+        if (overflow) Iterator.empty
+        else {
+          val sorted = ids.distinct.sorted
+          for {
+            i <- sorted.indices.iterator
+            j <- (i + 1) until sorted.length
+          } yield (sorted(i), sorted(j))
+        }
+      }
+      .toDF("a", "b")
+      .distinct()
+  }
+
+  // ------------------------------------------------------------------
+  // Stage 4: exact Jaccard verification
+  // ------------------------------------------------------------------
+
+  /** Join candidate pairs back to per-file shingle sets and keep pairs
+    * with exact Jaccard ≥ τ. Two shuffles (one per side); the shingle
+    * arrays are the only payload moved.
+    */
+  def verifiedPairs(pairs: DataFrame, features: Dataset[FileFeatures],
+      cfg: DedupConfig): DataFrame = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    val sets = features.select($"fileId", $"shingles")
+    val tau = cfg.shingle.tau
+    val jacc = udf((a: Seq[Long], b: Seq[Long]) =>
+      Shingles.jaccard(a.toArray, b.toArray))
+    pairs
+      .join(sets.withColumnRenamed("fileId", "a").withColumnRenamed("shingles", "sa"), Seq("a"))
+      .join(sets.withColumnRenamed("fileId", "b").withColumnRenamed("shingles", "sb"), Seq("b"))
+      .withColumn("jaccard", jacc($"sa", $"sb"))
+      .filter($"jaccard" >= tau)
+      .select($"a", $"b", $"jaccard")
+  }
+
+  // ------------------------------------------------------------------
+  // Stage 5: exact-content edges + clustering
+  // ------------------------------------------------------------------
+
+  /** Files with identical sha256 are linked through the group's min
+    * fileId (star edges): guarantees exact dups cluster even when their
+    * shingle sets are empty, with |group|-1 edges instead of |group|².
+    */
+  def exactContentEdges(features: Dataset[FileFeatures]): DataFrame = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    features.select($"fileId", $"sha256")
+      .groupBy($"sha256")
+      .agg(min($"fileId").as("hub"), collect_list($"fileId").as("members"))
+      .filter(size($"members") > 1)
+      .select($"hub", explode($"members").as("m"))
+      .filter($"hub" =!= $"m")
+      .select($"hub".as("a"), $"m".as("b"))
+  }
+
+  /** Full run: returns (features, clusters, metrics snapshot helpers). */
+  def cluster(features: Dataset[FileFeatures], cfg: DedupConfig): DataFrame = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    val cand = candidatePairs(features, cfg)
+    val verified = verifiedPairs(cand, features, cfg).select($"a", $"b")
+    val exact = exactContentEdges(features)
+    val edges = verified.union(exact)
+    val vertices = features.select($"fileId")
+    ConnectedComponents.run(vertices, edges, cfg.ccMaxIter)
+  }
+}

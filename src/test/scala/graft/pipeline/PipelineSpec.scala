@@ -1,0 +1,111 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+import graft.corpus.CorpusGen
+import graft.oracle.ScalarOracle
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val cfg = DedupConfig()
+  lazy val localFiles = CorpusGen.generateLocal(nBases = 120).map(_._1)
+  lazy val oracle = ScalarOracle.run(localFiles, cfg)
+  lazy val filesDs = spark.createDataset(localFiles)(
+    org.apache.spark.sql.Encoders.product[graft.corpus.CorpusFile])
+  lazy val features = DedupPipeline.featurize(filesDs, cfg).persist()
+
+  test("corpus generator is deterministic and well-formed") {
+    val a = CorpusGen.generateLocal(nBases = 20)
+    val b = CorpusGen.generateLocal(nBases = 20)
+    assert(a == b)
+    assert(a.map(x => (x._1.repo, x._1.path, x._1.commit)).distinct.size == a.size)
+    assert(a.forall(_._1.content.nonEmpty))
+    val kinds = a.map(_._2.kind).toSet
+    assert(kinds.contains("base"))
+    assert(kinds.exists(_.startsWith("near")) || kinds.contains("exact"))
+  }
+
+  test("per-row sha256 invariant: Spark featurize equals scalar oracle") {
+    val sparkHashes = features.select($"repo", $"path", $"commit", $"sha256")
+      .as[(String, String, String, String)].collect()
+      .map(r => (r._1, r._2, r._3) -> r._4).toMap
+    val oracleHashes = oracle.features
+      .map(f => (f.repo, f.path, f.commit) -> f.sha256).toMap
+    assert(sparkHashes.size == oracleHashes.size)
+    oracleHashes.foreach { case (k, v) => assert(sparkHashes(k) == v, k) }
+  }
+
+  test("exact-dedup parity: unique chunk count and dedup ratio match the oracle") {
+    val chunks = DedupPipeline.chunkTable(features)
+    val uniq = DedupPipeline.uniqueChunks(chunks).persist()
+    assert(uniq.count() === oracle.uniqueChunkCount)
+    val totals = chunks.agg(sum($"size")).as[Long].head()
+    val uniqueBytes = uniq.agg(sum($"size")).as[Long].head()
+    assert(totals === oracle.totalChunkBytes)
+    assert(uniqueBytes === oracle.uniqueChunkBytes)
+    uniq.unpersist()
+  }
+
+  test("container packing is a partition of unique chunks with bounded containers") {
+    val chunks = DedupPipeline.chunkTable(features)
+    val uniq = DedupPipeline.uniqueChunks(chunks)
+    val packed = DedupPipeline.packContainers(uniq, cfg).persist()
+    assert(packed.count() === oracle.uniqueChunkCount)
+    val byContainer = packed.groupBy($"containerId").agg(sum($"size").as("bytes"))
+      .as[(Long, Long)].collect()
+    // every container except possibly the last stays within payload+maxChunk slack
+    byContainer.foreach { case (_, bytes) =>
+      assert(bytes <= cfg.containerPayload + cfg.chunker.maxSize)
+    }
+    // containers are dense 0..n-1
+    val ids = byContainer.map(_._1).sorted
+    assert(ids.toSeq == (0L until ids.length).toSeq)
+    packed.unpersist()
+  }
+
+  test("north rule: dup-pair recall >= 0.99 vs scalar oracle clusters") {
+    val clusters = DedupPipeline.cluster(features, cfg)
+      .as[(Long, Long)].collect().toMap
+
+    // pairs implied by spark clustering
+    val sparkPairs = clusters.groupBy(_._2).values.flatMap { m =>
+      val ids = m.keys.toArray.sorted
+      for (i <- ids.indices.iterator; j <- (i + 1) until ids.length)
+        yield (ids(i), ids(j))
+    }.toSet
+
+    val truthPairs = oracle.clusterPairs
+    assert(truthPairs.nonEmpty, "oracle should find dup pairs in synthetic corpus")
+    val recall = sparkPairs.intersect(truthPairs).size.toDouble / truthPairs.size
+    val precision =
+      if (sparkPairs.isEmpty) 1.0
+      else sparkPairs.intersect(truthPairs).size.toDouble / sparkPairs.size
+    info(f"truthPairs=${truthPairs.size} sparkPairs=${sparkPairs.size} recall=$recall%.4f precision=$precision%.4f")
+    assert(recall >= 0.99, f"recall $recall%.4f below gate")
+    assert(precision >= 0.95, f"precision $precision%.4f suspiciously low")
+  }
+
+  test("clustering is invariant to input partitioning") {
+    val repartitioned = filesDs.repartition(13)
+    val f2 = DedupPipeline.featurize(repartitioned, cfg)
+    val c1 = DedupPipeline.cluster(features, cfg).as[(Long, Long)].collect().toMap
+    val c2 = DedupPipeline.cluster(f2, cfg).as[(Long, Long)].collect().toMap
+    assert(c1 === c2)
+  }
+
+  test("exact duplicates always share a cluster even with empty shingles") {
+    val tiny = Seq(
+      graft.corpus.CorpusFile("r1", "a.txt", "c1", "md", "x"),
+      graft.corpus.CorpusFile("r2", "b.txt", "c2", "md", "x"),
+      graft.corpus.CorpusFile("r3", "c.txt", "c3", "md", "different"))
+    val ds = spark.createDataset(tiny)(org.apache.spark.sql.Encoders.product)
+    val f = DedupPipeline.featurize(ds, cfg)
+    val c = DedupPipeline.cluster(f, cfg).as[(Long, Long)].collect().toMap
+    val ids = tiny.map(t => graft.functions.Hash64.fileId(t.repo, t.path, t.commit))
+    assert(c(ids(0)) == c(ids(1)))
+    assert(c(ids(0)) != c(ids(2)))
+  }
+}
