@@ -11,16 +11,23 @@ import org.apache.spark.sql.SparkSession
   */
 object BenchScaling {
 
-  private def once(cores: Int, nBases: Long): (Long, Double) = {
+  private def once(cores: Int, nBases: Long, warmBases: Long): (Long, Double) = {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // corpus parquet is ~300 MB compressed; split small enough that
+      // featurize parallelism is never input-bound at any core count
+      .config("spark.sql.files.maxPartitionBytes", s"${8 * 1024 * 1024}")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val res = Bench.runPipeline(spark, nBases)
+    // JIT + codegen warm-up inside this session, then best-of-2 measured
+    Bench.runPipeline(spark, warmBases)
+    val a = Bench.runPipeline(spark, nBases)
+    val b = Bench.runPipeline(spark, nBases)
+    val res = (a._1, math.min(a._2, b._2))
     spark.stop()
     // allow a fresh context with a different master
     SparkSession.clearActiveSession()
@@ -31,10 +38,16 @@ object BenchScaling {
   def main(args: Array[String]): Unit = {
     val nBases = args.headOption.map(_.toLong).getOrElse(20000L)
     val n = args.lift(1).map(_.toInt).getOrElse(8)
-    // warm-up JIT at small scale so neither run pays compilation cost
-    once(n, math.max(nBases / 20, 100))
-    val (files1, t1) = once(n, nBases)
-    val (files2, t2) = once(4 * n, nBases)
+    val rounds = args.lift(2).map(_.toInt).getOrElse(2)
+    val warm = math.max(nBases / 10, 1000)
+    // interleave the two legs and take the per-leg minimum: the sandbox
+    // host's load drifts on the minutes scale, and alternation keeps a
+    // noise spike from landing on only one leg
+    val runs = (1 to rounds).map { _ =>
+      (once(n, nBases, warm), once(4 * n, nBases, warm))
+    }
+    val (files1, t1) = runs.map(_._1).minBy(_._2)
+    val (files2, t2) = runs.map(_._2).minBy(_._2)
     require(files1 == files2)
     val thrN = files1 / t1
     val thr4N = files2 / t2

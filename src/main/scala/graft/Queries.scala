@@ -214,6 +214,85 @@ object Queries {
   }
 
   // ====================================================================
+  // Rewrite / restore analytics over a lineitem-derived recipe
+  // (stream=l_suppkey, containerId=l_partkey%50, dup=(l_partkey%3)!=0)
+  // ====================================================================
+
+  private def recipeFromLineitem(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    li.select(
+      col("l_suppkey").as("stream"),
+      row_number().over(w).cast("long").as("seq"),
+      col("l_quantity").cast("int").as("size"),
+      pmod(col("l_partkey"), lit(50)).cast("long").as("containerId"),
+      (pmod(col("l_partkey"), lit(3)) =!= 0).as("dup"))
+  }
+
+  private val recipeSql =
+    """SELECT l_suppkey AS stream,
+      |  CAST(row_number() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey) AS BIGINT) AS seq,
+      |  CAST(l_quantity AS INTEGER) AS size,
+      |  CAST(l_partkey % 50 AS BIGINT) AS containerId,
+      |  (l_partkey % 3) <> 0 AS dup
+      |FROM lineitem""".stripMargin
+
+  /** W4 CAP capping over the derived recipe. */
+  def rCap(spark: SparkSession, dir: String): DataFrame =
+    Rewrite.cap(recipeFromLineitem(spark, dir), bufferSize = 64, cappingLevel = 3)
+      .select(col("stream"), col("seq"), col("outOfOrder"))
+
+  /** W2 CFL selective-dedup runs over the derived recipe. */
+  def rCflRuns(spark: SparkSession, dir: String): DataFrame =
+    Rewrite.cflRuns(recipeFromLineitem(spark, dir), usageThreshold = 0.03)
+      .select(col("stream"), col("seq"), col("runId"), col("outOfOrder"))
+
+  /** A5/T4 HAR sparse-container selection with rewrite-limit trim. */
+  def rHarSparse(spark: SparkSession, dir: String): DataFrame =
+    Rewrite.harSparseContainers(recipeFromLineitem(spark, dir),
+      utilizationThreshold = 0.5, rewriteLimit = 0.05)
+
+  /** A5 container-utilization decile histogram. */
+  def rUtilHistogram(spark: SparkSession, dir: String): DataFrame =
+    Rewrite.utilizationHistogram(recipeFromLineitem(spark, dir))
+
+  /** S7 run-length container access records. */
+  def rAccessRecords(spark: SparkSession, dir: String): DataFrame =
+    RestoreSim.accessRecords(recipeFromLineitem(spark, dir))
+
+  /** W10 exact LRU restore-cache simulation per stream (rows-only:
+    * stateful fold, not SQL-expressible).
+    */
+  def rRestoreLru(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    RestoreSim.simulate(
+      recipeFromLineitem(spark, dir).withColumn("stream", col("stream").cast("string")),
+      cacheSize = 8, policy = "lru")
+      .toDF()
+      .withColumn("speedFactor", round(col("speedFactor"), 6))
+      .withColumn("cfl", round(col("cfl"), 6))
+  }
+
+  /** W9 Belady-OPT restore-cache simulation per stream (rows-only). */
+  def rRestoreOpt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    RestoreSim.simulate(
+      recipeFromLineitem(spark, dir).withColumn("stream", col("stream").cast("string")),
+      cacheSize = 8, policy = "opt")
+      .toDF()
+      .withColumn("speedFactor", round(col("speedFactor"), 6))
+      .withColumn("cfl", round(col("cfl"), 6))
+  }
+
+  /** W3 CBR utility marking (rows-only: percentile threshold + flush rule). */
+  def rCbr(spark: SparkSession, dir: String): DataFrame =
+    Rewrite.cbr(recipeFromLineitem(spark, dir), bufferSize = 64,
+      limit = 0.05, minUtility = 0.5)
+      .select(col("stream"), col("seq"), round(col("utility"), 6).as("utility"),
+        col("outOfOrder"))
+
+  // ====================================================================
   // Training-data text ops over `documents`
   // ====================================================================
 
@@ -411,6 +490,14 @@ object Queries {
     "q_random_sample" -> (qRandomSample _),
     "q_segment_bounds" -> (qSegmentBounds _),
     "q_quantile" -> (qQuantile _),
+    "r_cap_rewrite" -> (rCap _),
+    "r_cfl_runs" -> (rCflRuns _),
+    "r_har_sparse" -> (rHarSparse _),
+    "r_util_histogram" -> (rUtilHistogram _),
+    "r_access_records" -> (rAccessRecords _),
+    "r_restore_lru" -> (rRestoreLru _),
+    "r_restore_opt" -> (rRestoreOpt _),
+    "r_cbr_rewrite" -> (rCbr _),
     "d_exact_dedup" -> (dExactDedup _),
     "d_token_count" -> (dTokenCount _),
     "d_lang_id" -> (dLangId _),
@@ -519,6 +606,53 @@ object Queries {
         |  SELECT c, CAST(row_number() OVER (ORDER BY c) AS BIGINT) AS rn,
         |    count(*) OVER () AS n
         |  FROM (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS c FROM orders))""".stripMargin,
+    "r_cap_rewrite" ->
+      s"""WITH r AS ($recipeSql),
+        |b AS (SELECT *, CAST(floor(seq / 64) AS BIGINT) AS bufferId FROM r),
+        |cb AS (SELECT stream, bufferId, containerId, sum(size) AS refBytes
+        |       FROM b WHERE dup GROUP BY 1, 2, 3),
+        |rk AS (SELECT stream, bufferId, containerId,
+        |         row_number() OVER (PARTITION BY stream, bufferId ORDER BY refBytes DESC, containerId) AS rk
+        |       FROM cb)
+        |SELECT b.stream, b.seq,
+        |  b.dup AND NOT coalesce(rk.rk <= 3, FALSE) AS outOfOrder
+        |FROM b LEFT JOIN rk ON b.stream = rk.stream AND b.bufferId = rk.bufferId
+        |  AND b.containerId = rk.containerId""".stripMargin,
+    "r_cfl_runs" ->
+      s"""WITH r AS ($recipeSql),
+        |x AS (SELECT *, CASE WHEN containerId = lag(containerId) OVER (PARTITION BY stream ORDER BY seq)
+        |        THEN 0 ELSE 1 END AS newRun FROM r),
+        |y AS (SELECT *, CAST(sum(newRun) OVER (PARTITION BY stream ORDER BY seq
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS runId FROM x),
+        |z AS (SELECT stream, runId, sum(size) AS runBytes FROM y GROUP BY 1, 2)
+        |SELECT y.stream, y.seq, y.runId,
+        |  y.dup AND z.runBytes < 0.03 * 4161536 AS outOfOrder
+        |FROM y JOIN z ON y.stream = z.stream AND y.runId = z.runId""".stripMargin,
+    "r_har_sparse" ->
+      s"""WITH r AS ($recipeSql),
+        |u AS (SELECT containerId, sum(size) AS refBytes FROM r GROUP BY 1),
+        |t AS (SELECT sum(refBytes) AS total FROM u),
+        |s AS (SELECT containerId, refBytes, refBytes / 4161536.0 AS utilization
+        |      FROM u WHERE refBytes / 4161536.0 < 0.5),
+        |c AS (SELECT *, CAST(sum(refBytes) OVER (ORDER BY refBytes, containerId
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM s)
+        |SELECT containerId, refBytes, utilization FROM c, t
+        |WHERE cum <= CAST(floor(0.05 * total) AS BIGINT)""".stripMargin,
+    "r_util_histogram" ->
+      s"""WITH r AS ($recipeSql),
+        |u AS (SELECT containerId, sum(size) AS refBytes FROM r GROUP BY 1),
+        |v AS (SELECT containerId, refBytes, refBytes / 4161536.0 AS utilization FROM u)
+        |SELECT CASE WHEN utilization = 0 THEN 0 WHEN utilization > 1 THEN 11
+        |  ELSE CAST(floor(utilization * 10 + 1) AS INTEGER) END AS bucket,
+        |  count(*) AS containers, sum(refBytes) AS bytes
+        |FROM v GROUP BY 1""".stripMargin,
+    "r_access_records" ->
+      s"""WITH r AS ($recipeSql),
+        |x AS (SELECT stream, seq, containerId,
+        |        lag(containerId) OVER (PARTITION BY stream ORDER BY seq) AS prev
+        |      FROM r)
+        |SELECT stream, seq, containerId FROM x
+        |WHERE prev IS NULL OR prev <> containerId""".stripMargin,
     "d_exact_dedup" ->
       """SELECT sha256(text) AS h, count(*) AS cnt, min(doc_id) AS canonical
         |FROM documents GROUP BY 1""".stripMargin,

@@ -116,11 +116,16 @@ object CorpusGen {
     }
   }
 
-  /** Distributed generation: ~(nBases × ~2.5) files. */
+  /** Distributed generation: ~(nBases × ~2.5) files. Partition count is
+    * fixed independently of the session's core count so downstream
+    * parquet files split evenly at any parallelism.
+    */
   def generate(spark: SparkSession, nBases: Long, seed: Long = 42L,
       nRepos: Int = 100): Dataset[CorpusFile] = {
     import spark.implicits._
-    spark.range(nBases).flatMap(b => filesForBase(seed, b, nRepos).map(_._1))
+    val parts = math.max(64, spark.sparkContext.defaultParallelism)
+    spark.range(0, nBases, 1, parts)
+      .flatMap(b => filesForBase(seed, b, nRepos).map(_._1))
   }
 
   def generateWithTruth(spark: SparkSession, nBases: Long, seed: Long = 42L,

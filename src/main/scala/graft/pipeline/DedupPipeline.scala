@@ -43,6 +43,13 @@ final case class ChunkRow(fileId: Long, repo: String, path: String,
     commit: String, chunkIdx: Int, offset: Int, size: Int, fp: String,
     zero: Boolean)
 
+/** Narrow signature row — everything the clustering stages need. Persist
+  * THIS, not full FileFeatures: the chunk arrays would triple cache size
+  * and build time for columns clustering never reads.
+  */
+final case class FileSig(fileId: Long, sha256: String,
+    shingles: Array[Long], minhash: Array[Long])
+
 /** First instance of a fingerprint in stream order (the "first writer",
   * reference: src/index/index.c:140-216 recency precedence).
   */
@@ -117,14 +124,21 @@ object DedupPipeline {
   // Stage 2: chunk table + exact dedup + container packing
   // ------------------------------------------------------------------
 
+  /** Chunk table via native posexplode (stays in whole-stage codegen and
+    * lets the columnar cache prune unrelated columns).
+    */
+  def chunkTableDF(features: DataFrame): DataFrame = {
+    features.select(col("fileId"), col("repo"), col("path"), col("commit"),
+        posexplode(col("chunks")).as(Seq("chunkIdx", "c")))
+      .select(col("fileId"), col("repo"), col("path"), col("commit"),
+        col("chunkIdx"), col("c.offset").as("offset"), col("c.size").as("size"),
+        col("c.fp").as("fp"), col("c.zero").as("zero"))
+  }
+
   def chunkTable(features: Dataset[FileFeatures]): Dataset[ChunkRow] = {
     val spark = features.sparkSession
     import spark.implicits._
-    features.flatMap { f =>
-      f.chunks.iterator.zipWithIndex.map { case (c, i) =>
-        ChunkRow(f.fileId, f.repo, f.path, f.commit, i, c.offset, c.size, c.fp, c.zero)
-      }
-    }
+    chunkTableDF(features.toDF()).as[ChunkRow]
   }
 
   /** First-writer-wins per fingerprint: the chunk instance with the
@@ -201,36 +215,56 @@ object DedupPipeline {
         (!$"firstWriter").as("dup"))
   }
 
+  /** Recipe with stream identity and per-stream sequence — the input
+    * contract for the rewrite/restore analytics (stream = repo; order =
+    * (path, commit, chunkIdx) within the stream).
+    */
+  def streamRecipe(rec: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("repo"))
+      .orderBy(col("path"), col("commit"), col("chunkIdx"))
+    rec.withColumn("stream", col("repo"))
+      .withColumn("seq", row_number().over(w).cast("long"))
+  }
+
   // ------------------------------------------------------------------
   // Stage 3: LSH candidates
   // ------------------------------------------------------------------
 
-  final case class BandKey(band: Int, bucket: Long, fileId: Long)
-
-  /** Candidate pairs from MinHash LSH banding. Hot buckets (boilerplate
-    * explosion) above cfg.shingle.maxBucket are dropped entirely and
-    * counted — quadratic pair-gen on a mega-bucket is never attempted
-    * (SURVEY.md §7.4 risk 3).
+  /** Candidate pairs from MinHash LSH banding: one shuffle groups band
+    * buckets, a bounded per-bucket fold emits the pairs. Hot buckets
+    * (boilerplate explosion) above cfg.shingle.maxBucket are dropped
+    * entirely — quadratic pair-gen on a mega-bucket is never attempted
+    * (SURVEY.md §7.4 risk 3) and the fold never buffers more than
+    * maxBucket+1 ids.
     */
-  def candidatePairs(features: Dataset[FileFeatures], cfg: DedupConfig): DataFrame = {
+  /** Narrow projection of the clustering-relevant columns. */
+  def sigs(features: Dataset[FileFeatures]): Dataset[FileSig] = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    features.select($"fileId", $"sha256", $"shingles", $"minhash").as[FileSig]
+  }
+
+  def candidatePairs(features: Dataset[FileSig], cfg: DedupConfig): DataFrame = {
     val spark = features.sparkSession
     import spark.implicits._
     val shCfg = cfg.shingle
-    val bands = features
-      .filter(f => f.minhash.nonEmpty)
-      .flatMap { f =>
-        val bh = Shingles.bandHashes(f.minhash, shCfg)
-        bh.iterator.zipWithIndex.map { case (h, b) => BandKey(b, h, f.fileId) }
-      }
     val maxBucket = shCfg.maxBucket
-    bands
-      .groupByKey(k => (k.band, k.bucket))
-      .flatMapGroups { (_: (Int, Long), it: Iterator[BandKey]) =>
-        // bound memory: never buffer more than maxBucket+1 ids
-        val ids = new scala.collection.mutable.ArrayBuffer[Long](64)
+    // narrow projection: only (fileId, minhash) is deserialized per row
+    features
+      .select($"fileId", $"minhash").as[(Long, Array[Long])]
+      .filter(_._2.nonEmpty)
+      .flatMap { case (id, mh) =>
+        // band hashes are already seeded by band index (no cross-band
+        // bucket collisions), so the hash alone is the bucket key
+        Shingles.bandHashes(mh, shCfg).iterator.map(h => (h, id))
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (_: Long, it: Iterator[(Long, Long)]) =>
+        val ids = new scala.collection.mutable.ArrayBuffer[Long](8)
         var overflow = false
         while (it.hasNext && !overflow) {
-          ids += it.next().fileId
+          ids += it.next()._2
           if (ids.length > maxBucket) overflow = true
         }
         if (overflow) Iterator.empty
@@ -254,7 +288,7 @@ object DedupPipeline {
     * with exact Jaccard ≥ τ. Two shuffles (one per side); the shingle
     * arrays are the only payload moved.
     */
-  def verifiedPairs(pairs: DataFrame, features: Dataset[FileFeatures],
+  def verifiedPairs(pairs: DataFrame, features: Dataset[FileSig],
       cfg: DedupConfig): DataFrame = {
     val spark = features.sparkSession
     import spark.implicits._
@@ -278,7 +312,7 @@ object DedupPipeline {
     * fileId (star edges): guarantees exact dups cluster even when their
     * shingle sets are empty, with |group|-1 edges instead of |group|².
     */
-  def exactContentEdges(features: Dataset[FileFeatures]): DataFrame = {
+  def exactContentEdges(features: Dataset[FileSig]): DataFrame = {
     val spark = features.sparkSession
     import spark.implicits._
     features.select($"fileId", $"sha256")
@@ -290,15 +324,18 @@ object DedupPipeline {
       .select($"hub".as("a"), $"m".as("b"))
   }
 
-  /** Full run: returns (features, clusters, metrics snapshot helpers). */
-  def cluster(features: Dataset[FileFeatures], cfg: DedupConfig): DataFrame = {
-    val spark = features.sparkSession
+  /** Full clustering over narrow signature rows. */
+  def clusterSigs(s: Dataset[FileSig], cfg: DedupConfig): DataFrame = {
+    val spark = s.sparkSession
     import spark.implicits._
-    val cand = candidatePairs(features, cfg)
-    val verified = verifiedPairs(cand, features, cfg).select($"a", $"b")
-    val exact = exactContentEdges(features)
+    val cand = candidatePairs(s, cfg)
+    val verified = verifiedPairs(cand, s, cfg).select($"a", $"b")
+    val exact = exactContentEdges(s)
     val edges = verified.union(exact)
-    val vertices = features.select($"fileId")
+    val vertices = s.select($"fileId")
     ConnectedComponents.run(vertices, edges, cfg.ccMaxIter)
   }
+
+  def cluster(features: Dataset[FileFeatures], cfg: DedupConfig): DataFrame =
+    clusterSigs(sigs(features), cfg)
 }

@@ -1,0 +1,164 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Rewrite-algorithm analytics (the reference's fragmentation detectors),
+  * re-expressed as window/aggregation queries over the recipe table.
+  *
+  * Input contract for all functions: a DataFrame with columns
+  *   stream:string, seq:long (position within stream), size:int,
+  *   containerId:long, dup:boolean
+  * — i.e. the chunk sequence of a backup run in stream order with its
+  * duplicate marking and owning container (reference: the dedup_queue
+  * records flowing into the rewrite phase, src/rewrite_phase.c).
+  *
+  * Deviations from the sequential reference, by design:
+  *  - CBR's adaptive threshold (a running 10k-bucket histogram,
+  *    src/cbr_rewrite.c:38-55) becomes a global exact percentile over the
+  *    run's utilities — the batch analog of "keep rewrite ratio ≤ limit";
+  *  - CBR's marked-not-fragmented neighbor propagation
+  *    (src/cbr_rewrite.c:118-131) is dropped (single-pass batch);
+  *  - streams (repos) are processed independently — destor's stream is
+  *    one backup job, ours is one repo partition.
+  */
+object Rewrite {
+
+  val ContainerPayload: Long = (4L * 1024 * 1024) - (32 * 1024)
+
+  /** W4/T2 CAP capping (reference: src/cap_rewrite.c:10-107): tumbling
+    * 1024-chunk buffers per stream; rank containers by referenced bytes
+    * desc; duplicate chunks of containers ranked below cappingLevel are
+    * OUT_OF_ORDER.
+    */
+  def cap(recipe: DataFrame, bufferSize: Int = 1024, cappingLevel: Int = 14): DataFrame = {
+    val withBuf = recipe.withColumn("bufferId", floor(col("seq") / bufferSize))
+    val contBytes = withBuf
+      .filter(col("dup")) // uniques carry TEMPORARY_ID in the reference
+      .groupBy(col("stream"), col("bufferId"), col("containerId"))
+      .agg(sum(col("size")).as("refBytes"))
+    val w = Window.partitionBy(col("stream"), col("bufferId"))
+      .orderBy(col("refBytes").desc, col("containerId"))
+    val ranked = contBytes.withColumn("rk", row_number().over(w))
+    withBuf.join(
+        ranked.select(col("stream"), col("bufferId"), col("containerId"),
+          (col("rk") <= cappingLevel).as("inTop")),
+        Seq("stream", "bufferId", "containerId"), "left")
+      .withColumn("outOfOrder", col("dup") && !coalesce(col("inTop"), lit(false)))
+      .drop("inTop")
+  }
+
+  /** W3/A7 CBR context-based rewriting (reference: src/cbr_rewrite.c):
+    * utility of a duplicate = 1 − (container bytes in the following
+    * `bufferSize`-chunk context + own size)/payload (0 when coverage ≥ 1);
+    * rewrite iff utility ≥ max(minUtility, the (1−limit) utility
+    * percentile of the run).
+    */
+  def cbr(recipe: DataFrame, bufferSize: Int = 1024, limit: Double = 0.05,
+      minUtility: Double = 0.5): DataFrame = {
+    val wCtx = Window.partitionBy(col("stream"), col("containerId"))
+      .orderBy(col("seq"))
+      .rangeBetween(0, bufferSize)
+    val wStream = Window.partitionBy(col("stream"))
+    val withUtil = recipe
+      .withColumn("ctxBytes", sum(col("size")).over(wCtx))
+      .withColumn("maxSeq", max(col("seq")).over(wStream))
+      .withColumn("coverage", col("ctxBytes") / lit(ContainerPayload.toDouble))
+      .withColumn("utility",
+        when(!col("dup"), lit(0.0))
+          .otherwise(when(col("coverage") >= 1, 0.0).otherwise(lit(1.0) - col("coverage"))))
+    val threshold = withUtil
+      .agg(expr(s"percentile(utility, ${1.0 - limit})")).head().getDouble(0)
+    // chunks inside the final buffer are flushed without a rewrite
+    // decision (reference: src/cbr_rewrite.c:144-146)
+    withUtil
+      .withColumn("outOfOrder",
+        col("dup") && col("utility") >= math.max(minUtility, threshold) &&
+          col("seq") + bufferSize <= col("maxSeq"))
+      .drop("ctxBytes", "coverage", "maxSeq")
+  }
+
+  /** W2 CFL-style selective dedup runs (reference: src/cfl_rewrite.c):
+    * consecutive same-container duplicates form a run; a run whose total
+    * bytes are below usageThreshold × payload is rewritten whole.
+    */
+  def cflRuns(recipe: DataFrame, usageThreshold: Double = 0.03): DataFrame = {
+    val wSeq = Window.partitionBy(col("stream")).orderBy(col("seq"))
+    val withRun = recipe
+      .withColumn("newRun",
+        when(col("containerId") === lag(col("containerId"), 1).over(wSeq), 0L)
+          .otherwise(1L))
+      .withColumn("runId",
+        sum(col("newRun")).over(wSeq.rowsBetween(Window.unboundedPreceding, 0)))
+    val runBytes = withRun.groupBy(col("stream"), col("runId"))
+      .agg(sum(col("size")).as("runBytes"))
+    withRun.join(runBytes, Seq("stream", "runId"))
+      .withColumn("outOfOrder",
+        col("dup") && col("runBytes") < usageThreshold * ContainerPayload)
+      .drop("newRun")
+  }
+
+  /** A5/W5 HAR (reference: src/har_rewrite.c): per-container utilization
+    * this run; containers below the threshold are sparse; the sparse list
+    * is trimmed (smallest-utilization kept) so Σsparse/Σtotal ≤ limit.
+    * Returns the sparse-container table for the *next* run (J7).
+    */
+  def harSparseContainers(recipe: DataFrame,
+      utilizationThreshold: Double = 0.5,
+      rewriteLimit: Double = 0.05): DataFrame = {
+    val util = recipe.groupBy(col("containerId"))
+      .agg(sum(col("size")).as("refBytes"))
+      .withColumn("utilization", col("refBytes") / lit(ContainerPayload.toDouble))
+    val total = util.agg(sum(col("refBytes"))).head().getLong(0)
+    val sparse = util.filter(col("utilization") < utilizationThreshold)
+    // keep ascending-size prefix with cumulative bytes ≤ limit × total
+    // (equivalent to the reference's trim-largest loop,
+    //  src/har_rewrite.c:166-177)
+    val wCum = Window.orderBy(col("refBytes"), col("containerId"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    sparse.withColumn("cum", sum(col("refBytes")).over(wCum))
+      .filter(col("cum") <= (rewriteLimit * total).toLong)
+      .select(col("containerId"), col("refBytes"), col("utilization"))
+  }
+
+  /** J7 inherited-sparse marking (reference: src/har_rewrite.c:197-207):
+    * duplicates in last run's sparse containers are CHUNK_SPARSE.
+    */
+  def harMark(recipe: DataFrame, prevSparse: DataFrame): DataFrame = {
+    recipe.join(
+        broadcast(prevSparse.select(col("containerId"), lit(true).as("inSparse"))),
+        Seq("containerId"), "left")
+      .withColumn("sparse", col("dup") && coalesce(col("inSparse"), lit(false)))
+      .drop("inSparse")
+  }
+
+  /** A5 container-utilization decile histogram (reference:
+    * src/har_rewrite.c:119-156): bucket 0 = unused, 1..10 = deciles,
+    * 11 = over-full.
+    */
+  def utilizationHistogram(recipe: DataFrame): DataFrame = {
+    recipe.groupBy(col("containerId"))
+      .agg(sum(col("size")).as("refBytes"))
+      .withColumn("utilization", col("refBytes") / lit(ContainerPayload.toDouble))
+      .withColumn("bucket",
+        when(col("utilization") === 0, 0)
+          .when(col("utilization") > 1, 11)
+          .otherwise((col("utilization") * 10 + 1).cast("int")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("containers"), sum(col("refBytes")).as("bytes"))
+  }
+
+  /** P14 final write predicate (reference: src/filter_phase.c:125-134):
+    * write iff unique ∨ (¬denied ∧ (sparse ∨ (outOfOrder ∧ ¬inCache))).
+    * We model denied/inCache as absent (cache-aware filter off, the
+    * shipped default destor.config:124).
+    */
+  def writePredicate(marked: DataFrame): DataFrame = {
+    val sparse =
+      if (marked.columns.contains("sparse")) col("sparse") else lit(false)
+    val ooo =
+      if (marked.columns.contains("outOfOrder")) col("outOfOrder") else lit(false)
+    marked.withColumn("write", !col("dup") || sparse || ooo)
+  }
+}
