@@ -293,6 +293,65 @@ object Queries {
         col("outOfOrder"))
 
   // ====================================================================
+  // Similarity selection (J2/J3) over lineitem-derived segment features
+  // ====================================================================
+
+  /** segId = l_orderkey; features = md5 of a coarse part bucket. */
+  private def segFeaturesFromLineitem(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    li.select(col("l_orderkey").as("segId"),
+        md5(pmod(col("l_partkey"), lit(500)).cast("string")).as("feature"))
+      .distinct()
+      .withColumn("recency", col("segId"))
+  }
+
+  private val segFeaturesSql =
+    """SELECT DISTINCT l_orderkey AS segId,
+      |  md5(CAST(l_partkey % 500 AS VARCHAR)) AS feature,
+      |  l_orderkey AS recency
+      |FROM lineitem""".stripMargin
+
+  /** J2+T1 plain top-k champion segments by shared features (no trim). */
+  def qChampionPlain(spark: SparkSession, dir: String): DataFrame = {
+    val sf = segFeaturesFromLineitem(spark, dir)
+    val idx = SimilaritySelection.buildFeatureIndex(sf, valueLength = 4)
+    SimilaritySelection.topKPlain(sf.select(col("segId"), col("feature")), idx, 3)
+  }
+
+  /** J3 greedy champion selection with Sparse-Index feature trimming
+    * (rows-only: iterative trim is order-dependent, not SQL-expressible).
+    */
+  def qChampionTrim(spark: SparkSession, dir: String): DataFrame = {
+    val sf = segFeaturesFromLineitem(spark, dir)
+    val idx = SimilaritySelection.buildFeatureIndex(sf, valueLength = 4)
+    SimilaritySelection.topKChampions(sf.select(col("segId"), col("feature")), idx, 3)
+  }
+
+  /** W6/A1-A4 destor-parity segmenting + sampling over the documents
+    * corpus chunk stream (rows-only: stateful sequence folds).
+    */
+  def dSegmentFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val files = t(spark, dir, "documents")
+      .select(col("source").as("repo"),
+        concat(lit("doc/"), col("doc_id")).as("path"),
+        lit("0").as("commit"), col("lang"), col("text").as("content"))
+      .as[CorpusFile]
+    val cfg = DedupConfig(chunker = graft.chunking.ChunkerConfig("fixed", avgSize = 256))
+    val features = DedupPipeline.featurize(files, cfg)
+    features.flatMap { f =>
+      val fps = f.chunks.map(_.fp)
+      val segs = Segmenting.contentDefined(avg = 4, min = 2, max = 16)(fps)
+      fps.indices.groupBy(segs(_)).toSeq.flatMap { case (segId, idxs) =>
+        val segFps = idxs.map(fps)
+        Seq("uniform", "random", "min", "optmin").flatMap { m =>
+          Sampling.sample(m, segFps, 4).map(feat => (f.fileId, segId, m, feat))
+        }
+      }
+    }.toDF("file_id", "seg_id", "method", "feature")
+  }
+
+  // ====================================================================
   // Training-data text ops over `documents`
   // ====================================================================
 
@@ -498,6 +557,9 @@ object Queries {
     "r_restore_lru" -> (rRestoreLru _),
     "r_restore_opt" -> (rRestoreOpt _),
     "r_cbr_rewrite" -> (rCbr _),
+    "q_champion_plain" -> (qChampionPlain _),
+    "q_champion_trim" -> (qChampionTrim _),
+    "d_segment_features" -> (dSegmentFeatures _),
     "d_exact_dedup" -> (dExactDedup _),
     "d_token_count" -> (dTokenCount _),
     "d_lang_id" -> (dLangId _),
@@ -653,6 +715,20 @@ object Queries {
         |      FROM r)
         |SELECT stream, seq, containerId FROM x
         |WHERE prev IS NULL OR prev <> containerId""".stripMargin,
+    "q_champion_plain" ->
+      s"""WITH sf AS ($segFeaturesSql),
+        |idx AS (SELECT feature, segId AS candId FROM (
+        |  SELECT feature, segId,
+        |    row_number() OVER (PARTITION BY feature ORDER BY recency DESC, segId DESC) AS rn
+        |  FROM sf) WHERE rn <= 4),
+        |shared AS (
+        |  SELECT sf.segId, idx.candId, count(DISTINCT sf.feature) AS shared
+        |  FROM sf JOIN idx ON sf.feature = idx.feature
+        |  WHERE sf.segId <> idx.candId
+        |  GROUP BY 1, 2)
+        |SELECT segId, candId, shared, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY segId ORDER BY shared DESC, candId DESC) AS BIGINT) AS rank
+        |  FROM shared) WHERE rank <= 3""".stripMargin,
     "d_exact_dedup" ->
       """SELECT sha256(text) AS h, count(*) AS cnt, min(doc_id) AS canonical
         |FROM documents GROUP BY 1""".stripMargin,
