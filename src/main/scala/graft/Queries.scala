@@ -464,6 +464,110 @@ object Queries {
   }
 
   // ====================================================================
+  // GC / restore / span-verification / multimodal
+  // ====================================================================
+
+  /** Versioned recipe for GC demos: version = l_linestatus, fp and
+    * container functionally dependent on the part key.
+    */
+  private def versionedRecipe(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    li.select(
+      when(pmod(col("l_orderkey"), lit(20)) === 0, "F").otherwise("O").as("version"),
+      md5((col("l_partkey") * 13 + col("l_suppkey")).cast("string")).as("fp"),
+      pmod(col("l_partkey"), lit(50)).cast("long").as("containerId"),
+      pmod(col("l_partkey") * 13 + col("l_suppkey"), lit(97)).cast("int").as("size"))
+  }
+
+  private val versionedRecipeSql =
+    """SELECT CASE WHEN l_orderkey % 20 = 0 THEN 'F' ELSE 'O' END AS version,
+      |  md5(CAST(l_partkey * 13 + l_suppkey AS VARCHAR)) AS fp,
+      |  CAST(l_partkey % 50 AS BIGINT) AS containerId,
+      |  CAST((l_partkey * 13 + l_suppkey) % 97 AS INTEGER) AS size
+      |FROM lineitem""".stripMargin
+
+  /** J6 GC liveness: chunks only referenced by the deleted version. */
+  def gDeadChunks(spark: SparkSession, dir: String): DataFrame =
+    GC.deadChunks(versionedRecipe(spark, dir), "F")
+
+  /** Container compaction plan after deleting version F. */
+  def gCompactionPlan(spark: SparkSession, dir: String): DataFrame =
+    GC.compactionPlan(versionedRecipe(spark, dir), "F")
+
+  /** J5 restore reconstruction over the documents corpus: every file
+    * rebuilt from deduplicated first-writer chunk slices must reproduce
+    * its sha256 (rows-only; the per-row invariant check).
+    */
+  def dRestoreVerify(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val files = t(spark, dir, "documents")
+      .select(col("source").as("repo"),
+        concat(lit("doc/"), col("doc_id")).as("path"),
+        lit("0").as("commit"), col("lang"), col("text").as("content"))
+      .as[CorpusFile]
+    val cfg = DedupConfig(chunker = graft.chunking.ChunkerConfig("fixed", avgSize = 256))
+    Restore.verifyRestore(files, cfg)
+  }
+
+  /** SimHash near-dup candidate pairs over documents (rows-only). */
+  def dSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val files = t(spark, dir, "documents")
+      .select(col("source").as("repo"),
+        concat(lit("doc/"), col("doc_id")).as("path"),
+        lit("0").as("commit"), col("lang"), col("text").as("content"))
+      .as[CorpusFile]
+    val feats = DedupPipeline.featurize(files, DedupConfig()).toDF()
+    val cands = DedupPipeline.simhashCandidates(feats, DedupConfig())
+    // always non-empty: emit per-file simhash population counts alongside
+    feats.select(col("fileId"), col("simhash"))
+      .withColumn("popcount", expr("bit_count(simhash)").cast("long"))
+      .join(cands.withColumnRenamed("a", "fileId")
+        .groupBy(col("fileId")).agg(count(lit(1)).as("cand_pairs")),
+        Seq("fileId"), "left")
+      .na.fill(0L, Seq("cand_pairs"))
+  }
+
+  /** Suffix-automaton longest-common-substring spans over adjacent
+    * document pairs + gear-shingle Jaccard (rows-only).
+    */
+  def dLcsPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .filter(_._1 < 60)
+    val paired = docs.toDF("a_id", "a_text").join(
+      docs.toDF("b_id", "b_text"), expr("b_id = a_id + 1"))
+    val shCfg = ShingleConfig()
+    paired.as[(Long, String, Long, String)].map { case (a, at, b, bt) =>
+      val sa = Shingles.shingleHashes(at.getBytes("UTF-8"), shCfg)
+      val sb = Shingles.shingleHashes(bt.getBytes("UTF-8"), shCfg)
+      (a, b, graft.functions.Lcs.longestCommonSubstring(at, bt).toLong,
+        math.round(Shingles.jaccard(sa, sb) * 1e6) / 1e6)
+    }.toDF("a_id", "b_id", "lcs_len", "shingle_jaccard")
+  }
+
+  /** Multimodal: batched stub-decode stats over synthetic media (real
+    * Spark plumbing, stubbed codec — rows-only).
+    */
+  def mMediaStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = graft.operators.Multimodal.synthesize(spark, 200)
+    graft.operators.Multimodal.decode(media).toDF()
+      .withColumn("meanLuma", round(col("meanLuma"), 6))
+  }
+
+  /** Multimodal: video frame sampling exploded to per-frame features. */
+  def mFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Multimodal.sampleFrames(
+      graft.operators.Multimodal.synthesize(spark, 200), stride = 2).toDF()
+      .select(col("mediaId"), col("frameIdx"),
+        round(expr("aggregate(frameFeature, cast(0.0 as double), (a, x) -> a + x)"), 6)
+          .as("featSum"))
+  }
+
+  // ====================================================================
   // Embedding similarity ops over `embeddings`
   // ====================================================================
 
@@ -560,6 +664,13 @@ object Queries {
     "q_champion_plain" -> (qChampionPlain _),
     "q_champion_trim" -> (qChampionTrim _),
     "d_segment_features" -> (dSegmentFeatures _),
+    "g_dead_chunks" -> (gDeadChunks _),
+    "g_compaction_plan" -> (gCompactionPlan _),
+    "d_restore_verify" -> (dRestoreVerify _),
+    "d_simhash_pairs" -> (dSimhashPairs _),
+    "d_lcs_pairs" -> (dLcsPairs _),
+    "m_media_stats" -> (mMediaStats _),
+    "m_frame_sample" -> (mFrameSample _),
     "d_exact_dedup" -> (dExactDedup _),
     "d_token_count" -> (dTokenCount _),
     "d_lang_id" -> (dLangId _),
@@ -729,6 +840,24 @@ object Queries {
         |SELECT segId, candId, shared, rank FROM (
         |  SELECT *, CAST(row_number() OVER (PARTITION BY segId ORDER BY shared DESC, candId DESC) AS BIGINT) AS rank
         |  FROM shared) WHERE rank <= 3""".stripMargin,
+    "g_dead_chunks" ->
+      s"""WITH r AS ($versionedRecipeSql)
+        |SELECT DISTINCT fp, containerId, size FROM r x
+        |WHERE version = 'F'
+        |  AND NOT EXISTS (SELECT 1 FROM r y WHERE y.version <> 'F' AND y.fp = x.fp)""".stripMargin,
+    "g_compaction_plan" ->
+      s"""WITH r AS ($versionedRecipeSql),
+        |dead AS (SELECT DISTINCT fp FROM r x WHERE version = 'F'
+        |  AND NOT EXISTS (SELECT 1 FROM r y WHERE y.version <> 'F' AND y.fp = x.fp)),
+        |chunks AS (SELECT DISTINCT fp, containerId, size FROM r),
+        |agg AS (
+        |  SELECT c.containerId,
+        |    CAST(sum(CASE WHEN d.fp IS NULL THEN c.size ELSE 0 END) AS BIGINT) AS surviving_bytes,
+        |    CAST(sum(CASE WHEN d.fp IS NOT NULL THEN c.size ELSE 0 END) AS BIGINT) AS dead_bytes,
+        |    CAST(sum(CASE WHEN d.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS dead_chunks
+        |  FROM chunks c LEFT JOIN dead d ON c.fp = d.fp
+        |  GROUP BY 1)
+        |SELECT * FROM agg WHERE dead_chunks > 0""".stripMargin,
     "d_exact_dedup" ->
       """SELECT sha256(text) AS h, count(*) AS cnt, min(doc_id) AS canonical
         |FROM documents GROUP BY 1""".stripMargin,

@@ -1,0 +1,114 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.corpus.CorpusFile
+
+/** The spark-submit job of the north rule: corpus table in → checkpointed
+  * stage tables out (signatures, chunks, containers, recipe, pairs,
+  * clusters, metrics), resumable mid-run — re-submitting with the same
+  * checkpoint root skips every committed stage (SURVEY.md §7.1).
+  */
+object ClusterJob {
+
+  final case class Summary(
+      files: Long, chunks: Long, uniqueChunks: Long,
+      totalBytes: Long, uniqueBytes: Long,
+      candidatePairs: Long, verifiedPairs: Long, clusters: Long)
+
+  def run(corpus: Dataset[CorpusFile], root: String, runId: String,
+      cfg: DedupConfig = DedupConfig()): Summary = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    def stage(name: String)(f: => DataFrame): DataFrame =
+      TableIO.stage(spark, root, name, runId)(f)
+
+    // 1. featurize → signatures + chunk tables (content dropped here)
+    lazy val featurized = DedupPipeline.featurize(corpus, cfg).toDF().persist()
+    val signatures = stage("signatures") {
+      featurized.select($"fileId", $"repo", $"path", $"commit", $"lang",
+        $"size", $"sha256", $"shingles", $"minhash", $"simhash")
+    }
+    val chunks = stage("chunks")(DedupPipeline.chunkTableDF(featurized))
+
+    // 2. exact dedup + container packing
+    val unique = stage("unique_chunks") {
+      DedupPipeline.uniqueChunks(chunks.drop("_lineage").as[ChunkRow]).toDF()
+    }
+    val packed = stage("containers") {
+      DedupPipeline.packContainers(
+        unique.drop("_lineage").as[UniqueChunk], cfg).toDF()
+    }
+
+    // 3. recipe with duplicate marking + container ids
+    val recipe = stage("recipe") {
+      DedupPipeline.recipe(
+        chunks.drop("_lineage").as[ChunkRow],
+        packed.drop("_lineage").as[PackedChunk])
+    }
+
+    // 4-6. near-dup candidates → verified pairs → clusters
+    val sigsDs = signatures
+      .select($"fileId", $"sha256", $"shingles", $"minhash").as[FileSig]
+      .persist()
+    val candidates = stage("candidate_pairs") {
+      DedupPipeline.candidatePairs(sigsDs, cfg)
+    }
+    val verified = stage("verified_pairs") {
+      DedupPipeline.verifiedPairs(candidates.drop("_lineage"), sigsDs, cfg)
+    }
+    val clusters = stage("clusters") {
+      val edges = verified.select($"a", $"b")
+        .union(DedupPipeline.exactContentEdges(sigsDs))
+      ConnectedComponents.run(signatures.select($"fileId"), edges, cfg.ccMaxIter)
+    }
+
+    // 7. metrics
+    val files = signatures.count()
+    val chunkStats = chunks.agg(
+      count(lit(1)), sum($"size")).as[(Long, Long)].head()
+    val uniqueStats = unique.agg(
+      count(lit(1)), sum($"size")).as[(Long, Long)].head()
+    val summary = Summary(
+      files = files,
+      chunks = chunkStats._1, uniqueChunks = uniqueStats._1,
+      totalBytes = chunkStats._2, uniqueBytes = uniqueStats._2,
+      candidatePairs = candidates.count(), verifiedPairs = verified.count(),
+      clusters = clusters.agg(countDistinct($"clusterId")).as[Long].head())
+    TableIO.appendMetrics(spark, root, runId, "summary", Seq(
+      "files" -> summary.files.toDouble,
+      "chunks" -> summary.chunks.toDouble,
+      "unique_chunks" -> summary.uniqueChunks.toDouble,
+      "total_bytes" -> summary.totalBytes.toDouble,
+      "unique_bytes" -> summary.uniqueBytes.toDouble,
+      "dedup_ratio" -> (if (summary.uniqueBytes == 0) 0.0
+        else summary.totalBytes.toDouble / summary.uniqueBytes),
+      "candidate_pairs" -> summary.candidatePairs.toDouble,
+      "verified_pairs" -> summary.verifiedPairs.toDouble,
+      "clusters" -> summary.clusters.toDouble))
+    sigsDs.unpersist()
+    featurized.unpersist()
+    summary
+  }
+
+  /** spark-submit entry: ClusterJob <corpusParquet> <checkpointRoot> [runId] */
+  def main(args: Array[String]): Unit = {
+    val Array(corpusPath, root) = args.take(2)
+    val runId = args.lift(2).getOrElse(s"run-${java.util.UUID.randomUUID()}")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val corpus = spark.read.parquet(corpusPath).as[CorpusFile]
+    val s = run(corpus, root, runId)
+    println(s"[clusterjob] $s")
+    spark.stop()
+  }
+}

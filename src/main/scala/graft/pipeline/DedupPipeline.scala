@@ -280,6 +280,49 @@ object DedupPipeline {
       .distinct()
   }
 
+  /** SimHash candidate pairs: 64-bit SimHash banded into four 16-bit
+    * blocks; files sharing any block AND within the Hamming radius are
+    * candidates (covers all pairs with hamming ≤ 3 exactly — pigeonhole
+    * over 4 blocks). A secondary candidate source unioned with MinHash
+    * LSH (SURVEY.md §2.3 note).
+    */
+  def simhashCandidates(features: DataFrame, cfg: DedupConfig): DataFrame = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    val radius = cfg.shingle.simhashRadius
+    val maxBucket = cfg.shingle.maxBucket
+    val bands = features
+      .select($"fileId", $"simhash").as[(Long, Long)]
+      .filter(_._2 != 0L)
+      .flatMap { case (id, sh) =>
+        (0 until 4).iterator.map { b =>
+          ((b.toLong << 16) | ((sh >>> (16 * b)) & 0xffffL), id, sh)
+        }
+      }
+    bands
+      .groupByKey(_._1)
+      .flatMapGroups { (_: Long, it: Iterator[(Long, Long, Long)]) =>
+        val rows = new scala.collection.mutable.ArrayBuffer[(Long, Long)](8)
+        var overflow = false
+        while (it.hasNext && !overflow) {
+          val r = it.next()
+          rows += ((r._2, r._3))
+          if (rows.length > maxBucket) overflow = true
+        }
+        if (overflow) Iterator.empty
+        else {
+          val sorted = rows.distinct.sortBy(_._1)
+          for {
+            i <- sorted.indices.iterator
+            j <- (i + 1) until sorted.length
+            if Shingles.hamming(sorted(i)._2, sorted(j)._2) <= radius
+          } yield (sorted(i)._1, sorted(j)._1)
+        }
+      }
+      .toDF("a", "b")
+      .distinct()
+  }
+
   // ------------------------------------------------------------------
   // Stage 4: exact Jaccard verification
   // ------------------------------------------------------------------

@@ -1,0 +1,66 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.corpus.CorpusFile
+
+/** Restore = the ultimate dedup oracle (reference: src/do_restore.c —
+  * restoring a backup byte-identically proves the dedup path).
+  *
+  * The batch formulation of J5: every fingerprint's bytes live at its
+  * first-writer's (offset,size) slice; joining the recipe back to those
+  * slices and reassembling per file must reproduce each file's exact
+  * sha256. A duplicate chunk whose bytes differed from its first writer
+  * (a false fingerprint match) would surface here.
+  */
+object Restore {
+
+  /** Reassemble all files from (recipe ⋈ first-writer chunk bytes) and
+    * compare against the original content hashes.
+    * Returns one row: (files, restored_ok, restored_bad).
+    */
+  def verifyRestore(corpus: Dataset[CorpusFile], cfg: DedupConfig): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val features = DedupPipeline.featurize(corpus, cfg).toDF().persist()
+    val chunks = DedupPipeline.chunkTableDF(features)
+    val unique = DedupPipeline.uniqueChunks(chunks.as[ChunkRow])
+
+    // bytes of each unique fp from its first-writer file slice
+    val corpusBin = corpus.select($"repo", $"path", $"commit",
+      encode($"content", "UTF-8").as("bin"))
+    val ownerSlices = unique
+      .select($"fp", $"repo", $"path", $"commit", $"chunkIdx")
+      .join(chunks.select($"fp", $"repo", $"path", $"commit", $"chunkIdx",
+          $"offset", $"size"),
+        Seq("fp", "repo", "path", "commit", "chunkIdx"))
+      .join(corpusBin, Seq("repo", "path", "commit"))
+      .select($"fp", expr("substring(bin, offset + 1, size)").as("bytes"))
+
+    // recipe rows → owner bytes → per-file reassembly
+    val restored = chunks
+      .select($"fileId", $"chunkIdx", $"fp")
+      .join(ownerSlices, Seq("fp"))
+      .select($"fileId", $"chunkIdx", $"bytes")
+      .as[(Long, Int, Array[Byte])]
+      .groupByKey(_._1)
+      .mapGroups { (fileId: Long, it: Iterator[(Long, Int, Array[Byte])]) =>
+        val parts = it.map(r => (r._2, r._3)).toArray.sortBy(_._1)
+        val out = new java.io.ByteArrayOutputStream()
+        parts.foreach(p => out.write(p._2))
+        val sha = java.security.MessageDigest.getInstance("SHA-256")
+        (fileId, DedupPipeline.toHex(sha.digest(out.toByteArray)))
+      }
+      .toDF("fileId", "restoredSha")
+
+    val res = features.select($"fileId", $"sha256")
+      .join(restored, Seq("fileId"), "left")
+      .agg(count(lit(1)).as("files"),
+        sum(when($"sha256" === $"restoredSha", 1L).otherwise(0L)).as("restored_ok"),
+        sum(when($"restoredSha".isNull || $"sha256" =!= $"restoredSha", 1L)
+          .otherwise(0L)).as("restored_bad"))
+    features.unpersist()
+    res
+  }
+}

@@ -1,0 +1,100 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+import graft.corpus.CorpusGen
+import graft.functions.Lcs
+import graft.operators.Multimodal
+
+class ExtrasSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("suffix-automaton LCS is exact") {
+    assert(Lcs.longestCommonSubstring("abcdef", "zabcy") === 3)
+    assert(Lcs.longestCommonSubstring("", "abc") === 0)
+    assert(Lcs.longestCommonSubstring("abc", "abc") === 3)
+    assert(Lcs.longestCommonSubstring("aaaa", "aa") === 2)
+    assert(Lcs.longestCommonSubstring("xyz", "abc") === 0)
+    // brute-force cross-check on pseudo-random strings
+    val r = new scala.util.Random(5)
+    def rand(n: Int) = (1 to n).map(_ => ('a' + r.nextInt(4)).toChar).mkString
+    for (_ <- 1 to 20) {
+      val a = rand(40); val b = rand(40)
+      val brute = (for {
+        i <- 0 until a.length; j <- i + 1 to a.length
+        if b.contains(a.substring(i, j))
+      } yield j - i).maxOption.getOrElse(0)
+      assert(Lcs.longestCommonSubstring(a, b) === brute, s"$a vs $b")
+    }
+  }
+
+  test("restore reconstruction proves per-row sha256 for the whole corpus") {
+    val corpus = spark.createDataset(
+      CorpusGen.generateLocal(nBases = 40).map(_._1))(
+      org.apache.spark.sql.Encoders.product[graft.corpus.CorpusFile])
+    val res = Restore.verifyRestore(corpus, DedupConfig())
+      .as[(Long, Long, Long)].head()
+    assert(res._1 === corpus.count())
+    assert(res._2 === res._1, "all files restore byte-identically")
+    assert(res._3 === 0)
+  }
+
+  test("simhash candidates find near-identical files within hamming radius") {
+    val corpus = spark.createDataset(
+      CorpusGen.generateLocal(nBases = 40).map(_._1))(
+      org.apache.spark.sql.Encoders.product[graft.corpus.CorpusFile])
+    val feats = DedupPipeline.featurize(corpus, DedupConfig()).toDF().persist()
+    val cands = DedupPipeline.simhashCandidates(feats, DedupConfig())
+    val n = cands.count()
+    assert(n > 0, "near-dup corpus must produce simhash candidates")
+    // every candidate pair is actually within the radius
+    val sh = feats.select($"fileId", $"simhash").as[(Long, Long)].collect().toMap
+    cands.as[(Long, Long)].collect().foreach { case (a, b) =>
+      assert(Shingles.hamming(sh(a), sh(b)) <= DedupConfig().shingle.simhashRadius)
+    }
+    feats.unpersist()
+  }
+
+  test("GC: dead chunks exclude fps still referenced by surviving versions") {
+    val recipe = Seq(
+      ("v1", "fpA", 1L, 10), ("v1", "fpB", 1L, 20),
+      ("v2", "fpB", 1L, 20), ("v2", "fpC", 2L, 30))
+      .toDF("version", "fp", "containerId", "size")
+    val dead = GC.deadChunks(recipe, "v1").select($"fp").as[String].collect()
+    assert(dead.toSeq === Seq("fpA")) // fpB survives via v2
+    val plan = GC.compactionPlan(recipe, "v1")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(plan.length === 1)
+    val (cid, surv, deadB, deadC) = plan.head
+    assert(cid === 1L && surv === 20L && deadB === 10L && deadC === 1L)
+  }
+
+  test("GC: manifest merge keeps the newest reference; truncation reclaims") {
+    val manifest = Seq((1L, "v1"), (2L, "v2")).toDF("containerId", "lastRef")
+    val usage = Seq((2L, "v3"), (3L, "v3")).toDF("containerId", "lastRef")
+    val merged = GC.mergeManifest(manifest, usage)
+      .as[(Long, String)].collect().toMap
+    assert(merged === Map(1L -> "v1", 2L -> "v3", 3L -> "v3"))
+    val reclaimed = GC.reclaimable(merged.toSeq.toDF("containerId", "lastRef"), "v1")
+      .select($"containerId").as[Long].collect()
+    assert(reclaimed.toSeq === Seq(1L))
+  }
+
+  test("multimodal: decode stats, frame sampling and exact dedup plumbing") {
+    val media = Multimodal.synthesize(spark, 30)
+    val stats = Multimodal.decode(media).collect()
+    assert(stats.length === 30)
+    assert(stats.forall(s => s.meanLuma >= 0 && s.meanLuma <= 1))
+    assert(stats.map(_.sha1).distinct.length === 30)
+    val frames = Multimodal.sampleFrames(media, stride = 2).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frameFeature.length === 8))
+    // deterministic across runs
+    val stats2 = Multimodal.decode(Multimodal.synthesize(spark, 30)).collect()
+    assert(stats.map(_.sha1).toSeq === stats2.map(_.sha1).toSeq)
+    val dedup = Multimodal.exactDedup(media)
+    assert(dedup.count() === 30) // payloads all distinct by construction
+  }
+}
