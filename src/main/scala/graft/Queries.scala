@@ -603,6 +603,14 @@ object Queries {
         round(sum(col("norm2")), 3).as("sum_norm2"))
   }
 
+  /** IVF ANN scale path: inverted lists over a deterministic coarse
+    * quantizer, nProbe-list probing + exact rerank (rows-only; exactness
+    * vs brute force proven in SimilaritySpec).
+    */
+  def eIvfTopK(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.ivfTopK(
+      t(spark, dir, "embeddings"), queryMaxId = 20, nlist = 16, nProbe = 4, k = 5)
+
   /** LSH-bucketed ANN scale path: random-hyperplane signs from the
     * deterministic gear table → 16-bit bucket per vector (rows-only).
     */
@@ -680,6 +688,7 @@ object Queries {
     "d_doc_clusters" -> (dDocClusters _),
     "d_chunk_stats" -> (dChunkStats _),
     "e_ann_topk" -> (eAnnTopK _),
+    "e_ivf_topk" -> (eIvfTopK _),
     "e_norm_stats" -> (eNormStats _),
     "e_lsh_buckets" -> (eLshBuckets _)
   )

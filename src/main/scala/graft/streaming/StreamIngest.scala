@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.corpus.CorpusFile
+import graft.pipeline.{DedupConfig, DedupPipeline}
+
+/** Incremental ingestion as Structured Streaming (SURVEY.md §2.8: the
+  * reference is a bounded pipeline, but incremental backup runs map to
+  * micro-batches against the persistent fingerprint index).
+  *
+  * Each micro-batch: featurize → chunk fps → anti-join the running
+  * fingerprint index (new uniques appended, duplicates counted) — the
+  * streaming analog of the kv-store update path
+  * (reference: src/index/index.c:264-273).
+  */
+object StreamIngest {
+
+  /** Wire a streaming corpus source through featurize + incremental
+    * exact dedup. `indexRoot/fp_index` holds the persistent index;
+    * `indexRoot/batches` the per-batch dedup metrics.
+    */
+  def start(corpus: Dataset[CorpusFile], indexRoot: String,
+      cfg: DedupConfig = DedupConfig()): StreamingQuery = {
+    val spark = corpus.sparkSession
+    corpus.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$indexRoot/_checkpoint")
+      .foreachBatch { (batch: Dataset[CorpusFile], batchId: Long) =>
+        ingestBatch(batch, batchId, indexRoot, cfg)
+      }
+      .start()
+  }
+
+  def ingestBatch(batch: Dataset[CorpusFile], batchId: Long,
+      indexRoot: String, cfg: DedupConfig): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val indexPath = s"$indexRoot/fp_index"
+    val features = DedupPipeline.featurize(batch, cfg)
+    val chunks = DedupPipeline.chunkTableDF(features.toDF())
+      .select($"fp", $"size").persist()
+    val existing: DataFrame =
+      if (new java.io.File(s"$indexPath/_SUCCESS").exists() ||
+          new java.io.File(indexPath).isDirectory)
+        try spark.read.parquet(indexPath)
+        catch { case _: Throwable => Seq.empty[(String, Int)].toDF("fp", "size") }
+      else Seq.empty[(String, Int)].toDF("fp", "size")
+    val batchUnique = chunks.groupBy($"fp").agg(min($"size").as("size"))
+    val newUnique = batchUnique.join(existing.select($"fp"), Seq("fp"), "left_anti")
+      .persist()
+    val stats = chunks.agg(count(lit(1)), sum($"size")).as[(Long, Long)].head()
+    val newCnt = newUnique.count()
+    // append new fingerprints to the index (idempotent per batch via
+    // the streaming checkpoint's exactly-once foreachBatch contract)
+    newUnique.write.mode("append").parquet(indexPath)
+    Seq((batchId, stats._1, stats._2, newCnt))
+      .toDF("batchId", "chunks", "bytes", "new_unique")
+      .write.mode("append").parquet(s"$indexRoot/batches")
+    chunks.unpersist(); newUnique.unpersist()
+  }
+
+  /** Event-time windowed throughput with watermark (tumbling window) —
+    * the streaming analog of the per-phase throughput log
+    * (reference: src/do_backup.c:112-131).
+    */
+  def windowedThroughput(events: DataFrame, window: String = "1 minute",
+      watermark: String = "2 minutes"): DataFrame = {
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window))
+      .agg(count(lit(1)).as("events"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("events"), col("total_value"))
+  }
+}

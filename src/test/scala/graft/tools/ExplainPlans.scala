@@ -1,0 +1,25 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Physical-plan inspection: PushedFilters / ReadSchema pruning /
+  * broadcast joins / whole-stage codegen spans for the headline queries.
+  * Run: sbt "Test/runMain graft.tools.ExplainPlans"
+  */
+object ExplainPlans {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (name <- Seq("q1_agg", "q_broadcast_join", "q_semi_join",
+        "q_first_writer", "d_token_count", "e_ann_topk")) {
+      println(s"\n===== $name =====")
+      println(graft.Queries.all(name)(spark, dir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}
