@@ -285,6 +285,17 @@ object Queries {
       .withColumn("cfl", round(col("cfl"), 6))
   }
 
+  /** W8 forward-assembly restore simulation per stream (rows-only). */
+  def rRestoreAsm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    RestoreSim.simulate(
+      recipeFromLineitem(spark, dir).withColumn("stream", col("stream").cast("string")),
+      cacheSize = 8, policy = "asm")
+      .toDF()
+      .withColumn("speedFactor", round(col("speedFactor"), 6))
+      .withColumn("cfl", round(col("cfl"), 6))
+  }
+
   /** W3 CBR utility marking (rows-only: percentile threshold + flush rule). */
   def rCbr(spark: SparkSession, dir: String): DataFrame =
     Rewrite.cbr(recipeFromLineitem(spark, dir), bufferSize = 64,
@@ -368,6 +379,27 @@ object Queries {
     d.select(col("doc_id"),
       size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
       length(col("text")).cast("long").as("n_chars"))
+  }
+
+  /** BPE-ish pre-tokenization: word runs + single punctuation marks
+    * (rows-only: Java-regex semantics shouldn't be pinned to an engine).
+    */
+  def dTokenRegex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pattern = java.util.regex.Pattern.compile("[A-Za-z0-9_]+|[^\\sA-Za-z0-9_]")
+    t(spark, dir, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val m = pattern.matcher(text)
+        var n = 0L
+        var distinctWords = scala.collection.mutable.Set.empty[String]
+        while (m.find()) {
+          n += 1
+          if (Character.isLetterOrDigit(text.charAt(m.start()))) distinctWords += m.group()
+        }
+        (id, n, distinctWords.size.toLong)
+      }
+      .toDF("doc_id", "n_bpe_tokens", "n_distinct_words")
   }
 
   /** Language-ID heuristic: English stopword hits. */
@@ -668,6 +700,8 @@ object Queries {
     "r_access_records" -> (rAccessRecords _),
     "r_restore_lru" -> (rRestoreLru _),
     "r_restore_opt" -> (rRestoreOpt _),
+    "r_restore_asm" -> (rRestoreAsm _),
+    "d_token_regex" -> (dTokenRegex _),
     "r_cbr_rewrite" -> (rCbr _),
     "q_champion_plain" -> (qChampionPlain _),
     "q_champion_trim" -> (qChampionTrim _),

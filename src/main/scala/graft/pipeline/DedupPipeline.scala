@@ -337,12 +337,10 @@ object DedupPipeline {
     import spark.implicits._
     val sets = features.select($"fileId", $"shingles")
     val tau = cfg.shingle.tau
-    val jacc = udf((a: Seq[Long], b: Seq[Long]) =>
-      Shingles.jaccard(a.toArray, b.toArray))
     pairs
       .join(sets.withColumnRenamed("fileId", "a").withColumnRenamed("shingles", "sa"), Seq("a"))
       .join(sets.withColumnRenamed("fileId", "b").withColumnRenamed("shingles", "sb"), Seq("b"))
-      .withColumn("jaccard", jacc($"sa", $"sb"))
+      .withColumn("jaccard", graft.functions.JaccardSorted($"sa", $"sb"))
       .filter($"jaccard" >= tau)
       .select($"a", $"b", $"jaccard")
   }

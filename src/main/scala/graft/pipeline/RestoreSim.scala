@@ -28,6 +28,36 @@ object RestoreSim {
 
   val ContainerSize: Long = 4L * 1024 * 1024
 
+  /** W8 forward assembly (reference: src/assembly_restore.c:13-188):
+    * the recipe is consumed in assembly areas of (cacheSize-1) × 4 MiB;
+    * within one area every needed container is read exactly once and all
+    * its chunks in the area are filled on that read.
+    */
+  private def asmStats(stream: String, accesses: Iterator[(Long, Int)],
+      cacheSize: Int): StreamRestoreStats = {
+    var chunks = 0L
+    var bytes = 0L
+    var reads = 0L
+    val areaCapacity = (cacheSize - 1).toLong * ContainerSize
+    var areaBytes = 0L
+    val areaContainers = scala.collection.mutable.Set.empty[Long]
+    accesses.foreach { case (cid, size) =>
+      if (areaBytes + size > areaCapacity && areaBytes > 0) {
+        reads += areaContainers.size
+        areaContainers.clear()
+        areaBytes = 0
+      }
+      chunks += 1; bytes += size
+      areaBytes += size
+      areaContainers += cid
+    }
+    reads += areaContainers.size
+    val sf = if (reads == 0) 0.0 else bytes / (1024.0 * 1024.0) / reads
+    val cfl = if (reads == 0) 0.0
+      else math.ceil(bytes.toDouble / ContainerSize) / reads
+    StreamRestoreStats(stream, chunks, bytes, reads, sf, cfl)
+  }
+
   private def stats(stream: String, accesses: Iterator[(Long, Int)],
       cacheSize: Int, opt: Boolean): StreamRestoreStats = {
     var chunks = 0L
@@ -86,19 +116,18 @@ object RestoreSim {
       policy: String = "lru"): Dataset[StreamRestoreStats] = {
     val spark = recipe.sparkSession
     import spark.implicits._
-    val opt = policy match {
-      case "lru" => false
-      case "opt" => true
-      case other => throw new IllegalArgumentException(s"unknown policy: $other")
-    }
+    require(Seq("lru", "opt", "asm").contains(policy), s"unknown policy: $policy")
     recipe.select(col("stream"), col("seq"), col("containerId"), col("size"))
       .as[(String, Long, Long, Int)]
       .groupByKey(_._1)
       .flatMapGroups { (stream: String, it: Iterator[(String, Long, Long, Int)]) =>
         // stream order: rows arrive grouped but unsorted → sort by seq
         val rows = it.map(r => (r._2, r._3, r._4)).toArray.sortBy(_._1)
-        Iterator.single(
-          stats(stream, rows.iterator.map(r => (r._2, r._3)), cacheSize, opt))
+        val acc = rows.iterator.map(r => (r._2, r._3))
+        Iterator.single(policy match {
+          case "asm" => asmStats(stream, acc, cacheSize)
+          case p => stats(stream, acc, cacheSize, p == "opt")
+        })
       }
   }
 

@@ -30,6 +30,21 @@ class ExtrasSpec extends AnyFunSuite {
     }
   }
 
+  test("JaccardSorted expression matches the scalar implementation (codegen path)") {
+    val r = new scala.util.Random(11)
+    val rows = (1 to 50).map { i =>
+      val a = Array.fill(r.nextInt(30))(r.nextInt(40).toLong).distinct.sorted
+      val b = Array.fill(r.nextInt(30))(r.nextInt(40).toLong).distinct.sorted
+      (i, a, b)
+    }
+    val df = rows.toDF("id", "a", "b")
+      .withColumn("j", graft.functions.JaccardSorted($"a", $"b"))
+    val got = df.select($"id", $"j").as[(Int, Double)].collect().toMap
+    rows.foreach { case (i, a, b) =>
+      assert(got(i) === Shingles.jaccard(a, b), s"row $i")
+    }
+  }
+
   test("restore reconstruction proves per-row sha256 for the whole corpus") {
     val corpus = spark.createDataset(
       CorpusGen.generateLocal(nBases = 40).map(_._1))(

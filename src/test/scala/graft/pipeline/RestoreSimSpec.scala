@@ -39,6 +39,17 @@ class RestoreSimSpec extends AnyFunSuite {
     assert(s.cfl === 1.0)
   }
 
+  test("ASM forward assembly reads each container once per area") {
+    // cache 2 → area = 4 MiB = 4 chunks of 1 MiB
+    // accesses 1 2 1 2 | 3 1 → area1 reads {1,2}=2, area2 reads {3,1}=2
+    val r = recipe(1, 2, 1, 2, 3, 1)
+    val s = RestoreSim.simulate(r, cacheSize = 2, policy = "asm").collect().head
+    assert(s.containerReads === 4)
+    // a huge area covers everything: reads = distinct containers
+    val s2 = RestoreSim.simulate(r, cacheSize = 128, policy = "asm").collect().head
+    assert(s2.containerReads === 3)
+  }
+
   test("access records run-length encode container ids") {
     val r = recipe(1, 1, 2, 2, 1)
     val recs = RestoreSim.accessRecords(r)
