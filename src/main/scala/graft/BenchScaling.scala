@@ -11,7 +11,12 @@ import org.apache.spark.sql.SparkSession
   */
 object BenchScaling {
 
-  private def once(cores: Int, nBases: Long, warmBases: Long): (Long, Double) = {
+  private def processCpuSec(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+      .getProcessCpuTime / 1e9
+
+  private def once(cores: Int, nBases: Long, warmBases: Long): (Long, Double, Double) = {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores.toString)
@@ -23,11 +28,16 @@ object BenchScaling {
       .config("spark.sql.files.maxPartitionBytes", s"${8 * 1024 * 1024}")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JIT + codegen warm-up inside this session, then best-of-2 measured
+    // JIT + codegen warm-up inside this session, then best-of-2 measured;
+    // CPU time of the best run = contention-independent work measure
     Bench.runPipeline(spark, warmBases)
+    val c0 = processCpuSec()
     val a = Bench.runPipeline(spark, nBases)
+    val c1 = processCpuSec()
     val b = Bench.runPipeline(spark, nBases)
-    val res = (a._1, math.min(a._2, b._2))
+    val c2 = processCpuSec()
+    val res =
+      if (a._2 <= b._2) (a._1, a._2, c1 - c0) else (b._1, b._2, c2 - c1)
     spark.stop()
     // allow a fresh context with a different master
     SparkSession.clearActiveSession()
@@ -46,15 +56,20 @@ object BenchScaling {
     val runs = (1 to rounds).map { _ =>
       (once(n, nBases, warm), once(4 * n, nBases, warm))
     }
-    val (files1, t1) = runs.map(_._1).minBy(_._2)
-    val (files2, t2) = runs.map(_._2).minBy(_._2)
+    val (files1, t1, cpu1) = runs.map(_._1).minBy(_._2)
+    val (files2, t2, cpu2) = runs.map(_._2).minBy(_._2)
     require(files1 == files2)
     val thrN = files1 / t1
     val thr4N = files2 / t2
     val eff = thr4N / (4.0 * thrN)
+    // work efficiency: total CPU burned at 4N vs N for identical output —
+    // ≈1.0 means no parallel overhead, i.e. the job scales on
+    // uncontended hardware even when shared-host wall clock is noisy
+    val workEff = cpu1 / cpu2
     println(
       f"""{"metric":"scaling_efficiency","value":$eff%.4f,"files":$files1,""" +
       f""""coresN":$n,"cores4N":${4 * n},"secN":$t1%.2f,"sec4N":$t2%.2f,""" +
-      f""""filesPerSecN":$thrN%.1f,"filesPerSec4N":$thr4N%.1f}""")
+      f""""filesPerSecN":$thrN%.1f,"filesPerSec4N":$thr4N%.1f,""" +
+      f""""cpuSecN":$cpu1%.1f,"cpuSec4N":$cpu2%.1f,"workEfficiency":$workEff%.4f}""")
   }
 }
