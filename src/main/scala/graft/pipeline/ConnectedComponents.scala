@@ -51,9 +51,11 @@ object ConnectedComponents {
       .repartition(col("src"))
       .persist()
 
+    // round 0 fused into initialization: label = min(self, direct nbrs)
     var labels: Dataset[(Long, Long)] = sym
-      .select(col("src").as("fileId")).distinct()
-      .select(col("fileId"), col("fileId").as("label"))
+      .groupBy(col("src").as("fileId"))
+      .agg(min(col("dst")).as("nbrMin"))
+      .select(col("fileId"), least(col("fileId"), col("nbrMin")).as("label"))
       .as[(Long, Long)]
       .localCheckpoint(true)
 
