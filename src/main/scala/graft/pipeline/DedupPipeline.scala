@@ -231,13 +231,6 @@ object DedupPipeline {
   // Stage 3: LSH candidates
   // ------------------------------------------------------------------
 
-  /** Candidate pairs from MinHash LSH banding: one shuffle groups band
-    * buckets, a bounded per-bucket fold emits the pairs. Hot buckets
-    * (boilerplate explosion) above cfg.shingle.maxBucket are dropped
-    * entirely — quadratic pair-gen on a mega-bucket is never attempted
-    * (SURVEY.md §7.4 risk 3) and the fold never buffers more than
-    * maxBucket+1 ids.
-    */
   /** Narrow projection of the clustering-relevant columns. */
   def sigs(features: Dataset[FileFeatures]): Dataset[FileSig] = {
     val spark = features.sparkSession
@@ -245,6 +238,17 @@ object DedupPipeline {
     features.select($"fileId", $"sha256", $"shingles", $"minhash").as[FileSig]
   }
 
+  /** Candidate pairs from MinHash LSH banding: one shuffle groups band
+    * buckets, a bounded per-bucket fold emits the pairs. Hot buckets
+    * (boilerplate/mega-cluster explosion) above cfg.shingle.maxBucket are
+    * LINEARIZED, not dropped: every member pairs with the bucket's min id
+    * (hub star, O(n) pairs) — quadratic pair-gen on a mega-bucket is
+    * never attempted (SURVEY.md §7.4 risk 3), yet a mega-cluster of
+    * near-identical files still links through its hub and connected
+    * components recovers the whole cluster. The fold keeps O(maxBucket)
+    * state: past the cap it streams, tracking only the running min, and
+    * emits star pairs for the buffered prefix + the streamed tail.
+    */
   def candidatePairs(features: Dataset[FileSig], cfg: DedupConfig): DataFrame = {
     val spark = features.sparkSession
     import spark.implicits._
@@ -267,13 +271,26 @@ object DedupPipeline {
           ids += it.next()._2
           if (ids.length > maxBucket) overflow = true
         }
-        if (overflow) Iterator.empty
-        else {
+        if (!overflow) {
           val sorted = ids.distinct.sorted
           for {
             i <- sorted.indices.iterator
             j <- (i + 1) until sorted.length
           } yield (sorted(i), sorted(j))
+        } else {
+          // hot bucket: stream the tail with O(1) extra state, emit
+          // hub-star pairs (hub = min id of the whole bucket)
+          var hub = Long.MaxValue
+          ids.foreach(v => if (v < hub) hub = v)
+          val tail = new scala.collection.mutable.ArrayBuffer[Long](8)
+          while (it.hasNext) {
+            val v = it.next()._2
+            if (v < hub) { tail += hub; hub = v } else tail += v
+          }
+          val h = hub
+          (ids.iterator ++ tail.iterator)
+            .filter(_ != h)
+            .map(v => if (h < v) (h, v) else (v, h))
         }
       }
       .toDF("a", "b")

@@ -96,6 +96,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(c1 === c2)
   }
 
+  test("mega-cluster above maxBucket still clusters via hub-star linearization") {
+    // 700 near-identical files (> maxBucket=512): every LSH bucket they
+    // share is hot; dropping hot buckets would lose the whole cluster
+    val base = CorpusGen.baseContent(seed = 1L, baseId = 999L).mkString("\n")
+    val mega = (0 until 700).map { i =>
+      graft.corpus.CorpusFile(f"r$i%04d", "vendored/lib.c", "c0", "c",
+        base + s"\n// local build tag $i\n")
+    }
+    val distractors = CorpusGen.generateLocal(nBases = 30).map(_._1)
+    val ds = spark.createDataset(mega ++ distractors)(
+      org.apache.spark.sql.Encoders.product[graft.corpus.CorpusFile])
+    val f = DedupPipeline.featurize(ds, cfg)
+    val clusters = DedupPipeline.cluster(f, cfg).as[(Long, Long)].collect().toMap
+    val megaIds = mega.map(m => graft.functions.Hash64.fileId(m.repo, m.path, m.commit))
+    val megaClusters = megaIds.map(clusters).distinct
+    assert(megaClusters.size === 1,
+      s"mega-cluster split into ${megaClusters.size} clusters")
+  }
+
   test("exact duplicates always share a cluster even with empty shingles") {
     val tiny = Seq(
       graft.corpus.CorpusFile("r1", "a.txt", "c1", "md", "x"),
