@@ -1,0 +1,98 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import graft.chunking.{ChunkerConfig, Chunkers}
+
+/** Property-based invariants (SURVEY.md §5 test plan). Uses raw
+  * ScalaCheck generators with a deterministic driver (the
+  * scalatestplus bridge isn't in the offline dependency cache).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def forAll[A](gen: Gen[A], n: Int = 30)(f: A => Unit): Unit = {
+    var seed = org.scalacheck.rng.Seed(42L)
+    (0 until n).foreach { _ =>
+      f(gen.pureApply(Gen.Parameters.default, seed))
+      seed = seed.next
+    }
+  }
+
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb))(p => f(p._1, p._2))
+
+  val byteArrays: Gen[Array[Byte]] = for {
+    n <- Gen.chooseNum(0, 300000)
+    seed <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+  } yield {
+    val b = new Array[Byte](n)
+    new java.util.Random(seed).nextBytes(b)
+    b
+  }
+
+  test("chunk boundaries partition the input for every algorithm (property)") {
+    forAll(byteArrays, Gen.oneOf("fastcdc", "rabin", "tttd", "ae", "fixed")) {
+      (bytes, algo) =>
+        val bs = Chunkers.boundaries(bytes, ChunkerConfig(algo))
+        assert(bs.map(_.length.toLong).sum == bytes.length.toLong)
+        assert(bs.forall(_.length > 0) || bytes.isEmpty)
+        bs.sliding(2).foreach {
+          case Array(x, y) => assert(x.offset + x.length == y.offset)
+          case _ =>
+        }
+    }
+  }
+
+  val longSets: Gen[Array[Long]] =
+    Gen.listOf(Gen.chooseNum(0L, 200L)).map(_.distinct.sorted.toArray)
+
+  test("jaccard is symmetric, bounded, and 1 iff equal non-empty sets (property)") {
+    forAll(longSets, longSets) { (a, b) =>
+      val j = Shingles.jaccard(a, b)
+      assert(j >= 0.0 && j <= 1.0)
+      assert(j == Shingles.jaccard(b, a))
+      if (a.nonEmpty && a.sameElements(b)) assert(j == 1.0)
+      if (a.nonEmpty && b.nonEmpty && a.intersect(b).isEmpty) assert(j == 0.0)
+    }
+  }
+
+  test("minhash estimate approximates true jaccard (property)") {
+    val bigSets: Gen[Array[Long]] =
+      Gen.chooseNum(Long.MinValue, Long.MaxValue).map { seed =>
+        val r = new java.util.Random(seed)
+        Array.fill(200 + r.nextInt(200))(r.nextInt(500).toLong).distinct.sorted
+      }
+    forAll(bigSets, bigSets) { (a, b) =>
+      val k = 128
+      val est = Shingles.minhashEstimate(Shingles.minhash(a, k), Shingles.minhash(b, k))
+      val truth = Shingles.jaccard(a, b)
+      // k=128 → stderr ≈ sqrt(j(1-j)/128) ≤ 0.045; allow 5 sigma
+      assert(math.abs(est - truth) < 0.25, s"est=$est truth=$truth")
+    }
+  }
+
+  test("dedup idempotence: re-chunking identical content adds no unique fps (property)") {
+    forAll(byteArrays) { bytes =>
+      val sha1 = java.security.MessageDigest.getInstance("SHA-1")
+      def fps(b: Array[Byte]) =
+        Chunkers.boundaries(b, ChunkerConfig()).map { c =>
+          sha1.reset(); sha1.update(b, c.offset, c.length)
+          DedupPipeline.toHex(sha1.digest())
+        }.toSet
+      assert(fps(bytes) == fps(bytes.clone()))
+    }
+  }
+
+  test("segmenting assigns monotone non-decreasing contiguous ids (property)") {
+    val fpSeqs: Gen[Seq[String]] = Gen.listOf(
+      Gen.chooseNum(0, Int.MaxValue)).map(_.map(i => f"$i%040x"))
+    forAll(fpSeqs) { fps =>
+      val segs = Segmenting.contentDefined(avg = 4, min = 2, max = 8)(fps)
+      segs.sliding(2).foreach {
+        case Array(x, y) => assert(y == x || y == x + 1)
+        case _ =>
+      }
+      if (segs.nonEmpty) assert(segs.head == 0L)
+    }
+  }
+}
