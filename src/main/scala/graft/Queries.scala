@@ -426,6 +426,39 @@ object Queries {
       countOf(",").as("n_commas"))
   }
 
+  /** Pairwise n-gram Jaccard near-dup scores (exact, SQL-expressible):
+    * distinct 8-grams per doc, intersection via self-join on gram.
+    */
+  def dNgramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").filter(col("doc_id") < 100)
+      .filter(length(col("text")) >= 8)
+    val grams = d
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - 7)).as("i"))
+      .select(col("doc_id"), expr("substring(text, i, 8)").as("g"))
+      .distinct()
+    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = grams.as("x").join(grams.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), Seq("a"))
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), Seq("b"))
+      .withColumn("jaccard",
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jaccard") >= 0.05)
+      .select(col("a"), col("b"), col("inter"), col("jaccard"))
+  }
+
+  /** A5-analog rollup aggregation (grouping sets over the doc corpus). */
+  def dRollupStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    d.rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(length(col("text")).cast("long")).as("chars"))
+  }
+
   /** Distinct character 5-gram shingles per document. */
   def dNgramShingles(spark: SparkSession, dir: String): DataFrame = {
     val d = t(spark, dir, "documents")
@@ -718,6 +751,8 @@ object Queries {
     "d_lang_id" -> (dLangId _),
     "d_quality" -> (dQuality _),
     "d_ngram_shingles" -> (dNgramShingles _),
+    "d_ngram_jaccard_pairs" -> (dNgramJaccardPairs _),
+    "d_rollup_stats" -> (dRollupStats _),
     "d_fingerprint" -> (dFingerprint _),
     "d_doc_clusters" -> (dDocClusters _),
     "d_chunk_stats" -> (dChunkStats _),
@@ -927,6 +962,23 @@ object Queries {
         |  SELECT doc_id, text, unnest(generate_series(1, length(text) - 4)) AS i
         |  FROM documents WHERE length(text) >= 5)
         |GROUP BY doc_id""".stripMargin,
+    "d_ngram_jaccard_pairs" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100 AND length(text) >= 8),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 8) AS g
+        |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 7)) AS i FROM d)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        |  FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b, inter, round(inter / (sa.n + sb.n - inter), 6) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+        |WHERE round(inter / (sa.n + sb.n - inter), 6) >= 0.05""".stripMargin,
+    "d_rollup_stats" ->
+      """SELECT lang, source, count(*) AS docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS chars
+        |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
     "e_ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q FROM embeddings WHERE vec_id < 20),
         |c AS (SELECT vec_id AS neighbor_id, embedding AS v FROM embeddings),
