@@ -668,6 +668,27 @@ object Queries {
         round(sum(col("norm2")), 3).as("sum_norm2"))
   }
 
+  /** Embedding-cosine near-dup dedup: pairs above a cosine threshold and
+    * the canonical (min-id) representative each vector collapses to.
+    */
+  def eCosineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings").filter(col("vec_id") < 200)
+    val l = e.select(col("vec_id").as("a"), col("embedding").as("q"))
+    val r = e.select(col("vec_id").as("b"), col("embedding").as("v"))
+    val dot = expr("aggregate(zip_with(q, v, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, z) -> acc + z)")
+    val nq = expr("aggregate(q, cast(0.0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double))")
+    val nv = expr("aggregate(v, cast(0.0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double))")
+    val w = Window.partitionBy(col("a"))
+      .orderBy(col("cosine").desc, col("b"))
+    l.join(r, col("a") =!= col("b"))
+      .withColumn("cosine", dot / (sqrt(nq) * sqrt(nv)))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("a").as("vec_id"), col("b").as("nearest"),
+        round(col("cosine"), 4).as("cosine_r"),
+        (col("cosine") >= 0.95).as("is_dup"))
+  }
+
   /** IVF ANN scale path: inverted lists over a deterministic coarse
     * quantizer, nProbe-list probing + exact rerank (rows-only; exactness
     * vs brute force proven in SimilaritySpec).
@@ -758,6 +779,7 @@ object Queries {
     "d_chunk_stats" -> (dChunkStats _),
     "e_ann_topk" -> (eAnnTopK _),
     "e_ivf_topk" -> (eIvfTopK _),
+    "e_cosine_dedup" -> (eCosineDedup _),
     "e_norm_stats" -> (eNormStats _),
     "e_lsh_buckets" -> (eLshBuckets _)
   )
@@ -992,6 +1014,18 @@ object Queries {
         |  SELECT query_id, neighbor_id, cosine,
         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rk
         |  FROM j) WHERE rk <= 5""".stripMargin,
+    "e_cosine_dedup" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+        |c AS (
+        |  SELECT l.vec_id AS a, r.vec_id AS b,
+        |    list_aggregate(list_transform(list_zip(l.embedding, r.embedding), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')
+        |      / (sqrt(list_aggregate(list_transform(l.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |       * sqrt(list_aggregate(list_transform(r.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cosine
+        |  FROM e l JOIN e r ON l.vec_id <> r.vec_id)
+        |SELECT a AS vec_id, b AS nearest, round(cosine, 4) AS cosine_r,
+        |  cosine >= 0.95 AS is_dup
+        |FROM (SELECT *, row_number() OVER (PARTITION BY a ORDER BY cosine DESC, b) AS rk FROM c)
+        |WHERE rk = 1""".stripMargin,
     "e_norm_stats" ->
       """SELECT label, count(*) AS n,
         |  round(sum(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 3) AS sum_norm2
