@@ -86,10 +86,17 @@ object Bench {
     val qs = (results.map { case (k, (s, _)) => s""""$k":$s""" } :+
       s""""dedup_pipeline":$pipeSec""").mkString("{", ",", "}")
     val total = results.map(_._2._1).sum + pipeSec
-    println(
+    val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""pipeline_files":$nFiles,"pipeline_sec":$pipeSec,""" +
-      s""""files_per_sec":$filesPerSec,"cpus":$cpus,"sf":"$sfDir"}""")
+      s""""files_per_sec":$filesPerSec,"cpus":$cpus,"sf":"$sfDir"}"""
+    // The ONE JSON line (sbt run / outputStrategy is StdoutOutput so no
+    // [info] prefix), plus a file copy — round 1's bench JSON drowned in
+    // sbt log noise and the driver recorded parsed:null.
+    println(json)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     spark.stop()
   }
 }

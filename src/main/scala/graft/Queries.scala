@@ -41,15 +41,19 @@ object Queries {
         count(lit(1)).as("count_order"))
   }
 
-  /** J1/J4 first-writer-wins: earliest lineitem per part in stream order. */
+  /** J1/J4 first-writer-wins: earliest lineitem per part in stream order.
+    * groupBy + min(struct) instead of a window sort: the aggregate is
+    * map-side combinable (partial min per input partition), so the shuffle
+    * carries one row per (partition, partkey) — the plan the pipeline
+    * itself uses (DedupPipeline.uniqueChunks).
+    */
   def qFirstWriter(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
-    val w = Window.partitionBy(col("l_partkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
-    li.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("l_partkey"), col("l_orderkey").as("first_orderkey"),
-        col("l_linenumber").as("first_linenumber"))
+    li.groupBy(col("l_partkey"))
+      .agg(min(struct(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_suppkey"))).as("first"))
+      .select(col("l_partkey"), col("first.l_orderkey").as("first_orderkey"),
+        col("first.l_linenumber").as("first_linenumber"))
   }
 
   /** T1/W4 top-k per group (champion selection / capping). */
@@ -198,19 +202,37 @@ object Queries {
 
   /** A7 CBR utility quantile: exact discrete quantiles picked by global
     * rank (element at ceil(q·n)) — engine-independent, no interpolation.
-    * The global window is fine here: the input is a single metrics column;
-    * the scale path uses approx_percentile (see Bench).
+    * The rank is a two-phase distributed row_number (range-partition +
+    * per-partition counts + broadcast offsets), not a single-partition
+    * global window — the value at rank k is tie-insensitive, so the result
+    * is deterministic even though tied rows get arbitrary ranks.
     */
   def qQuantile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val o = t(spark, dir, "orders")
-    val w = Window.orderBy(col("c"))
-    val src = o.select(cents(col("o_totalprice")).as("c"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-    src.agg(
-      max(when(col("rn") === ceil(col("n") * 0.5), col("c"))).as("p50"),
-      max(when(col("rn") === ceil(col("n") * 0.9), col("c"))).as("p90"),
-      max(when(col("rn") === ceil(col("n") * 0.99), col("c"))).as("p99"))
+    val src = o.select(cents(col("o_totalprice")).as("c")).as[Long]
+    val sorted = src.repartitionByRange(col("c"))
+      .sortWithinPartitions(col("c")).persist()
+    val perPart = sorted.mapPartitions { it =>
+      Iterator((org.apache.spark.TaskContext.getPartitionId(), it.size.toLong))
+    }.collect().sortBy(_._1)
+    val prefix = new Array[Long](perPart.length + 1)
+    perPart.foreach { case (pid, cnt) => prefix(pid + 1) = cnt }
+    var i = 1
+    while (i < prefix.length) { prefix(i) += prefix(i - 1); i += 1 }
+    val n = prefix.last
+    val prefixB = spark.sparkContext.broadcast(prefix)
+    val ranked = sorted.mapPartitions { it =>
+      var rn = prefixB.value(org.apache.spark.TaskContext.getPartitionId())
+      it.map { c => rn += 1; (c, rn) }
+    }.toDF("c", "rn")
+    val out = ranked.agg(
+      max(when(col("rn") === math.ceil(n * 0.5).toLong, col("c"))).as("p50"),
+      max(when(col("rn") === math.ceil(n * 0.9).toLong, col("c"))).as("p90"),
+      max(when(col("rn") === math.ceil(n * 0.99).toLong, col("c"))).as("p99"))
+      .localCheckpoint(true)
+    sorted.unpersist()
+    out
   }
 
   // ====================================================================
@@ -252,6 +274,7 @@ object Queries {
   def rHarSparse(spark: SparkSession, dir: String): DataFrame =
     Rewrite.harSparseContainers(recipeFromLineitem(spark, dir),
       utilizationThreshold = 0.5, rewriteLimit = 0.05)
+      .withColumn("utilization", round(col("utilization"), 6))
 
   /** A5 container-utilization decile histogram. */
   def rUtilHistogram(spark: SparkSession, dir: String): DataFrame =
@@ -689,11 +712,19 @@ object Queries {
         (col("cosine") >= 0.95).as("is_dup"))
   }
 
-  /** IVF ANN scale path: inverted lists over a deterministic coarse
-    * quantizer, nProbe-list probing + exact rerank (rows-only; exactness
-    * vs brute force proven in SimilaritySpec).
+  /** IVF ANN at full probe (nProbe = nlist): must equal brute force, so
+    * the DuckDB brute-force SQL is its oracle — the driver-checked proof
+    * that the IVF machinery (assignment, probing, rerank) is lossless.
     */
   def eIvfTopK(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.ivfTopK(
+      t(spark, dir, "embeddings"), queryMaxId = 20, nlist = 16, nProbe = 16, k = 5)
+
+  /** IVF ANN partial probe — the actual scale path (candidates shrink by
+    * ~nProbe/nlist; recall@5 = 0.85 at 4/16 proven in SimilaritySpec).
+    * Rows-only: approximate by design.
+    */
+  def eIvfProbe(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.ivfTopK(
       t(spark, dir, "embeddings"), queryMaxId = 20, nlist = 16, nProbe = 4, k = 5)
 
@@ -779,10 +810,28 @@ object Queries {
     "d_chunk_stats" -> (dChunkStats _),
     "e_ann_topk" -> (eAnnTopK _),
     "e_ivf_topk" -> (eIvfTopK _),
+    "e_ivf_probe" -> (eIvfProbe _),
     "e_cosine_dedup" -> (eCosineDedup _),
     "e_norm_stats" -> (eNormStats _),
     "e_lsh_buckets" -> (eLshBuckets _)
   )
+
+  /** Brute-force cosine top-k in DuckDB — oracle for e_ann_topk AND for
+    * e_ivf_topk at full probe (nProbe = nlist ⇒ IVF ≡ brute force).
+    */
+  private val annBruteSql =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS q FROM embeddings WHERE vec_id < 20),
+      |c AS (SELECT vec_id AS neighbor_id, embedding AS v FROM embeddings),
+      |j AS (
+      |  SELECT query_id, neighbor_id,
+      |    list_aggregate(list_transform(list_zip(q, v), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')
+      |      / (sqrt(list_aggregate(list_transform(q, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+      |       * sqrt(list_aggregate(list_transform(v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cosine
+      |  FROM q, c WHERE query_id <> neighbor_id)
+      |SELECT query_id, neighbor_id, rk, round(cosine, 4) AS cosine_r FROM (
+      |  SELECT query_id, neighbor_id, cosine,
+      |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rk
+      |  FROM j) WHERE rk <= 5""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q1_agg" ->
@@ -903,13 +952,13 @@ object Queries {
         |FROM y JOIN z ON y.stream = z.stream AND y.runId = z.runId""".stripMargin,
     "r_har_sparse" ->
       s"""WITH r AS ($recipeSql),
-        |u AS (SELECT containerId, sum(size) AS refBytes FROM r GROUP BY 1),
-        |t AS (SELECT sum(refBytes) AS total FROM u),
+        |u AS (SELECT containerId, CAST(sum(size) AS BIGINT) AS refBytes FROM r GROUP BY 1),
+        |t AS (SELECT CAST(sum(refBytes) AS BIGINT) AS total FROM u),
         |s AS (SELECT containerId, refBytes, refBytes / 4161536.0 AS utilization
         |      FROM u WHERE refBytes / 4161536.0 < 0.5),
         |c AS (SELECT *, CAST(sum(refBytes) OVER (ORDER BY refBytes, containerId
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM s)
-        |SELECT containerId, refBytes, utilization FROM c, t
+        |SELECT containerId, refBytes, round(utilization, 6) AS utilization FROM c, t
         |WHERE cum <= CAST(floor(0.05 * total) AS BIGINT)""".stripMargin,
     "r_util_histogram" ->
       s"""WITH r AS ($recipeSql),
@@ -917,7 +966,7 @@ object Queries {
         |v AS (SELECT containerId, refBytes, refBytes / 4161536.0 AS utilization FROM u)
         |SELECT CASE WHEN utilization = 0 THEN 0 WHEN utilization > 1 THEN 11
         |  ELSE CAST(floor(utilization * 10 + 1) AS INTEGER) END AS bucket,
-        |  count(*) AS containers, sum(refBytes) AS bytes
+        |  count(*) AS containers, CAST(sum(refBytes) AS BIGINT) AS bytes
         |FROM v GROUP BY 1""".stripMargin,
     "r_access_records" ->
       s"""WITH r AS ($recipeSql),
@@ -1001,19 +1050,30 @@ object Queries {
       """SELECT lang, source, count(*) AS docs,
         |  CAST(sum(length(text)) AS BIGINT) AS chars
         |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
-    "e_ann_topk" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS q FROM embeddings WHERE vec_id < 20),
-        |c AS (SELECT vec_id AS neighbor_id, embedding AS v FROM embeddings),
-        |j AS (
-        |  SELECT query_id, neighbor_id,
-        |    list_aggregate(list_transform(list_zip(q, v), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')
-        |      / (sqrt(list_aggregate(list_transform(q, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
-        |       * sqrt(list_aggregate(list_transform(v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cosine
-        |  FROM q, c WHERE query_id <> neighbor_id)
-        |SELECT query_id, neighbor_id, rk, round(cosine, 4) AS cosine_r FROM (
-        |  SELECT query_id, neighbor_id, cosine,
-        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rk
-        |  FROM j) WHERE rk <= 5""".stripMargin,
+    "e_ann_topk" -> annBruteSql,
+    // full-probe IVF must reproduce brute force exactly (losslessness proof)
+    "e_ivf_topk" -> annBruteSql,
+    "r_cbr_rewrite" ->
+      s"""WITH r AS ($recipeSql),
+        |w AS (SELECT *,
+        |    sum(size) OVER (PARTITION BY stream, containerId ORDER BY seq
+        |      RANGE BETWEEN CURRENT ROW AND 64 FOLLOWING) AS ctxBytes,
+        |    max(seq) OVER (PARTITION BY stream) AS maxSeq
+        |  FROM r),
+        |u AS (SELECT stream, seq, dup, maxSeq,
+        |    CASE WHEN NOT dup THEN 0.0
+        |         WHEN ctxBytes / 4161536.0 >= 1 THEN 0.0
+        |         ELSE round(1.0 - ctxBytes / 4161536.0, 6) END AS utility
+        |  FROM w),
+        |h AS (SELECT utility, count(*) AS cnt FROM u GROUP BY 1),
+        |t AS (SELECT min(utility) AS threshold FROM (
+        |    SELECT utility, sum(cnt) OVER (ORDER BY utility) AS cum,
+        |      sum(cnt) OVER () AS n FROM h)
+        |  WHERE cum >= ceil(0.95 * n))
+        |SELECT u.stream, u.seq, u.utility,
+        |  u.dup AND u.utility >= greatest(0.5, t.threshold)
+        |    AND u.seq + 64 <= u.maxSeq AS outOfOrder
+        |FROM u, t""".stripMargin,
     "e_cosine_dedup" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
         |c AS (

@@ -88,6 +88,8 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rk"),
         round(col("cos"), 4).as("cosine_r"))
+      .localCheckpoint(true) // materialize (small: k rows/query) → free cache
+    assigned.unpersist()
     out
   }
 }

@@ -2,36 +2,26 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.util.AccumulatorV2
 
-/** Exact big-integer sum accumulator (label sums overflow Long). */
-final class BigIntAccumulator extends AccumulatorV2[Long, BigInt] {
-  private var sum: BigInt = BigInt(0)
-  override def isZero: Boolean = sum == 0
-  override def copy(): BigIntAccumulator = {
-    val a = new BigIntAccumulator; a.sum = sum; a
-  }
-  override def reset(): Unit = sum = 0
-  override def add(v: Long): Unit = sum += v
-  override def merge(other: AccumulatorV2[Long, BigInt]): Unit =
-    sum += other.value
-  override def value: BigInt = sum
-}
-
-/** Iterative connected components by min-label propagation (SURVEY.md
-  * §7.1 stage 7).
+/** Iterative connected components by min-label propagation with pointer
+  * jumping (SURVEY.md §7.1 stage 7).
   *
   * Scale design:
   *  - iteration runs over *edge vertices only*; singleton files never
   *    enter the loop and are appended with their own id at the end;
-  *  - labels only ever decrease, so Σlabel is strictly decreasing until
-  *    fixpoint; the sum is collected by an accumulator DURING the round's
-  *    localCheckpoint materialization — exactly one Spark job per round;
+  *  - each round does (a) one hop of neighbor-min propagation and (b) one
+  *    pointer-jump (label ← label's label), so the label frontier doubles
+  *    per round and rounds scale with log(diameter), not diameter — a long
+  *    near-dup version chain of length 10^6 converges in ~20 rounds;
+  *  - labels only ever decrease, so Σlabel (exact decimal sum — 64-bit ids
+  *    overflow Long) is strictly decreasing until fixpoint; the sum is an
+  *    aggregation on the round's checkpointed labels, NOT an accumulator
+  *    in a transformation (task retries / speculative execution would
+  *    double-count an accumulator and distort the fixpoint test);
   *  - localCheckpoint truncates lineage (the classic iterative-join
   *    pitfall);
-  *  - near-dup clusters are dense (exact dups arrive as star edges around
-  *    the min id; verified pairs are near-cliques), so rounds ≈ component
-  *    diameter stay small.
+  *  - hitting maxIter without convergence logs a loud warning instead of
+  *    silently returning split clusters.
   *
   * Input: vertices(fileId), edges(a,b). Output: (fileId, clusterId) where
   * clusterId = min fileId of the component; singletons keep their own id.
@@ -41,7 +31,6 @@ object ConnectedComponents {
   def run(vertices: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
     val spark = vertices.sparkSession
     import spark.implicits._
-    val sc = spark.sparkContext
 
     // cache pre-partitioned by the per-round join key: rounds shuffle only
     // the (small) labels side, never the edge table
@@ -59,7 +48,12 @@ object ConnectedComponents {
       .as[(Long, Long)]
       .localCheckpoint(true)
 
-    var prevSum: Option[BigInt] = None
+    def labelSum(ds: Dataset[(Long, Long)]): java.math.BigDecimal =
+      ds.toDF("fileId", "label")
+        .agg(sum(col("label").cast("decimal(38,0)")))
+        .head().getDecimal(0)
+
+    var prevSum: Option[java.math.BigDecimal] = None
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -67,22 +61,30 @@ object ConnectedComponents {
         .join(labels.toDF("src", "label"), Seq("src"))
         .groupBy(col("dst").as("fileId"))
         .agg(min(col("label")).as("nbrMin"))
-      val acc = new BigIntAccumulator
-      sc.register(acc, s"cc-label-sum-$iter")
-      labels = labels.toDF("fileId", "label")
+      val stepped = labels.toDF("fileId", "label")
         .join(incoming, Seq("fileId"), "left")
         .select(col("fileId"),
           least(col("label"), coalesce(col("nbrMin"), col("label"))).as("label"))
+      // pointer jump: adopt the label of my current label (every label is
+      // itself an edge-vertex id, so the self-join always matches)
+      val parents = stepped.select(col("fileId").as("label"), col("label").as("plabel"))
+      labels = stepped
+        .join(parents, Seq("label"), "left")
+        .select(col("fileId"),
+          least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
         .as[(Long, Long)]
-        .map { kv => acc.add(kv._2); kv }
-        .localCheckpoint(true) // the only job this round; fills acc
-      val s = acc.value
-      converged = prevSum.contains(s)
+        .localCheckpoint(true)
+      val s = labelSum(labels)
+      converged = prevSum.exists(_.compareTo(s) == 0)
       prevSum = Some(s)
       iter += 1
     }
-    if (sys.env.contains("GRAFT_CC_VERBOSE"))
-      println(s"[cc] converged=$converged rounds=$iter")
+    if (!converged)
+      System.err.println(
+        s"[cc] WARNING: not converged after $maxIter rounds — components " +
+        "wider than the round budget are returned split; raise ccMaxIter")
+    else if (sys.env.contains("GRAFT_CC_VERBOSE"))
+      println(s"[cc] converged rounds=$iter")
     sym.unpersist()
 
     val labelsDf = labels.toDF("fileId", "clusterId")

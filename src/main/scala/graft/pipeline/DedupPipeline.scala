@@ -195,7 +195,8 @@ object DedupPipeline {
         cum += c.size
         PackedChunk(c.fp, c.size, (cum - 1) / payload)
       }
-    }
+    }.localCheckpoint(true) // materialize so the sorted cache can be freed
+    sorted.unpersist()
     out
   }
 
@@ -302,6 +303,12 @@ object DedupPipeline {
     * candidates (covers all pairs with hamming ≤ 3 exactly — pigeonhole
     * over 4 blocks). A secondary candidate source unioned with MinHash
     * LSH (SURVEY.md §2.3 note).
+    *
+    * Hot buckets above cfg.shingle.maxBucket are LINEARIZED like the
+    * MinHash path, not dropped: every member within the Hamming radius of
+    * the bucket's min-id hub pairs with the hub (O(n) pairs, O(maxBucket)
+    * state) — a mega-cluster of hamming-close files still links through
+    * its hub and connected components recovers the whole cluster.
     */
   def simhashCandidates(features: DataFrame, cfg: DedupConfig): DataFrame = {
     val spark = features.sparkSession
@@ -326,14 +333,28 @@ object DedupPipeline {
           rows += ((r._2, r._3))
           if (rows.length > maxBucket) overflow = true
         }
-        if (overflow) Iterator.empty
-        else {
+        if (!overflow) {
           val sorted = rows.distinct.sortBy(_._1)
           for {
             i <- sorted.indices.iterator
             j <- (i + 1) until sorted.length
             if Shingles.hamming(sorted(i)._2, sorted(j)._2) <= radius
           } yield (sorted(i)._1, sorted(j)._1)
+        } else {
+          // hot bucket: stream the tail with O(1) extra state, emit
+          // hub-star pairs gated by the Hamming radius vs the hub
+          var hub: (Long, Long) = rows.head
+          rows.foreach(r => if (r._1 < hub._1) hub = r)
+          val tail = new scala.collection.mutable.ArrayBuffer[(Long, Long)](8)
+          while (it.hasNext) {
+            val r = it.next()
+            val v = (r._2, r._3)
+            if (v._1 < hub._1) { tail += hub; hub = v } else tail += v
+          }
+          val h = hub
+          (rows.iterator ++ tail.iterator)
+            .filter(v => v._1 != h._1 && Shingles.hamming(h._2, v._2) <= radius)
+            .map(v => if (h._1 < v._1) (h._1, v._1) else (v._1, h._1))
         }
       }
       .toDF("a", "b")

@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -67,16 +68,38 @@ object Rewrite {
       .withColumn("coverage", col("ctxBytes") / lit(ContainerPayload.toDouble))
       .withColumn("utility",
         when(!col("dup"), lit(0.0))
-          .otherwise(when(col("coverage") >= 1, 0.0).otherwise(lit(1.0) - col("coverage"))))
-    val threshold = withUtil
-      .agg(expr(s"percentile(utility, ${1.0 - limit})")).head().getDouble(0)
+          .otherwise(when(col("coverage") >= 1, 0.0)
+            .otherwise(round(lit(1.0) - col("coverage"), 6))))
+      .persist()
+    // Discrete (1-limit)-quantile over a utility histogram — the batch
+    // analog of the reference's 10k-bucket running histogram
+    // (src/cbr_rewrite.c:38-55). Utilities are pre-rounded to 1e-6, so the
+    // histogram is ≤1e6 rows regardless of input size and the quantile is
+    // engine-independent (no interpolation): threshold = the smallest
+    // utility whose cumulative count reaches ceil((1-limit)·n).
+    val hist = withUtil.groupBy(col("utility")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("utility")).collect()
+    val n = hist.iterator.map(_.getLong(1)).sum
+    val k = math.ceil((1.0 - limit) * n).toLong
+    var cum = 0L
+    var threshold = 0.0
+    val itH = hist.iterator
+    var found = false
+    while (itH.hasNext && !found) {
+      val r = itH.next()
+      cum += r.getLong(1)
+      if (cum >= k) { threshold = r.getDouble(0); found = true }
+    }
     // chunks inside the final buffer are flushed without a rewrite
     // decision (reference: src/cbr_rewrite.c:144-146)
-    withUtil
+    val out = withUtil
       .withColumn("outOfOrder",
         col("dup") && col("utility") >= math.max(minUtility, threshold) &&
           col("seq") + bufferSize <= col("maxSeq"))
       .drop("ctxBytes", "coverage", "maxSeq")
+      .localCheckpoint(true)
+    withUtil.unpersist()
+    out
   }
 
   /** W2 CFL-style selective dedup runs (reference: src/cfl_rewrite.c):
@@ -107,19 +130,49 @@ object Rewrite {
   def harSparseContainers(recipe: DataFrame,
       utilizationThreshold: Double = 0.5,
       rewriteLimit: Double = 0.05): DataFrame = {
+    val spark = recipe.sparkSession
+    import spark.implicits._
     val util = recipe.groupBy(col("containerId"))
       .agg(sum(col("size")).as("refBytes"))
       .withColumn("utilization", col("refBytes") / lit(ContainerPayload.toDouble))
+      .persist()
     val total = util.agg(sum(col("refBytes"))).head().getLong(0)
-    val sparse = util.filter(col("utilization") < utilizationThreshold)
-    // keep ascending-size prefix with cumulative bytes ≤ limit × total
+    // Keep the ascending-size prefix with cumulative bytes ≤ limit × total
     // (equivalent to the reference's trim-largest loop,
-    //  src/har_rewrite.c:166-177)
-    val wCum = Window.orderBy(col("refBytes"), col("containerId"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    sparse.withColumn("cum", sum(col("refBytes")).over(wCum))
-      .filter(col("cum") <= (rewriteLimit * total).toLong)
-      .select(col("containerId"), col("refBytes"), col("utilization"))
+    // src/har_rewrite.c:166-177). The cumulative sum is a two-phase
+    // distributed prefix sum (range-partition + per-partition totals +
+    // broadcast offsets — same pattern as DedupPipeline.packContainers),
+    // NOT a global unpartitioned window: at 100 TB ≈ 25M containers a
+    // single-partition WindowExec would funnel everything through one task.
+    val sparse = util.filter(col("utilization") < utilizationThreshold)
+      .select(col("containerId"), col("refBytes")).as[(Long, Long)]
+    val sorted = sparse
+      .repartitionByRange(col("refBytes"), col("containerId"))
+      .sortWithinPartitions(col("refBytes"), col("containerId"))
+      .persist()
+    val perPart = sorted.mapPartitions { it =>
+      var bytes = 0L
+      it.foreach(bytes += _._2)
+      Iterator((TaskContext.getPartitionId(), bytes))
+    }.collect().sortBy(_._1)
+    val prefix = new Array[Long](perPart.length + 1)
+    perPart.foreach { case (pid, b) => prefix(pid + 1) = b }
+    var i = 1
+    while (i < prefix.length) { prefix(i) += prefix(i - 1); i += 1 }
+    val prefixB = spark.sparkContext.broadcast(prefix)
+    val cap = (rewriteLimit * total).toLong
+    val payload = ContainerPayload.toDouble
+    val out = sorted.mapPartitions { it =>
+      var cum = prefixB.value(TaskContext.getPartitionId())
+      it.flatMap { case (cid, bytes) =>
+        cum += bytes
+        if (cum <= cap) Iterator.single((cid, bytes, bytes / payload))
+        else Iterator.empty
+      }
+    }.toDF("containerId", "refBytes", "utilization")
+      .localCheckpoint(true)
+    sorted.unpersist(); util.unpersist()
+    out
   }
 
   /** J7 inherited-sparse marking (reference: src/har_rewrite.c:197-207):

@@ -41,20 +41,27 @@ object StreamIngest {
     val features = DedupPipeline.featurize(batch, cfg)
     val chunks = DedupPipeline.chunkTableDF(features.toDF())
       .select($"fp", $"size").persist()
+    // Only a missing/empty index maps to the empty DataFrame; any other
+    // read failure is rethrown — treating a transient read error as an
+    // empty index would re-append known fingerprints and inflate
+    // new_unique (foreachBatch is at-least-once on retry, so the index
+    // read must not lie).
     val existing: DataFrame =
       if (new java.io.File(s"$indexPath/_SUCCESS").exists() ||
           new java.io.File(indexPath).isDirectory)
-        try spark.read.parquet(indexPath)
-        catch { case _: Throwable => Seq.empty[(String, Int)].toDF("fp", "size") }
+        spark.read.parquet(indexPath)
       else Seq.empty[(String, Int)].toDF("fp", "size")
     val batchUnique = chunks.groupBy($"fp").agg(min($"size").as("size"))
     val newUnique = batchUnique.join(existing.select($"fp"), Seq("fp"), "left_anti")
       .persist()
     val stats = chunks.agg(count(lit(1)), sum($"size")).as[(Long, Long)].head()
     val newCnt = newUnique.count()
-    // append new fingerprints to the index (idempotent per batch via
-    // the streaming checkpoint's exactly-once foreachBatch contract)
-    newUnique.write.mode("append").parquet(indexPath)
+    // Append new fingerprints stamped with batchId: foreachBatch replays a
+    // failed batch (at-least-once), so readers dedup on fp — the stamp
+    // makes replayed appends identifiable and the index read-side
+    // idempotent (min(batchId) wins on conflict).
+    newUnique.withColumn("batchId", lit(batchId))
+      .write.mode("append").parquet(indexPath)
     Seq((batchId, stats._1, stats._2, newCnt))
       .toDF("batchId", "chunks", "bytes", "new_unique")
       .write.mode("append").parquet(s"$indexRoot/batches")
