@@ -449,19 +449,32 @@ object Queries {
       countOf(",").as("n_commas"))
   }
 
-  /** Pairwise n-gram Jaccard near-dup scores (exact, SQL-expressible):
-    * distinct 8-grams per doc, intersection via self-join on gram.
+  /** Gram document-frequency cap: grams appearing in more than this many
+    * documents are excluded from the Jaccard self-join — the cap bounds
+    * per-gram join fan-out at C(cap,2) so a boilerplate gram shared by
+    * millions of docs can never go quadratic. The truncation is NOT
+    * silent: [[dNgramDfStats]] reports kept/hot gram counts as a
+    * first-class oracled query.
+    */
+  private val NgramDfCap = 32
+
+  /** Pairwise rare-gram Jaccard near-dup scores (exact, SQL-expressible):
+    * distinct 8-grams per doc, grams with document frequency ≤
+    * [[NgramDfCap]] kept, intersection via self-join on gram; set sizes
+    * and the Jaccard denominator count kept grams only. Runs over ALL
+    * documents — no hardcoded id cap; the DF cap is what bounds the join.
     */
   def dNgramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val d = t(spark, dir, "documents").filter(col("doc_id") < 100)
-      .filter(length(col("text")) >= 8)
+    val d = t(spark, dir, "documents").filter(length(col("text")) >= 8)
     val grams = d
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(1), length(col("text")) - 7)).as("i"))
       .select(col("doc_id"), expr("substring(text, i, 8)").as("g"))
       .distinct()
-    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = grams.as("x").join(grams.as("y"),
+    val gramDf = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val rare = grams.join(gramDf.filter(col("df") <= NgramDfCap).select(col("g")), Seq("g"))
+    val sizes = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = rare.as("x").join(rare.as("y"),
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .agg(count(lit(1)).as("inter"))
@@ -472,6 +485,23 @@ object Queries {
         round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
       .filter(col("jaccard") >= 0.05)
       .select(col("a"), col("b"), col("inter"), col("jaccard"))
+  }
+
+  /** The n-gram DF-cap truncation metric (no silent caps): how many
+    * distinct grams the cap keeps vs drops, and the hottest gram's DF.
+    */
+  def dNgramDfStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").filter(length(col("text")) >= 8)
+    val grams = d
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - 7)).as("i"))
+      .select(col("doc_id"), expr("substring(text, i, 8)").as("g"))
+      .distinct()
+    grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .agg(count(lit(1)).as("distinct_grams"),
+        sum(when(col("df") <= NgramDfCap, 1L).otherwise(0L)).as("kept_grams"),
+        sum(when(col("df") > NgramDfCap, 1L).otherwise(0L)).as("hot_grams"),
+        max(col("df")).as("max_df"))
   }
 
   /** A5-analog rollup aggregation (grouping sets over the doc corpus). */
@@ -728,6 +758,15 @@ object Queries {
     graft.operators.Similarity.ivfTopK(
       t(spark, dir, "embeddings"), queryMaxId = 20, nlist = 16, nProbe = 4, k = 5)
 
+  /** Scalable embedding near-dup dedup: banded sign-LSH candidates +
+    * exact-cosine rerank with hub-star hot-bucket linearization — the
+    * 100 TB replacement for the all-pairs crossJoin (which
+    * [[eCosineDedup]] keeps only as the capped-n oracle baseline).
+    * Fully SQL-expressible, so the DuckDB oracle replays the whole thing.
+    */
+  def eLshDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.lshDedup(t(spark, dir, "embeddings"))
+
   /** LSH-bucketed ANN scale path: random-hyperplane signs from the
     * deterministic gear table → 16-bit bucket per vector (rows-only).
     */
@@ -804,6 +843,7 @@ object Queries {
     "d_quality" -> (dQuality _),
     "d_ngram_shingles" -> (dNgramShingles _),
     "d_ngram_jaccard_pairs" -> (dNgramJaccardPairs _),
+    "d_ngram_df_stats" -> (dNgramDfStats _),
     "d_rollup_stats" -> (dRollupStats _),
     "d_fingerprint" -> (dFingerprint _),
     "d_doc_clusters" -> (dDocClusters _),
@@ -813,7 +853,8 @@ object Queries {
     "e_ivf_probe" -> (eIvfProbe _),
     "e_cosine_dedup" -> (eCosineDedup _),
     "e_norm_stats" -> (eNormStats _),
-    "e_lsh_buckets" -> (eLshBuckets _)
+    "e_lsh_buckets" -> (eLshBuckets _),
+    "e_lsh_dedup" -> (eLshDedup _)
   )
 
   /** Brute-force cosine top-k in DuckDB — oracle for e_ann_topk AND for
@@ -1034,18 +1075,31 @@ object Queries {
         |  FROM documents WHERE length(text) >= 5)
         |GROUP BY doc_id""".stripMargin,
     "d_ngram_jaccard_pairs" ->
-      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100 AND length(text) >= 8),
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 8),
         |grams AS (
         |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 8) AS g
         |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 7)) AS i FROM d)),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+        |gdf AS (SELECT g, count(*) AS df FROM grams GROUP BY 1),
+        |rare AS (SELECT grams.doc_id, grams.g FROM grams JOIN gdf USING (g) WHERE gdf.df <= 32),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM rare GROUP BY 1),
         |inter AS (
         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
-        |  FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+        |  FROM rare x JOIN rare y ON x.g = y.g AND x.doc_id < y.doc_id
         |  GROUP BY 1, 2)
         |SELECT a, b, inter, round(inter / (sa.n + sb.n - inter), 6) AS jaccard
         |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
         |WHERE round(inter / (sa.n + sb.n - inter), 6) >= 0.05""".stripMargin,
+    "d_ngram_df_stats" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 8),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 8) AS g
+        |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 7)) AS i FROM d)),
+        |gdf AS (SELECT g, count(*) AS df FROM grams GROUP BY 1)
+        |SELECT count(*) AS distinct_grams,
+        |  CAST(sum(CASE WHEN df <= 32 THEN 1 ELSE 0 END) AS BIGINT) AS kept_grams,
+        |  CAST(sum(CASE WHEN df > 32 THEN 1 ELSE 0 END) AS BIGINT) AS hot_grams,
+        |  max(df) AS max_df
+        |FROM gdf""".stripMargin,
     "d_rollup_stats" ->
       """SELECT lang, source, count(*) AS docs,
         |  CAST(sum(length(text)) AS BIGINT) AS chars
@@ -1089,6 +1143,40 @@ object Queries {
     "e_norm_stats" ->
       """SELECT label, count(*) AS n,
         |  round(sum(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 3) AS sum_norm2
-        |FROM embeddings GROUP BY label""".stripMargin
+        |FROM embeddings GROUP BY label""".stripMargin,
+    "e_lsh_dedup" -> {
+      // replay the banded sign-LSH: 8 bands × 8 sign bits, hub-star on
+      // buckets above 64 members, exact cosine + top-1 per vector
+      val bandSelects = (0 until 8).map { b =>
+        val bucket = (0 until 8)
+          .map(i => s"(CASE WHEN embedding[${b * 8 + i + 1}] > 0 THEN ${1 << i} ELSE 0 END)")
+          .mkString(" + ")
+        s"SELECT vec_id, $b AS band, $bucket AS bucket FROM e"
+      }.mkString("\nUNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |bands AS (
+        |$bandSelects),
+        |sizes AS (SELECT band, bucket, count(*) AS n, min(vec_id) AS hub
+        |  FROM bands GROUP BY 1, 2),
+        |bs AS (SELECT bands.vec_id, bands.band, bands.bucket, sizes.n, sizes.hub
+        |  FROM bands JOIN sizes USING (band, bucket)),
+        |pairs AS (SELECT DISTINCT a, b FROM (
+        |  SELECT x.vec_id AS a, y.vec_id AS b
+        |  FROM bs x JOIN bs y ON x.band = y.band AND x.bucket = y.bucket
+        |    AND x.vec_id < y.vec_id
+        |  WHERE x.n <= 64 AND y.n <= 64
+        |  UNION ALL
+        |  SELECT hub AS a, vec_id AS b FROM bs WHERE n > 64 AND vec_id <> hub)),
+        |sym AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+        |c AS (SELECT sym.a, sym.b,
+        |    list_aggregate(list_transform(list_zip(ea.embedding, eb.embedding), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')
+        |      / (sqrt(list_aggregate(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |       * sqrt(list_aggregate(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cosine
+        |  FROM sym JOIN e ea ON ea.vec_id = sym.a JOIN e eb ON eb.vec_id = sym.b)
+        |SELECT a AS vec_id, b AS nearest, round(cosine, 4) AS cosine_r,
+        |  cosine >= 0.95 AS is_dup
+        |FROM (SELECT *, row_number() OVER (PARTITION BY a ORDER BY cosine DESC, b) AS rk FROM c)
+        |WHERE rk = 1""".stripMargin
+    }
   )
 }

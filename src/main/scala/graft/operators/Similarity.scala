@@ -22,6 +22,67 @@ object Similarity {
   def cosine(a: Array[Float], b: Array[Float]): Double =
     dot(a, b) / (norm(a) * norm(b))
 
+  /** Scalable embedding near-dup dedup: banded sign-LSH candidates +
+    * exact-cosine rerank — the 100 TB path that replaces the all-pairs
+    * crossJoin (which stays only as the small-n oracle baseline).
+    *
+    * Bands: `bands` blocks of `dimsPerBand` consecutive dimensions; a
+    * block's bucket is its sign bit-pattern (axis-aligned hyperplane LSH —
+    * deterministic and SQL-expressible, so a DuckDB oracle can replay it).
+    * Vectors sharing any (band, bucket) are candidates. Hot buckets above
+    * `maxBucket` are linearized hub-star (every member pairs with the
+    * bucket's min id) — same strategy as the MinHash/SimHash text paths,
+    * so a mega-cluster of near-identical embeddings still links through
+    * its hub instead of exploding quadratically or being dropped.
+    *
+    * Output: per vector with ≥1 candidate, its highest-cosine candidate
+    * (vec_id, nearest, cosine_r, is_dup = cosine ≥ tau).
+    *
+    * Shuffle shape: one shuffle on (band, bucket) for the candidate
+    * self-join, two fileId-keyed joins to fetch embeddings for rerank —
+    * no crossJoin anywhere.
+    */
+  def lshDedup(embeddings: DataFrame, bands: Int = 8, dimsPerBand: Int = 8,
+      maxBucket: Int = 64, tau: Double = 0.95): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    def bucketExpr(b: Int) = (0 until dimsPerBand).map { i =>
+      when(element_at(col("embedding"), b * dimsPerBand + i + 1) > 0f,
+        lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val bandStructs = (0 until bands).map(b =>
+      struct(lit(b).as("band"), bucketExpr(b).as("bucket")))
+    val banded = e
+      .select(col("vec_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val sizes = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("vec_id")).as("hub"))
+    val withSz = banded.join(sizes, Seq("band", "bucket"))
+    val cold = withSz.filter(col("n") <= maxBucket)
+      .select(col("band"), col("bucket"), col("vec_id"))
+    val coldPairs = cold.as("x").join(cold.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+    val hotPairs = withSz.filter(col("n") > maxBucket && col("vec_id") =!= col("hub"))
+      .select(col("hub").as("a"), col("vec_id").as("b"))
+    val pairs = coldPairs.union(hotPairs).distinct()
+    val sym = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+    val dot = expr("aggregate(zip_with(q, v, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, z) -> acc + z)")
+    val nq = expr("aggregate(q, cast(0.0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double))")
+    val nv = expr("aggregate(v, cast(0.0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double))")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a")).orderBy(col("cosine").desc, col("b"))
+    sym
+      .join(e.select(col("vec_id").as("a"), col("embedding").as("q")), Seq("a"))
+      .join(e.select(col("vec_id").as("b"), col("embedding").as("v")), Seq("b"))
+      .withColumn("cosine", dot / (sqrt(nq) * sqrt(nv)))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("a").as("vec_id"), col("b").as("nearest"),
+        round(col("cosine"), 4).as("cosine_r"),
+        (col("cosine") >= tau).as("is_dup"))
+  }
+
   /** Deterministic centroids: the nlist lowest vec_ids (a real system
     * would k-means; determinism matters more here than centroid quality).
     */

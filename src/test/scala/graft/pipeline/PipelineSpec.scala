@@ -115,6 +115,28 @@ class PipelineSpec extends AnyFunSuite {
       s"mega-cluster split into ${megaClusters.size} clusters")
   }
 
+  test("hot SimHash buckets linearize via hub-star instead of dropping pairs") {
+    // 700 identical-simhash files (> maxBucket=512): all four SimHash
+    // bands are hot; the fix emits hub-star pairs gated by the Hamming
+    // radius instead of Iterator.empty
+    val mega = (0 until 700).map { i =>
+      graft.corpus.CorpusFile(f"s$i%04d", "vendored/same.c", "c0", "c",
+        "the same mega cluster content line\n" * 40)
+    }
+    val ds = spark.createDataset(mega)(
+      org.apache.spark.sql.Encoders.product[graft.corpus.CorpusFile])
+    val feats = DedupPipeline.featurize(ds, cfg).toDF()
+    val cands = DedupPipeline.simhashCandidates(feats, cfg)
+      .as[(Long, Long)].collect()
+    val ids = mega.map(m =>
+      graft.functions.Hash64.fileId(m.repo, m.path, m.commit)).toSet
+    val hub = ids.min
+    assert(cands.length === ids.size - 1,
+      s"expected ${ids.size - 1} hub-star pairs, got ${cands.length}")
+    assert(cands.forall(p => p._1 == hub || p._2 == hub))
+    assert(cands.flatMap(p => Seq(p._1, p._2)).toSet === ids)
+  }
+
   test("exact duplicates always share a cluster even with empty shingles") {
     val tiny = Seq(
       graft.corpus.CorpusFile("r1", "a.txt", "c1", "md", "x"),
