@@ -385,6 +385,36 @@ object Queries {
     }.toDF("file_id", "seg_id", "method", "feature")
   }
 
+  /** Index-preset matrix over the documents chunk stream: every published
+    * system's forced segmenting/sampling combination (DDFS, BLC, sampled,
+    * sparse, SiLo, extreme binning) applied per file, reporting segment
+    * and feature counts (rows-only: SHA-1 fps aren't SQL-recomputable).
+    */
+  def dIndexPresets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val files = t(spark, dir, "documents")
+      .select(col("source").as("repo"),
+        concat(lit("doc/"), col("doc_id")).as("path"),
+        lit("0").as("commit"), col("lang"), col("text").as("content"))
+      .as[CorpusFile]
+    val cfg = DedupConfig(chunker = graft.chunking.ChunkerConfig("fixed", avgSize = 256))
+    val features = DedupPipeline.featurize(files, cfg)
+    val presets = IndexPresets.names
+    features.flatMap { f =>
+      val fps = f.chunks.map(_.fp)
+      presets.iterator.map { name =>
+        // small segments so document-sized streams actually split
+        val p = IndexPresets.preset(name).copy(segmentSize = 4, segmentMin = 2, segmentMax = 16)
+        val segs = IndexPresets.segmentAndSample(p)(fps)
+        (name, segs.length.toLong, segs.iterator.map(_._2.size.toLong).sum)
+      }
+    }.toDF("preset", "segments", "features")
+      .groupBy(col("preset"))
+      .agg(count(lit(1)).as("files"),
+        sum(col("segments")).as("segments"),
+        sum(col("features")).as("features"))
+  }
+
   // ====================================================================
   // Training-data text ops over `documents`
   // ====================================================================
@@ -627,6 +657,39 @@ object Queries {
     Restore.verifyRestore(files, cfg)
   }
 
+  /** S3 destor text-trace round trip: the documents chunk stream is
+    * written as a reference-format `.trace` file and read back; output is
+    * both sides' aggregate plus a strict set-equality flag (rows-only:
+    * the trace carries SHA-1 fps, not SQL-recomputable).
+    */
+  def dTraceRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val files = t(spark, dir, "documents")
+      .select(col("source").as("repo"),
+        concat(lit("doc/"), col("doc_id")).as("path"),
+        lit("0").as("commit"), col("lang"), col("text").as("content"))
+      .as[CorpusFile]
+    val cfg = DedupConfig(chunker = graft.chunking.ChunkerConfig("fixed", avgSize = 256))
+    val chunks = DedupPipeline.chunkTableDF(DedupPipeline.featurize(files, cfg).toDF())
+      .select(concat_ws("@", col("repo"), col("path")).as("path"),
+        col("chunkIdx"), col("fp"), col("size"))
+      .persist()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_trace")
+    val f = tmp.resolve("docs.trace").toString
+    graft.sources.TraceSource.write(chunks, f)
+    val back = graft.sources.TraceSource.read(spark, f).toDF().persist()
+    val ok = chunks.except(back).isEmpty && back.except(chunks).isEmpty
+    val out = back.agg(
+      countDistinct(col("path")).as("files"),
+      count(lit(1)).as("chunks"),
+      sum(col("size")).cast("long").as("bytes"),
+      countDistinct(col("fp")).as("unique_fps"))
+      .withColumn("roundtrip_ok", lit(ok))
+      .localCheckpoint(true)
+    chunks.unpersist(); back.unpersist()
+    out
+  }
+
   /** SimHash near-dup candidate pairs over documents (rows-only). */
   def dSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -830,9 +893,11 @@ object Queries {
     "q_champion_plain" -> (qChampionPlain _),
     "q_champion_trim" -> (qChampionTrim _),
     "d_segment_features" -> (dSegmentFeatures _),
+    "d_index_presets" -> (dIndexPresets _),
     "g_dead_chunks" -> (gDeadChunks _),
     "g_compaction_plan" -> (gCompactionPlan _),
     "d_restore_verify" -> (dRestoreVerify _),
+    "d_trace_roundtrip" -> (dTraceRoundtrip _),
     "d_simhash_pairs" -> (dSimhashPairs _),
     "d_lcs_pairs" -> (dLcsPairs _),
     "m_media_stats" -> (mMediaStats _),

@@ -31,6 +31,23 @@ class RestoreSimSpec extends AnyFunSuite {
     assert(opt.containerReads < lru.containerReads)
   }
 
+  test("OPT lookahead window bounds memory; small window degrades gracefully") {
+    // Belady on 1 2 3 1 2 3 ... with cache 2: full lookahead reads 3 +
+    // one miss per period boundary; a lookahead that covers the whole
+    // stream must equal the default, and a tiny window stays between
+    // full-OPT and LRU (it can only lose foresight, not correctness)
+    val seq = (0 until 30).map(i => (i % 3 + 1).toLong)
+    val r = recipe(seq: _*)
+    val full = RestoreSim.simulate(r, 2, "opt").collect().head
+    val covering = RestoreSim.simulate(r, 2, "opt", optLookahead = 64).collect().head
+    val tiny = RestoreSim.simulate(r, 2, "opt", optLookahead = 3).collect().head
+    val lru = RestoreSim.simulate(r, 2, "lru").collect().head
+    assert(covering.containerReads === full.containerReads)
+    assert(tiny.containerReads >= full.containerReads)
+    assert(tiny.containerReads <= lru.containerReads)
+    assert(tiny.chunks === 30 && tiny.bytes === full.bytes)
+  }
+
   test("CFL equals optimal/actual container reads") {
     // 4 chunks of 1 MiB in one container: optimal = ceil(4MiB/4MiB)=1 read
     val r = recipe(1, 1, 1, 1)
