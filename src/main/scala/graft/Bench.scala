@@ -11,13 +11,16 @@ import graft.pipeline.{DedupConfig, DedupPipeline}
 object Bench {
 
   /** Headline subset: the shuffle/window/join-heavy operators plus the
-    * flagship pipeline-on-documents query.
+    * flagship pipeline-on-documents query. Round-1 names kept stable for
+    * round-over-round comparison; round 2 adds the scalable embedding
+    * dedup and the uncapped rare-gram Jaccard join.
     */
   val headline: Seq[String] = Seq(
     "q1_agg", "q_first_writer", "q_topk_per_group", "q_cum_packing",
     "q_broadcast_join", "q_distinct_agg", "q_lru_stack", "q_min_sample",
     "q_segment_bounds", "d_exact_dedup", "d_ngram_shingles", "d_fingerprint",
-    "d_doc_clusters", "e_ann_topk", "e_lsh_buckets")
+    "d_doc_clusters", "e_ann_topk", "e_lsh_buckets",
+    "e_lsh_dedup", "d_ngram_jaccard_pairs", "q_quantile")
 
   /** Materialize the synthetic corpus as a parquet table once (this is
     * input scaffolding, not the engine — the north-rule job reads an
@@ -71,6 +74,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Steady-state warm-up (excluded from all timings): first query in a
+    // fresh JVM otherwise pays ~4s of one-time JIT + codegen + parquet
+    // footer reads that belong to session startup, not the operator.
+    SparkEntry.queries("q1_agg")(spark, sfDir).count()
+    SparkEntry.queries("d_exact_dedup")(spark, sfDir).count()
 
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>

@@ -385,6 +385,32 @@ object Queries {
     }.toDF("file_id", "seg_id", "method", "feature")
   }
 
+  /** P1/P2 fixed chunking through the REAL pipeline path (featurize →
+    * posexplode chunk table), driver-oracle checked: every chunk's
+    * (offset, size) boundary is recomputed arithmetically in DuckDB and
+    * its content verified by sha256 over the text slice — per-chunk
+    * content equality without SHA-1 (absent in DuckDB; the SHA-1 fps stay
+    * golden-gated against compiled reference C in GoldenChunkSpec).
+    * Documents are ASCII, so char offsets == byte offsets.
+    */
+  def dFixedChunks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = t(spark, dir, "documents")
+    val files = d.select(col("source").as("repo"),
+        col("doc_id").cast("string").as("path"),
+        lit("0").as("commit"), col("lang"), col("text").as("content"))
+      .as[CorpusFile]
+    val cfg = DedupConfig(chunker = graft.chunking.ChunkerConfig("fixed", avgSize = 256))
+    DedupPipeline.chunkTableDF(DedupPipeline.featurize(files, cfg).toDF())
+      .select(col("path").cast("long").as("doc_id"),
+        col("chunkIdx").cast("long").as("chunk_idx"),
+        col("offset").cast("long").as("chunk_offset"),
+        col("size").cast("long").as("chunk_size"))
+      .join(d.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_offset"), col("chunk_size"),
+        sha2(expr("substring(text, chunk_offset + 1, chunk_size)"), 256).as("chunk_sha"))
+  }
+
   /** Index-preset matrix over the documents chunk stream: every published
     * system's forced segmenting/sampling combination (DDFS, BLC, sampled,
     * sparse, SiLo, extreme binning) applied per file, reporting segment
@@ -690,7 +716,14 @@ object Queries {
     out
   }
 
-  /** SimHash near-dup candidate pairs over documents (rows-only). */
+  /** SimHash near-dup candidate pairs over documents. Rows-only by
+    * necessity: the 64-bit SimHash derives from gear micro-shingles, which
+    * no SQL engine can recompute — DuckDB's bit_count could check the
+    * popcount column but only given the simhash values themselves, which
+    * would be circular. The banding/Hamming semantics are instead
+    * spec-gated (PipelineSpec hub-star + radius tests); the SQL-expressible
+    * analog of banded signature dedup is oracle-checked via e_lsh_dedup.
+    */
   def dSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val files = t(spark, dir, "documents")
@@ -784,8 +817,11 @@ object Queries {
         round(sum(col("norm2")), 3).as("sum_norm2"))
   }
 
-  /** Embedding-cosine near-dup dedup: pairs above a cosine threshold and
-    * the canonical (min-id) representative each vector collapses to.
+  /** Embedding-cosine near-dup dedup, BRUTE-FORCE BASELINE: all-pairs at
+    * a hard id cap (n=200) — kept only as the small-n ground truth the
+    * DuckDB oracle can replay cheaply. The scale path is [[eLshDedup]]
+    * (banded sign-LSH + rerank, no crossJoin), whose recall vs this brute
+    * force is gated at 1.0 in SimilaritySpec.
     */
   def eCosineDedup(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings").filter(col("vec_id") < 200)
@@ -894,6 +930,7 @@ object Queries {
     "q_champion_trim" -> (qChampionTrim _),
     "d_segment_features" -> (dSegmentFeatures _),
     "d_index_presets" -> (dIndexPresets _),
+    "d_fixed_chunks" -> (dFixedChunks _),
     "g_dead_chunks" -> (gDeadChunks _),
     "g_compaction_plan" -> (gCompactionPlan _),
     "d_restore_verify" -> (dRestoreVerify _),
@@ -1154,6 +1191,15 @@ object Queries {
         |SELECT a, b, inter, round(inter / (sa.n + sb.n - inter), 6) AS jaccard
         |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
         |WHERE round(inter / (sa.n + sb.n - inter), 6) >= 0.05""".stripMargin,
+    "d_fixed_chunks" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents WHERE length(text) > 0)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  CAST(i * 256 AS BIGINT) AS chunk_offset,
+        |  CAST(least(256, len - i * 256) AS BIGINT) AS chunk_size,
+        |  sha256(substr(text, CAST(i * 256 + 1 AS INTEGER), 256)) AS chunk_sha
+        |FROM (SELECT doc_id, text, len,
+        |        unnest(generate_series(0, CAST(ceil(len / 256.0) AS BIGINT) - 1)) AS i
+        |      FROM d)""".stripMargin,
     "d_ngram_df_stats" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 8),
         |grams AS (
@@ -1179,7 +1225,7 @@ object Queries {
         |      RANGE BETWEEN CURRENT ROW AND 64 FOLLOWING) AS ctxBytes,
         |    max(seq) OVER (PARTITION BY stream) AS maxSeq
         |  FROM r),
-        |u AS (SELECT stream, seq, dup, maxSeq,
+        |u AS (SELECT stream, containerId, seq, dup, maxSeq,
         |    CASE WHEN NOT dup THEN 0.0
         |         WHEN ctxBytes / 4161536.0 >= 1 THEN 0.0
         |         ELSE round(1.0 - ctxBytes / 4161536.0, 6) END AS utility
@@ -1188,11 +1234,24 @@ object Queries {
         |t AS (SELECT min(utility) AS threshold FROM (
         |    SELECT utility, sum(cnt) OVER (ORDER BY utility) AS cum,
         |      sum(cnt) OVER () AS n FROM h)
-        |  WHERE cum >= ceil(0.95 * n))
+        |  WHERE cum >= ceil(0.95 * n)),
+        |rg AS (SELECT stream, containerId, seq, utility,
+        |    CASE WHEN seq - lag(seq) OVER (PARTITION BY stream, containerId ORDER BY seq) <= 64
+        |         THEN 0 ELSE 1 END AS newRun
+        |  FROM u WHERE dup),
+        |rr AS (SELECT stream, containerId, seq, utility,
+        |    CAST(sum(newRun) OVER (PARTITION BY stream, containerId ORDER BY seq) AS BIGINT) AS recRun
+        |  FROM rg),
+        |fl AS (SELECT rr.stream, rr.seq,
+        |    coalesce(max(CASE WHEN rr.utility < greatest(0.5, t.threshold) THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY rr.stream, rr.containerId, rr.recRun ORDER BY rr.seq
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS inherit
+        |  FROM rr, t)
         |SELECT u.stream, u.seq, u.utility,
         |  u.dup AND u.utility >= greatest(0.5, t.threshold)
+        |    AND coalesce(fl.inherit, 0) = 0
         |    AND u.seq + 64 <= u.maxSeq AS outOfOrder
-        |FROM u, t""".stripMargin,
+        |FROM u LEFT JOIN fl ON u.stream = fl.stream AND u.seq = fl.seq, t""".stripMargin,
     "e_cosine_dedup" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
         |c AS (

@@ -51,9 +51,14 @@ object Similarity {
     }.reduce(_ + _)
     val bandStructs = (0 until bands).map(b =>
       struct(lit(b).as("band"), bucketExpr(b).as("bucket")))
+    // Narrow (vec_id, band, bucket) rows materialized once: sizes, the
+    // cold self-join (both sides) and the hot-star pass all reuse them —
+    // without this the plan re-scans the embeddings table ~14× (the
+    // pairs union + its swapped mirror double the whole subtree).
     val banded = e
       .select(col("vec_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .localCheckpoint(true)
     val sizes = banded.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("n"), min(col("vec_id")).as("hub"))
     val withSz = banded.join(sizes, Seq("band", "bucket"))
@@ -65,7 +70,9 @@ object Similarity {
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
     val hotPairs = withSz.filter(col("n") > maxBucket && col("vec_id") =!= col("hub"))
       .select(col("hub").as("a"), col("vec_id").as("b"))
-    val pairs = coldPairs.union(hotPairs).distinct()
+    // materialize the deduped pair set so the symmetric mirror below reads
+    // it instead of recomputing candidate generation twice
+    val pairs = coldPairs.union(hotPairs).distinct().localCheckpoint(true)
     val sym = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
     val dot = expr("aggregate(zip_with(q, v, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, z) -> acc + z)")
     val nq = expr("aggregate(q, cast(0.0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double))")

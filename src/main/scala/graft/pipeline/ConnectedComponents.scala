@@ -65,13 +65,22 @@ object ConnectedComponents {
         .join(incoming, Seq("fileId"), "left")
         .select(col("fileId"),
           least(col("label"), coalesce(col("nbrMin"), col("label"))).as("label"))
-      // pointer jump: adopt the label of my current label (every label is
-      // itself an edge-vertex id, so the self-join always matches)
-      val parents = stepped.select(col("fileId").as("label"), col("label").as("plabel"))
-      labels = stepped
-        .join(parents, Seq("label"), "left")
-        .select(col("fileId"),
-          least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
+      // Pointer jump: adopt the label of my current label (every label is
+      // itself an edge-vertex id, so the self-join always matches).
+      // Adaptive: near-dup clusters are dense (star edges + near-cliques)
+      // and converge by round 2, so the first rounds skip the extra
+      // self-join shuffle; if we're still iterating by round 3 a deep
+      // chain exists and doubling takes over (log-diameter rounds).
+      val jumped =
+        if (iter < 2) stepped
+        else {
+          val parents = stepped.select(col("fileId").as("label"), col("label").as("plabel"))
+          stepped
+            .join(parents, Seq("label"), "left")
+            .select(col("fileId"),
+              least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
+        }
+      labels = jumped
         .as[(Long, Long)]
         .localCheckpoint(true)
       val s = labelSum(labels)

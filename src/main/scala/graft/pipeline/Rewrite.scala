@@ -17,10 +17,10 @@ import org.apache.spark.sql.expressions.Window
   *
   * Deviations from the sequential reference, by design:
   *  - CBR's adaptive threshold (a running 10k-bucket histogram,
-  *    src/cbr_rewrite.c:38-55) becomes a global exact percentile over the
-  *    run's utilities — the batch analog of "keep rewrite ratio ≤ limit";
-  *  - CBR's marked-not-fragmented neighbor propagation
-  *    (src/cbr_rewrite.c:118-131) is dropped (single-pass batch);
+  *    src/cbr_rewrite.c:38-55) becomes a global discrete quantile over a
+  *    1e-6-grid utility histogram — the batch analog of "keep rewrite
+  *    ratio ≤ limit" (neighbor propagation itself IS implemented, see
+  *    [[cbr]]);
   *  - streams (repos) are processed independently — destor's stream is
   *    one backup job, ours is one repo partition.
   */
@@ -54,7 +54,16 @@ object Rewrite {
     * utility of a duplicate = 1 − (container bytes in the following
     * `bufferSize`-chunk context + own size)/payload (0 when coverage ≥ 1);
     * rewrite iff utility ≥ max(minUtility, the (1−limit) utility
-    * percentile of the run).
+    * percentile of the run) AND no marked-not-fragmented neighbor.
+    *
+    * Marked-not-fragmented neighbor propagation
+    * (src/cbr_rewrite.c:118-131 + rewrite_phase.c:41-63): once a
+    * duplicate of container X is decided not-fragmented, X's buffered
+    * containerRecord flips to in-order and every later X-duplicate sharing
+    * the buffer inherits the decision. Batch analog: X-duplicates whose
+    * consecutive occurrences are ≤ bufferSize apart form one record run;
+    * within a run, any earlier duplicate below the threshold suppresses
+    * all later rewrites.
     */
   def cbr(recipe: DataFrame, bufferSize: Int = 1024, limit: Double = 0.05,
       minUtility: Double = 0.5): DataFrame = {
@@ -90,13 +99,34 @@ object Rewrite {
       cum += r.getLong(1)
       if (cum >= k) { threshold = r.getDouble(0); found = true }
     }
+    val tEff = math.max(minUtility, threshold)
+    // neighbor propagation: record runs of each container's duplicates
+    // (gap ≤ bufferSize keeps the containerRecord buffered), then the
+    // earliest below-threshold decision in a run suppresses later rewrites
+    val wC = Window.partitionBy(col("stream"), col("containerId")).orderBy(col("seq"))
+    val flagged = withUtil.filter(col("dup"))
+      .select(col("stream"), col("containerId"), col("seq"), col("utility"))
+      .withColumn("newRun",
+        when(col("seq") - lag(col("seq"), 1).over(wC) <= bufferSize, 0L).otherwise(1L))
+      .withColumn("recRun",
+        sum(col("newRun")).over(wC.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("inheritNotFrag",
+        coalesce(
+          max(when(col("utility") < tEff, 1).otherwise(0)).over(
+            Window.partitionBy(col("stream"), col("containerId"), col("recRun"))
+              .orderBy(col("seq"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0)) === 1)
+      .select(col("stream"), col("seq"), col("inheritNotFrag"))
     // chunks inside the final buffer are flushed without a rewrite
     // decision (reference: src/cbr_rewrite.c:144-146)
     val out = withUtil
+      .join(flagged, Seq("stream", "seq"), "left")
       .withColumn("outOfOrder",
-        col("dup") && col("utility") >= math.max(minUtility, threshold) &&
+        col("dup") && col("utility") >= tEff &&
+          !coalesce(col("inheritNotFrag"), lit(false)) &&
           col("seq") + bufferSize <= col("maxSeq"))
-      .drop("ctxBytes", "coverage", "maxSeq")
+      .drop("ctxBytes", "coverage", "maxSeq", "inheritNotFrag")
       .localCheckpoint(true)
     withUtil.unpersist()
     out

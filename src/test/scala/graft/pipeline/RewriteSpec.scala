@@ -55,6 +55,24 @@ class RewriteSpec extends AnyFunSuite {
     assert(out.filter(_._1 > 10).forall(!_._3))
   }
 
+  test("CBR neighbor propagation: not-fragmented decisions inherit within the record run") {
+    // container 9 at seq 0 sits in dense context (utility 0 → decided
+    // not-fragmented, flipping its buffered containerRecord); its sparse
+    // re-occurrence at seq 5 is within the bufferSize=10 window → inherits
+    // the decision; the far re-occurrence at seq 30 (gap > buffer) starts
+    // a fresh record → re-evaluated and rewritten
+    val dense = (1L to 4L).map(i => ("s", i, 1500 * 1024, 9L, true))
+    val filler = ((6L to 29L) ++ (31L to 45L)).map(i => ("s", i, 10, 500L + i, false))
+    val r = recipe(
+      (("s", 0L, 1024, 9L, true) +: dense) ++
+        Seq(("s", 5L, 1024, 9L, true), ("s", 30L, 1024, 9L, true)) ++ filler: _*)
+    val out = Rewrite.cbr(r, bufferSize = 10, limit = 0.5, minUtility = 0.5)
+      .select($"seq", $"outOfOrder").as[(Long, Boolean)].collect().toMap
+    assert(out(0L) === false) // dense context → not fragmented
+    assert(out(5L) === false) // high utility but inherits not-fragmented
+    assert(out(30L) === true) // new record run → evaluated on its own
+  }
+
   test("CFL runs: short same-container runs are rewritten") {
     val r = recipe(
       ("s", 0L, 100, 1L, true), // run of 1, 100 B < 3% of 4 MB

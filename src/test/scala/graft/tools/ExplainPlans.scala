@@ -15,7 +15,8 @@ object ExplainPlans {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (name <- Seq("q1_agg", "q_broadcast_join", "q_semi_join",
-        "q_first_writer", "d_token_count", "e_ann_topk")) {
+        "q_first_writer", "d_token_count", "e_ann_topk",
+        "e_lsh_dedup", "d_ngram_jaccard_pairs", "q_quantile")) {
       println(s"\n===== $name =====")
       println(graft.Queries.all(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
