@@ -284,8 +284,11 @@ object Queries {
   def rAccessRecords(spark: SparkSession, dir: String): DataFrame =
     RestoreSim.accessRecords(recipeFromLineitem(spark, dir))
 
-  /** W10 exact LRU restore-cache simulation per stream (rows-only:
-    * stateful fold, not SQL-expressible).
+  /** W10 exact LRU restore-cache simulation per stream. Oracle-checked
+    * via the classic stack-distance equivalence: an access to container c
+    * misses an LRU cache of size C iff it is c's first access or the
+    * number of DISTINCT containers touched since c's previous access is
+    * ≥ C — which DuckDB replays with a correlated distinct-count.
     */
   def rRestoreLru(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -460,8 +463,9 @@ object Queries {
       length(col("text")).cast("long").as("n_chars"))
   }
 
-  /** BPE-ish pre-tokenization: word runs + single punctuation marks
-    * (rows-only: Java-regex semantics shouldn't be pinned to an engine).
+  /** BPE-ish pre-tokenization: word runs + single punctuation marks.
+    * Oracle-checked: on the ASCII corpus, Java-regex and DuckDB-RE2
+    * semantics of this pattern coincide (regexp_extract_all replay).
     */
   def dTokenRegex(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -781,6 +785,22 @@ object Queries {
           .as("featSum"))
   }
 
+  /** §2.8 event-time windowed throughput — the EXACT code path the
+    * streaming ingest uses ([[graft.streaming.StreamIngest
+    * .windowedThroughput]]), replayed on the batch events table so the
+    * driver can oracle the tumbling-window semantics (DuckDB
+    * time_bucket). Values pre-converted to integer cents for
+    * order-independent sums; window starts compared as epoch micros.
+    */
+  def sWindowedThroughput(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("value", round(col("value") * 100).cast("long"))
+    graft.streaming.StreamIngest.windowedThroughput(e)
+      .select(unix_micros(col("window_start")).as("window_start_us"),
+        col("events"), col("total_value").as("total_value_cents"))
+  }
+
   // ====================================================================
   // Embedding similarity ops over `embeddings`
   // ====================================================================
@@ -921,6 +941,7 @@ object Queries {
     "r_har_sparse" -> (rHarSparse _),
     "r_util_histogram" -> (rUtilHistogram _),
     "r_access_records" -> (rAccessRecords _),
+    "s_windowed_throughput" -> (sWindowedThroughput _),
     "r_restore_lru" -> (rRestoreLru _),
     "r_restore_opt" -> (rRestoreOpt _),
     "r_restore_asm" -> (rRestoreAsm _),
@@ -1111,6 +1132,34 @@ object Queries {
         |  ELSE CAST(floor(utilization * 10 + 1) AS INTEGER) END AS bucket,
         |  count(*) AS containers, CAST(sum(refBytes) AS BIGINT) AS bytes
         |FROM v GROUP BY 1""".stripMargin,
+    "r_restore_lru" ->
+      s"""WITH r AS ($recipeSql),
+        |x AS (SELECT stream AS skey, CAST(stream AS VARCHAR) AS stream_s,
+        |    seq, containerId, size,
+        |    lag(seq) OVER (PARTITION BY stream, containerId ORDER BY seq) AS prevSeq
+        |  FROM r),
+        |d AS (SELECT x.stream_s, x.size,
+        |    CASE WHEN x.prevSeq IS NULL THEN 1
+        |         WHEN (SELECT count(DISTINCT y.containerId) FROM r y
+        |               WHERE y.stream = x.skey AND y.seq > x.prevSeq AND y.seq < x.seq) >= 8
+        |         THEN 1 ELSE 0 END AS miss
+        |  FROM x)
+        |SELECT stream_s AS stream, count(*) AS chunks,
+        |  CAST(sum(size) AS BIGINT) AS bytes,
+        |  CAST(sum(miss) AS BIGINT) AS containerReads,
+        |  round(CAST(sum(size) AS BIGINT) / 1048576.0 / CAST(sum(miss) AS BIGINT), 6) AS speedFactor,
+        |  round(ceil(CAST(sum(size) AS BIGINT) / 4194304.0) / CAST(sum(miss) AS BIGINT), 6) AS cfl
+        |FROM d GROUP BY 1""".stripMargin,
+    "s_windowed_throughput" ->
+      """SELECT epoch_us(time_bucket(INTERVAL 1 minute, ts)) AS window_start_us,
+        |  count(*) AS events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents
+        |FROM events GROUP BY 1""".stripMargin,
+    "d_token_regex" ->
+      """SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(len(list_distinct(list_filter(toks, t -> regexp_matches(t, '^[A-Za-z0-9]')))) AS BIGINT) AS n_distinct_words
+        |FROM (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+|[^\sA-Za-z0-9_]') AS toks
+        |      FROM documents)""".stripMargin,
     "r_access_records" ->
       s"""WITH r AS ($recipeSql),
         |x AS (SELECT stream, seq, containerId,
