@@ -1181,6 +1181,46 @@ object Queries {
         |SELECT segId, candId, shared, rank FROM (
         |  SELECT *, CAST(row_number() OVER (PARTITION BY segId ORDER BY shared DESC, candId DESC) AS BIGINT) AS rank
         |  FROM shared) WHERE rank <= 3""".stripMargin,
+    // J3 greedy champion selection with Sparse-Index trimming: the greedy
+    // loop is bounded at k=3, so the oracle UNROLLS it — pick champion,
+    // anti-join its features out, re-rank, three times. sharedAtPick for
+    // later picks counts features remaining AFTER earlier trims (0 kept,
+    // like the reference's GSequence re-sort keeps empty candidates).
+    "q_champion_trim" ->
+      s"""WITH sf AS ($segFeaturesSql),
+        |idx AS (SELECT feature, segId AS candId FROM (
+        |  SELECT feature, segId, row_number() OVER (PARTITION BY feature ORDER BY recency DESC, segId DESC) AS rn
+        |  FROM sf) WHERE rn <= 4),
+        |cf AS (
+        |  SELECT sf.segId, idx.candId, sf.feature
+        |  FROM sf JOIN idx ON sf.feature = idx.feature
+        |  WHERE sf.segId <> idx.candId),
+        |n1 AS (SELECT segId, candId, count(*) AS cnt FROM cf GROUP BY 1, 2),
+        |p1 AS (SELECT segId, candId AS c1, cnt AS shared1 FROM (
+        |  SELECT segId, candId, cnt, row_number() OVER (PARTITION BY segId ORDER BY cnt DESC, candId DESC) AS rn FROM n1) WHERE rn = 1),
+        |f1 AS (SELECT cf.segId, cf.feature FROM cf JOIN p1 ON cf.segId = p1.segId AND cf.candId = p1.c1),
+        |cf2 AS (SELECT cf.segId, cf.candId, cf.feature FROM cf JOIN p1 ON cf.segId = p1.segId
+        |        WHERE cf.candId <> p1.c1
+        |          AND NOT EXISTS (SELECT 1 FROM f1 WHERE f1.segId = cf.segId AND f1.feature = cf.feature)),
+        |n2 AS (SELECT c.segId, c.candId, coalesce(x.cnt, 0) AS cnt FROM
+        |        (SELECT n1.segId, n1.candId FROM n1 JOIN p1 ON n1.segId = p1.segId AND n1.candId <> p1.c1) c
+        |        LEFT JOIN (SELECT segId, candId, count(*) AS cnt FROM cf2 GROUP BY 1, 2) x
+        |          ON c.segId = x.segId AND c.candId = x.candId),
+        |p2 AS (SELECT segId, candId AS c2, cnt AS shared2 FROM (
+        |  SELECT segId, candId, cnt, row_number() OVER (PARTITION BY segId ORDER BY cnt DESC, candId DESC) AS rn FROM n2) WHERE rn = 1),
+        |f2 AS (SELECT cf.segId, cf.feature FROM cf JOIN p2 ON cf.segId = p2.segId AND cf.candId = p2.c2),
+        |cf3 AS (SELECT cf2.segId, cf2.candId, cf2.feature FROM cf2 JOIN p2 ON cf2.segId = p2.segId
+        |        WHERE cf2.candId <> p2.c2
+        |          AND NOT EXISTS (SELECT 1 FROM f2 WHERE f2.segId = cf2.segId AND f2.feature = cf2.feature)),
+        |n3 AS (SELECT c.segId, c.candId, coalesce(x.cnt, 0) AS cnt FROM
+        |        (SELECT n2.segId, n2.candId FROM n2 JOIN p2 ON n2.segId = p2.segId AND n2.candId <> p2.c2) c
+        |        LEFT JOIN (SELECT segId, candId, count(*) AS cnt FROM cf3 GROUP BY 1, 2) x
+        |          ON c.segId = x.segId AND c.candId = x.candId),
+        |p3 AS (SELECT segId, candId AS c3, cnt AS shared3 FROM (
+        |  SELECT segId, candId, cnt, row_number() OVER (PARTITION BY segId ORDER BY cnt DESC, candId DESC) AS rn FROM n3) WHERE rn = 1)
+        |SELECT segId, c1 AS candId, CAST(1 AS INTEGER) AS rank, CAST(shared1 AS INTEGER) AS sharedAtPick FROM p1
+        |UNION ALL SELECT segId, c2, 2, CAST(shared2 AS INTEGER) FROM p2
+        |UNION ALL SELECT segId, c3, 3, CAST(shared3 AS INTEGER) FROM p3""".stripMargin,
     "g_dead_chunks" ->
       s"""WITH r AS ($versionedRecipeSql)
         |SELECT DISTINCT fp, containerId, size FROM r x
