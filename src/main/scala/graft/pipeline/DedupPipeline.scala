@@ -202,15 +202,21 @@ object DedupPipeline {
 
   /** Chunk table with duplicate marking + owning container — the recipe
     * table (reference .recipe files, src/recipe/recipestore.h:78-82).
+    *
+    * First-writer marking is a map-side-combinable groupBy-min + hash
+    * join on the stream position, NOT a per-fp window sort: a hot
+    * fingerprint (the zero chunk can repeat billions of times at 100 TB)
+    * would otherwise funnel its whole group through one sorting task.
     */
   def recipe(chunks: Dataset[ChunkRow], packed: Dataset[PackedChunk]): DataFrame = {
     val spark = chunks.sparkSession
     import spark.implicits._
+    val first = chunks.groupBy($"fp")
+      .agg(min(struct($"repo", $"path", $"commit", $"chunkIdx")).as("first"))
     chunks.join(packed.select($"fp", $"containerId"), Seq("fp"))
+      .join(first, Seq("fp"))
       .withColumn("firstWriter",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy($"fp")
-          .orderBy($"repo", $"path", $"commit", $"chunkIdx")) === 1)
+        struct($"repo", $"path", $"commit", $"chunkIdx") === $"first")
       .select($"fileId", $"repo", $"path", $"commit", $"chunkIdx",
         $"offset", $"size", $"fp", $"zero", $"containerId",
         (!$"firstWriter").as("dup"))
@@ -390,17 +396,25 @@ object DedupPipeline {
   /** Files with identical sha256 are linked through the group's min
     * fileId (star edges): guarantees exact dups cluster even when their
     * shingle sets are empty, with |group|-1 edges instead of |group|².
+    *
+    * Skew-safe by construction: the hub is a map-side-combinable
+    * min/count aggregate (never a collect_list — a sha256 shared by 10M
+    * files, e.g. an empty file or a vendored license at 10^12-file scale,
+    * would materialize a 10M-element array in one reducer), and the join
+    * back is a plain hash join that AQE skew-split handles.
     */
   def exactContentEdges(features: Dataset[FileSig]): DataFrame = {
     val spark = features.sparkSession
     import spark.implicits._
-    features.select($"fileId", $"sha256")
+    val hubs = features.select($"fileId", $"sha256")
       .groupBy($"sha256")
-      .agg(min($"fileId").as("hub"), collect_list($"fileId").as("members"))
-      .filter(size($"members") > 1)
-      .select($"hub", explode($"members").as("m"))
-      .filter($"hub" =!= $"m")
-      .select($"hub".as("a"), $"m".as("b"))
+      .agg(min($"fileId").as("hub"), count(lit(1)).as("n"))
+      .filter($"n" > 1)
+      .select($"sha256", $"hub")
+    features.select($"fileId", $"sha256")
+      .join(hubs, Seq("sha256"))
+      .filter($"fileId" =!= $"hub")
+      .select($"hub".as("a"), $"fileId".as("b"))
   }
 
   /** Full clustering over narrow signature rows. */
