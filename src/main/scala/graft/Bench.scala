@@ -72,6 +72,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // corpus parquet compresses ~3×: split small enough that featurize
+      // parallelism is never input-bound at any core count (same setting
+      // as BenchScaling)
+      .config("spark.sql.files.maxPartitionBytes", s"${8 * 1024 * 1024}")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

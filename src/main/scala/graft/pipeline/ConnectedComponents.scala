@@ -53,7 +53,10 @@ object ConnectedComponents {
         .agg(sum(col("label").cast("decimal(38,0)")))
         .head().getDecimal(0)
 
-    var prevSum: Option[java.math.BigDecimal] = None
+    // seed the fixpoint test with the init sum: graphs already settled by
+    // the fused init round (pure star edges — the common near-dup shape)
+    // are detected after ONE propagation round instead of two
+    var prevSum: Option[java.math.BigDecimal] = Some(labelSum(labels))
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
