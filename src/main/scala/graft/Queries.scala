@@ -765,8 +765,9 @@ object Queries {
     }.toDF("a_id", "b_id", "lcs_len", "shingle_jaccard")
   }
 
-  /** Multimodal: batched stub-decode stats over synthetic media (real
-    * Spark plumbing, stubbed codec — rows-only).
+  /** Multimodal: batched REAL decode (pure-JVM PPM/WAV/PPM-stream codecs,
+    * magic-byte sniffing) over synthetic media in genuine file formats —
+    * rows-only (payloads aren't sf-table data).
     */
   def mMediaStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -97,19 +97,60 @@ class ExtrasSpec extends AnyFunSuite {
     assert(reclaimed.toSeq === Seq(1L))
   }
 
-  test("multimodal: decode stats, frame sampling and exact dedup plumbing") {
+  test("multimodal: real PPM/WAV decode, frame sampling and exact dedup plumbing") {
     val media = Multimodal.synthesize(spark, 30)
     val stats = Multimodal.decode(media).collect()
     assert(stats.length === 30)
     assert(stats.forall(s => s.meanLuma >= 0 && s.meanLuma <= 1))
     assert(stats.map(_.sha1).distinct.length === 30)
+    // sniffed kind must agree with the synthesizer's metadata, and parsed
+    // dimensions must come out of the actual header bytes
+    val metas = media.collect().map(m => m.mediaId -> m.meta).toMap
+    stats.foreach { s =>
+      assert(s.kind === metas(s.mediaId).kind, s"kind sniff ${s.mediaId}")
+      if (s.kind != "audio") assert(s.width === metas(s.mediaId).width)
+    }
     val frames = Multimodal.sampleFrames(media, stride = 2).collect()
     assert(frames.nonEmpty)
     assert(frames.forall(_.frameFeature.length === 8))
+    // luma histogram of real pixels is a distribution: sums to 1
+    frames.foreach(f => assert(math.abs(f.frameFeature.sum - 1f) < 1e-3))
+    // every sampled frame index exists in the payload (stride semantics)
+    val frameCounts = metas.collect { case (id, m) if m.kind == "video" => id -> m.frames }
+    frames.foreach(f => assert(f.frameIdx < frameCounts(f.mediaId) && f.frameIdx % 2 == 0))
     // deterministic across runs
     val stats2 = Multimodal.decode(Multimodal.synthesize(spark, 30)).collect()
     assert(stats.map(_.sha1).toSeq === stats2.map(_.sha1).toSeq)
     val dedup = Multimodal.exactDedup(media)
     assert(dedup.count() === 30) // payloads all distinct by construction
+  }
+
+  test("multimodal golden decodes: known PPM pixels and WAV samples") {
+    // 2x1 PPM: white pixel + black pixel → mean luma exactly 0.5
+    val ppm = "P6\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](-1, -1, -1, 0, 0, 0)
+    val sha1 = java.security.MessageDigest.getInstance("SHA-1")
+    val img = Multimodal.decodeOne(
+      Multimodal.MediaRow(7L, Multimodal.MediaMeta("image", 2, 1, 1, 0), ppm), sha1)
+    assert(img.kind === "image" && img.width === 2 && img.height === 1)
+    assert(math.abs(img.meanLuma - 0.5) < 1e-9)
+    // WAV with two full-scale samples (+32767, -32768) → RMS ≈ 1
+    val wav = {
+      val b = java.nio.ByteBuffer.allocate(48).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(40).put("WAVE".getBytes)
+      b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+        .putInt(8000).putInt(16000).putShort(2).putShort(16)
+      b.put("data".getBytes).putInt(4).putShort(32767).putShort(-32768)
+      b.array()
+    }
+    val (rate, rms) = Multimodal.decodeWav(wav)
+    assert(rate === 8000)
+    assert(math.abs(rms - 1.0) < 1e-3)
+    // corrupt payload is rejected, not silently faked
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeOne(
+        Multimodal.MediaRow(8L, Multimodal.MediaMeta("image", 1, 1, 1, 0),
+          Array[Byte](1, 2, 3, 4)), sha1)
+    }
   }
 }
