@@ -68,6 +68,38 @@ object StreamIngest {
     chunks.unpersist(); newUnique.unpersist()
   }
 
+  /** Scale backend: the persistent fp index as a CATALOG TABLE BUCKETED
+    * BY fp. The per-batch anti-join then shuffles only the (small) batch
+    * side into the index's bucket layout; the index — the side that grows
+    * to billions of fingerprints — is scanned bucket-aligned with zero
+    * Exchange, and appends preserve the bucket spec. This is the batch
+    * analog of the reference's persistent kvstore
+    * (src/index/kvstore_htable.c) with htable buckets as table buckets.
+    */
+  def ingestBatchBucketed(batch: Dataset[CorpusFile], batchId: Long,
+      tableName: String, metricsPath: String, nBuckets: Int = 64,
+      cfg: DedupConfig = DedupConfig()): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val features = DedupPipeline.featurize(batch, cfg)
+    val chunks = DedupPipeline.chunkTableDF(features.toDF())
+      .select($"fp", $"size").persist()
+    val batchUnique = chunks.groupBy($"fp").agg(min($"size").as("size"))
+    val newUnique =
+      (if (spark.catalog.tableExists(tableName))
+        batchUnique.join(spark.table(tableName).select($"fp"), Seq("fp"), "left_anti")
+      else batchUnique).persist()
+    val stats = chunks.agg(count(lit(1)), sum($"size")).as[(Long, Long)].head()
+    val newCnt = newUnique.count()
+    newUnique.withColumn("batchId", lit(batchId))
+      .write.bucketBy(nBuckets, "fp").sortBy("fp")
+      .mode("append").saveAsTable(tableName)
+    Seq((batchId, stats._1, stats._2, newCnt))
+      .toDF("batchId", "chunks", "bytes", "new_unique")
+      .write.mode("append").parquet(metricsPath)
+    chunks.unpersist(); newUnique.unpersist()
+  }
+
   /** Event-time windowed throughput with watermark (tumbling window) —
     * the streaming analog of the per-phase throughput log
     * (reference: src/do_backup.c:112-131).

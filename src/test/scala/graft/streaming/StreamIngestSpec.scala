@@ -36,6 +36,47 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(idx.count() === idx.select($"fp").distinct().count())
   }
 
+  test("bucketed index backend dedups identically and never shuffles the index side") {
+    val tbl = "fp_index_bkt_test"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val dir = new java.io.File(s"spark-warehouse/$tbl")
+    if (dir.exists()) new scala.reflect.io.Directory(dir).deleteRecursively()
+    val metrics = java.nio.file.Files.createTempDirectory("graft_bkt_").toString + "/batches"
+
+    val all = CorpusGen.generateLocal(nBases = 20).map(_._1)
+    val (b1, b2) = all.splitAt(all.size / 2)
+    def ds(xs: Seq[CorpusFile]) = spark.createDataset(xs)(
+      org.apache.spark.sql.Encoders.product[CorpusFile])
+
+    StreamIngest.ingestBatchBucketed(ds(b1), 0L, tbl, metrics, nBuckets = 8)
+    StreamIngest.ingestBatchBucketed(ds(b1), 1L, tbl, metrics, nBuckets = 8) // replay
+    StreamIngest.ingestBatchBucketed(ds(b2), 2L, tbl, metrics, nBuckets = 8)
+
+    val batches = spark.read.parquet(metrics)
+      .orderBy($"batchId").as[(Long, Long, Long, Long)].collect()
+    assert(batches(0)._4 > 0)
+    assert(batches(1)._4 === 0, "replayed batch adds zero new fingerprints")
+    assert(batches(2)._4 > 0)
+    val idx = spark.table(tbl)
+    assert(idx.count() === idx.select($"fp").distinct().count())
+
+    // the anti-join the ingest runs: index side bucket-aligned, no shuffle
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = ds(b2).toDF().select(sha2($"content", 256).as("fp"))
+        .groupBy($"fp").agg(count(lit(1)).as("n"))
+        .join(spark.table(tbl).select($"fp"), Seq("fp"), "left_anti")
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"index scan not bucketed:\n$plan")
+      // exactly the probe side may exchange; the bucketed index must not:
+      // no Exchange may appear downstream of the bucketed table scan
+      val idxOnly = spark.table(tbl).select($"fp")
+        .queryExecution.executedPlan.toString
+      assert(!idxOnly.contains("Exchange"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("watermarked windowed throughput aggregates event time") {
     implicit val sqlCtx = spark.sqlContext
     val events = MemoryStream[(java.sql.Timestamp, Double)]
