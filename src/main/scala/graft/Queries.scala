@@ -178,6 +178,45 @@ object Queries {
       .agg(min(col("digest")).as("min_feature"), count(lit(1)).as("n_chunks"))
   }
 
+  /** A1 uniform sampling analog: every 4th chunk of each recipe (stream
+    * order) is a feature — destor's INDEX_SAMPLING_UNIFORM over the
+    * lineitem-derived digest stream.
+    */
+  def qUniformSample(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    li.withColumn("digest",
+        md5(concat_ws("-", col("l_partkey"), col("l_linenumber"), col("l_orderkey"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(pmod(col("rn") - 1, lit(4)) === 0)
+      .groupBy(col("l_orderkey"))
+      .agg(min(col("digest")).as("min_uniform_feature"),
+        count(lit(1)).as("n_sampled"))
+  }
+
+  /** A4 optimized-min sampling analog (src/index/sampling_method.c:81-170):
+    * the anchor is the group's min digest; the emitted feature is the
+    * digest 8 positions EARLIER in stream order (clamped to the stream
+    * head), exactly the reference's prefix-window lookback.
+    */
+  def qOptminSample(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val wSeq = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    val base = li.withColumn("digest",
+        md5(concat_ws("-", col("l_partkey"), col("l_linenumber"), col("l_orderkey"))))
+      .withColumn("rn", row_number().over(wSeq).cast("long"))
+      .withColumn("lag8", lag(col("digest"), 8).over(wSeq))
+      .withColumn("head", first(col("digest")).over(wSeq))
+    val wPick = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("digest"), col("rn"))
+    base.withColumn("pick", row_number().over(wPick))
+      .filter(col("pick") === 1)
+      .select(col("l_orderkey"), col("digest").as("anchor"),
+        coalesce(col("lag8"), col("head")).as("optmin_feature"))
+  }
+
   /** A2 random (hash-mod) sampling: Sparse-Index-style 1/32 selection. */
   def qRandomSample(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
@@ -934,6 +973,8 @@ object Queries {
     "q_lru_stack" -> (qLruStack _),
     "q_next_access" -> (qNextAccess _),
     "q_min_sample" -> (qMinSample _),
+    "q_uniform_sample" -> (qUniformSample _),
+    "q_optmin_sample" -> (qOptminSample _),
     "q_random_sample" -> (qRandomSample _),
     "q_segment_bounds" -> (qSegmentBounds _),
     "q_quantile" -> (qQuantile _),
@@ -1075,6 +1116,27 @@ object Queries {
         |  min(md5(CAST(l_partkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) || '-' || CAST(l_orderkey AS VARCHAR))) AS min_feature,
         |  count(*) AS n_chunks
         |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+    "q_uniform_sample" ->
+      """SELECT l_orderkey, min(digest) AS min_uniform_feature, count(*) AS n_sampled
+        |FROM (
+        |  SELECT l_orderkey,
+        |    md5(CAST(l_partkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) || '-' || CAST(l_orderkey AS VARCHAR)) AS digest,
+        |    row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn
+        |  FROM lineitem)
+        |WHERE (rn - 1) % 4 = 0 GROUP BY 1""".stripMargin,
+    "q_optmin_sample" ->
+      """SELECT l_orderkey, digest AS anchor, coalesce(lag8, head) AS optmin_feature FROM (
+        |  SELECT l_orderkey, digest, lag8, head,
+        |    row_number() OVER (PARTITION BY l_orderkey ORDER BY digest, rn) AS pick
+        |  FROM (
+        |    SELECT l_orderkey, digest,
+        |      CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey) AS BIGINT) AS rn,
+        |      lag(digest, 8) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey) AS lag8,
+        |      first_value(digest) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey) AS head
+        |    FROM (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |            md5(CAST(l_partkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) || '-' || CAST(l_orderkey AS VARCHAR)) AS digest
+        |          FROM lineitem)))
+        |WHERE pick = 1""".stripMargin,
     "q_random_sample" ->
       """SELECT l_returnflag, count(*) AS sampled,
         |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sampled_cents
