@@ -40,14 +40,21 @@ object SimilaritySelection {
   /** T6 FIFO feature index: feature → newest-first segment ids, capped at
     * valueLength (reference: src/index/kvstore_htable.c:44-53). Input:
     * (segId, feature, recency) where larger recency = newer.
+    *
+    * Top-k per feature via a rank window, NOT collect_list+slice: a hot
+    * feature shared by millions of segments would materialize the whole
+    * group as one in-memory array before slicing; the window sort spills
+    * to disk and Spark's WindowGroupLimit pushes the k-cut ahead of the
+    * full sort.
     */
   def buildFeatureIndex(segFeatures: DataFrame, valueLength: Int = 1): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("feature"))
+      .orderBy(col("recency").desc, col("segId").desc)
     segFeatures
-      .groupBy(col("feature"))
-      .agg(slice(reverse(array_sort(collect_list(
-        struct(col("recency"), col("segId"))))), 1, valueLength).as("entries"))
-      .select(col("feature"), explode(col("entries")).as("e"))
-      .select(col("feature"), col("e.segId").as("candId"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= valueLength)
+      .select(col("feature"), col("segId").as("candId"))
   }
 
   /** J2 + J3 as a Spark job: join query-segment features against the
