@@ -304,6 +304,51 @@ object DedupPipeline {
       .distinct()
   }
 
+  /** destor-preset candidate pairs — the reference's OWN similarity loop
+    * run end to end under an [[IndexConfig]] preset (DDFS / BLC / sampled
+    * / sparse / SiLo / extreme binning): each file's chunk-fp stream is
+    * segmented and feature-sampled per the preset
+    * (IndexPresets.segmentAndSample), features go through the FIFO
+    * feature index (kvstore valueLength semantics), and files sharing an
+    * indexed feature with a query segment become candidate pairs — the
+    * batch analog of "prefetch the champion segment's fingerprints"
+    * (reference src/index/similarity_detection.c). Feeds verifiedPairs →
+    * CC exactly like the MinHash path, so "cluster with the SiLo config"
+    * is one call.
+    *
+    * Shuffle shape: one map-only segment+sample pass, one shuffle on
+    * feature (rank-window index cap bounds hot features at valueLength),
+    * one shuffle for pair dedup.
+    */
+  def presetCandidates(features: Dataset[FileFeatures], icfg: IndexConfig,
+      valueLength: Int = 4): DataFrame = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    val segFeatures = features
+      .select($"fileId", $"chunks.fp".as("fps"))
+      .as[(Long, Seq[String])]
+      .flatMap { case (fileId, fps) =>
+        IndexPresets.segmentAndSample(icfg)(fps).iterator.flatMap {
+          case (segId, feats) => feats.iterator.map(f => (fileId, segId, f))
+        }
+      }
+      .toDF("fileId", "segId", "feature")
+    // FIFO index over segments: recency = stream order analog (fileId);
+    // key = (fileId, segId) flattened for the candidate join
+    val idx = SimilaritySelection.buildFeatureIndex(
+      segFeatures.select(
+        struct($"fileId", $"segId").as("segKey"), $"feature", $"fileId".as("recency"))
+        .select($"segKey".as("segId"), $"feature", $"recency"),
+      valueLength)
+    segFeatures
+      .select(struct($"fileId", $"segId").as("segKey"), $"fileId", $"feature")
+      .join(idx.select($"feature", $"candId"), Seq("feature"))
+      .select($"fileId".as("qFile"), $"candId.fileId".as("cFile"))
+      .filter($"qFile" =!= $"cFile")
+      .select(least($"qFile", $"cFile").as("a"), greatest($"qFile", $"cFile").as("b"))
+      .distinct()
+  }
+
   /** SimHash candidate pairs: 64-bit SimHash banded into four 16-bit
     * blocks; files sharing any block AND within the Hamming radius are
     * candidates (covers all pairs with hamming ≤ 3 exactly — pigeonhole

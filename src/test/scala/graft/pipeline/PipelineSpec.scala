@@ -88,6 +88,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(precision >= 0.95, f"precision $precision%.4f suspiciously low")
   }
 
+  test("destor preset candidates run end-to-end and recover dup pairs") {
+    // the reference's own similarity loop (segment → sample → FIFO feature
+    // index → champions) under two published presets, feeding the same
+    // Jaccard-verify stage the MinHash path uses. Fine Rabin CDC (avg
+    // 256 B — FastCDC hard-codes min 2048 like the reference) so the
+    // few-KB test files carry 10+ chunks: the multi-chunk regime these
+    // indexes are designed for (destor's default is 8 KiB chunks on
+    // MB-scale backup streams).
+    val fineCfg = DedupConfig(chunker = graft.chunking.ChunkerConfig(
+      "rabin", minSize = 64, avgSize = 256, maxSize = 2048))
+    val fineFeatures = DedupPipeline.featurize(filesDs, fineCfg).persist()
+    val sigs = DedupPipeline.sigs(fineFeatures)
+    val truth = oracle.clusterPairs
+    for (preset <- Seq("extreme_binning", "sparse")) {
+      // document-scale streams: shrink segments so files actually split
+      val icfg = IndexPresets.preset(preset).copy(
+        segmentSize = 4, segmentMin = 2, segmentMax = 16, sampleRate = 2)
+      val cand = DedupPipeline.presetCandidates(fineFeatures, icfg)
+      val verified = DedupPipeline.verifiedPairs(cand, sigs, cfg).select($"a", $"b")
+      // destor groups transitively (bin/champion chains), so the honest
+      // measure is cluster-implied pairs, like the north-rule test
+      val cc = ConnectedComponents
+        .run(sigs.select($"fileId").toDF("fileId"), verified, 25)
+        .as[(Long, Long)].collect()
+      val pairs = cc.groupBy(_._2).values.flatMap { m =>
+        val ids = m.map(_._1).sorted
+        for (i <- ids.indices.iterator; j <- (i + 1) until ids.length)
+          yield (ids(i), ids(j))
+      }.toSet
+      val recall = pairs.intersect(truth).size.toDouble / truth.size
+      val precision =
+        if (pairs.isEmpty) 1.0
+        else pairs.intersect(truth).size.toDouble / pairs.size
+      info(f"$preset%-16s clusterPairs=${pairs.size} recall=$recall%.3f precision=$precision%.3f")
+      // both presets recover the full truth clustering on this corpus
+      // (measured 1.000/1.000) — near-exact presets are lossy in general,
+      // but transitive grouping recovers what per-pair sampling misses
+      assert(recall >= 0.99, f"$preset recall $recall%.3f")
+      assert(precision >= 0.99, f"$preset precision $precision%.3f")
+    }
+  }
+
   test("clustering is invariant to input partitioning") {
     val repartitioned = filesDs.repartition(13)
     val f2 = DedupPipeline.featurize(repartitioned, cfg)
