@@ -427,6 +427,35 @@ object Queries {
     }.toDF("file_id", "seg_id", "method", "feature")
   }
 
+  /** Full near-dup clustering of documents through a destor index PRESET
+    * (sparse index: content-defined segmenting + random sampling + FIFO
+    * feature index) instead of MinHash LSH — the reference's own
+    * similarity loop end to end (rows-only: SHA-1 features).
+    */
+  def dPresetClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val files = t(spark, dir, "documents")
+      .select(col("source").as("repo"),
+        concat(lit("doc/"), col("doc_id")).as("path"),
+        lit("0").as("commit"), col("lang"), col("text").as("content"))
+      .as[CorpusFile]
+    val cfg = DedupConfig(chunker = graft.chunking.ChunkerConfig(
+      "rabin", minSize = 64, avgSize = 256, maxSize = 2048))
+    val features = DedupPipeline.featurize(files, cfg).persist()
+    val icfg = IndexPresets.preset("sparse").copy(
+      segmentSize = 4, segmentMin = 2, segmentMax = 16, sampleRate = 2)
+    val cand = DedupPipeline.presetCandidates(features, icfg)
+    val verified = DedupPipeline.verifiedPairs(cand, DedupPipeline.sigs(features), cfg)
+      .select(col("a"), col("b"))
+    val out = ConnectedComponents.run(
+        features.select(col("fileId")).toDF("fileId"), verified, cfg.ccMaxIter)
+      .withColumnRenamed("fileId", "file_id")
+      .withColumnRenamed("clusterId", "cluster_id")
+      .localCheckpoint(true)
+    features.unpersist()
+    out
+  }
+
   /** P1/P2 fixed chunking through the REAL pipeline path (featurize →
     * posexplode chunk table), driver-oracle checked: every chunk's
     * (offset, size) boundary is recomputed arithmetically in DuckDB and
@@ -993,6 +1022,7 @@ object Queries {
     "q_champion_trim" -> (qChampionTrim _),
     "d_segment_features" -> (dSegmentFeatures _),
     "d_index_presets" -> (dIndexPresets _),
+    "d_preset_clusters" -> (dPresetClusters _),
     "d_fixed_chunks" -> (dFixedChunks _),
     "g_dead_chunks" -> (gDeadChunks _),
     "g_compaction_plan" -> (gCompactionPlan _),
