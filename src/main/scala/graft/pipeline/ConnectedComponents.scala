@@ -48,10 +48,12 @@ object ConnectedComponents {
       .as[(Long, Long)]
       .localCheckpoint(true)
 
-    def labelSum(ds: Dataset[(Long, Long)]): java.math.BigDecimal =
-      ds.toDF("fileId", "label")
+    def labelSum(ds: Dataset[(Long, Long)]): java.math.BigDecimal = {
+      val d = ds.toDF("fileId", "label")
         .agg(sum(col("label").cast("decimal(38,0)")))
         .head().getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d // empty edge set
+    }
 
     // seed the fixpoint test with the init sum: graphs already settled by
     // the fused init round (pure star edges — the common near-dup shape)

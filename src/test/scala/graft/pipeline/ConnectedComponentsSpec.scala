@@ -20,6 +20,15 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(out.forall(_._2 == 0L), "chain must collapse to the min label")
   }
 
+  test("empty edge set yields all-singleton clusters (no null-sum crash)") {
+    val vertices = (0L to 4L).toDF("fileId")
+    val edges = spark.emptyDataset[(Long, Long)].toDF("a", "b")
+    val m = ConnectedComponents.run(vertices, edges, maxIter = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(m.size === 5)
+    assert(m.forall { case (v, c) => v == c })
+  }
+
   test("disjoint components and singletons keep distinct min labels") {
     val vertices = (0L to 9L).toDF("fileId")
     val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
