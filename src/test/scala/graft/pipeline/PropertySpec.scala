@@ -83,6 +83,46 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("destor trace format round-trips arbitrary chunk streams (property)") {
+    // printable-ASCII paths without whitespace (the format's path line is
+    // newline-terminated and the reader takes declared-length chars)
+    val pathGen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+      .map(s => s.take(40))
+    val chunkGen = Gen.zip(
+      Gen.chooseNum(0, Int.MaxValue), Gen.chooseNum(0, 1 << 20))
+    val fileGen = Gen.zip(pathGen, Gen.nonEmptyListOf(chunkGen))
+    val streamGen = Gen.nonEmptyListOf(fileGen)
+      .map(_.distinctBy(_._1)) // unique paths
+    forAll(streamGen, n = 15) { files =>
+      val rows = files.flatMap { case (path, cs) =>
+        cs.zipWithIndex.map { case ((h, size), idx) =>
+          graft.sources.TraceChunk(path, idx, f"$h%040x", size)
+        }
+      }
+      // render blocks exactly like the writer, parse back
+      val text = files.sortBy(_._1).map { case (path, cs) =>
+        s"file start ${path.length}\n$path\n" +
+          cs.map { case (h, size) => f"$h%040x $size" }.mkString("\n") +
+          "\nfile end"
+      }.mkString("", "\n", "\nstream end")
+      val parsed = graft.sources.TraceSource.parseTrace(text).toList
+      assert(parsed.toSet === rows.toSet)
+      assert(parsed.size === rows.size)
+    }
+  }
+
+  test("index key truncation preserves prefix order for every key size (property)") {
+    val fpGen = Gen.listOfN(2, Gen.chooseNum(Long.MinValue, Long.MaxValue))
+      .map { case List(a, b) => f"$a%016x$b%016x" + "00000000" }
+    forAll(Gen.zip(Gen.listOfN(20, fpGen), Gen.chooseNum(1, 20))) {
+      case (fps, kb) =>
+        val full = fps.sorted
+        val trunc = full.map(IndexPresets.truncateKey(_, kb))
+        assert(trunc == trunc.sorted) // order-preserving
+        assert(trunc.forall(_.length == math.min(20, kb) * 2))
+    }
+  }
+
   test("segmenting assigns monotone non-decreasing contiguous ids (property)") {
     val fpSeqs: Gen[Seq[String]] = Gen.listOf(
       Gen.chooseNum(0, Int.MaxValue)).map(_.map(i => f"$i%040x"))
