@@ -1,0 +1,38 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.JaccardSorted
+
+/** Engine extensions: registers the native codegen'd expressions with the
+  * session so they are callable from SQL.
+  *
+  * spark-submit path:
+  *   `--conf spark.sql.extensions=graft.plans.GraftExtensions`
+  * programmatic path (e.g. an already-built session):
+  *   `GraftExtensions.register(spark)`
+  *
+  * `SELECT jaccard_sorted(a, b)` → exact Jaccard of two sorted distinct
+  * long arrays (the verify join's hot expression).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.jaccardSorted)
+}
+
+object GraftExtensions {
+
+  private val jaccardSorted = (
+    new FunctionIdentifier("jaccard_sorted"),
+    new ExpressionInfo(classOf[JaccardSorted].getName, "jaccard_sorted"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "jaccard_sorted(a, b) takes two array<long> args")
+      JaccardSorted(children.head, children(1))
+    })
+
+  /** Register on an existing session (same builder the extension injects). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      jaccardSorted._1, jaccardSorted._2, jaccardSorted._3)
+}
