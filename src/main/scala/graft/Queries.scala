@@ -788,6 +788,45 @@ object Queries {
     out
   }
 
+  /** S4 FSL hashfile round trip: the documents chunk stream is written as
+    * a v7 VARIABLE/SHA-1 hashfile (the binary SNIA/FSL trace format the
+    * reference replays via libhashfile) and read back; output is the
+    * read-back aggregate plus a strict set-equality flag (rows-only: the
+    * hashfile carries SHA-1 fps, not SQL-recomputable). Byte-level parity
+    * with the reference's own writer is gated in FslSourceSpec against a
+    * fixture generated by compiled reference C (scripts/fsl_fixture.md).
+    */
+  def dFslRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val files = t(spark, dir, "documents")
+      .select(col("source").as("repo"),
+        concat(lit("doc/"), col("doc_id")).as("path"),
+        lit("0").as("commit"), col("lang"), col("text").as("content"))
+      .as[CorpusFile]
+    val cfg = DedupConfig(chunker = graft.chunking.ChunkerConfig("fixed", avgSize = 256))
+    val chunks = DedupPipeline.chunkTableDF(DedupPipeline.featurize(files, cfg).toDF())
+      .select(concat_ws("@", col("repo"), col("path")).as("path"),
+        col("chunkIdx"), col("fp"), col("size"))
+      .persist()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fsl")
+    val f = tmp.resolve("docs.hashfile").toString
+    graft.sources.FslSource.write(chunks, f, rootPath = "/graft", sysid = "graft")
+    val back = graft.sources.FslSource.read(spark, tmp.toString)
+      .select(col("path"), col("chunkIdx").cast("int").as("chunkIdx"),
+        col("fp"), col("size").cast("int").as("size"))
+      .persist()
+    val ok = chunks.except(back).isEmpty && back.except(chunks).isEmpty
+    val out = back.agg(
+      countDistinct(col("path")).as("files"),
+      count(lit(1)).as("chunks"),
+      sum(col("size")).cast("long").as("bytes"),
+      countDistinct(col("fp")).as("unique_fps"))
+      .withColumn("roundtrip_ok", lit(ok))
+      .localCheckpoint(true)
+    chunks.unpersist(); back.unpersist()
+    out
+  }
+
   /** SimHash near-dup candidate pairs over documents. Rows-only by
     * necessity: the 64-bit SimHash derives from gear micro-shingles, which
     * no SQL engine can recompute — DuckDB's bit_count could check the
@@ -1028,6 +1067,7 @@ object Queries {
     "g_compaction_plan" -> (gCompactionPlan _),
     "d_restore_verify" -> (dRestoreVerify _),
     "d_trace_roundtrip" -> (dTraceRoundtrip _),
+    "d_fsl_roundtrip" -> (dFslRoundtrip _),
     "d_simhash_pairs" -> (dSimhashPairs _),
     "d_lcs_pairs" -> (dLcsPairs _),
     "m_media_stats" -> (mMediaStats _),
