@@ -688,6 +688,62 @@ object Queries {
       .withColumnRenamed("clusterId", "cluster_id")
   }
 
+  /** End-to-end near-dup CLUSTERING with a full DuckDB oracle — the
+    * flagship pipeline's exact shape (shingle → banded MinHash → LSH
+    * buckets → hub-star candidate linearization → exact-Jaccard verify →
+    * iterative connected components) re-expressed over SQL-recomputable
+    * hashing (md5 band hashes over distinct 8-grams) so every stage,
+    * including the CC fixpoint, is value-checked against DuckDB (recursive
+    * CTE min-label closure).
+    *
+    * Scale notes (same properties as the production path):
+    *  - 1-row-per-band MinHash: band signature = min over grams of
+    *    md5(band:gram) — combinable aggregate, no per-doc state;
+    *  - hub-star per (band,sig) bucket: candidate edges are
+    *    (min-doc, member), LINEAR in bucket size — a boilerplate bucket of
+    *    10^6 docs yields 10^6 edges, never 10^12 pairs;
+    *  - verify threshold in pure integer arithmetic
+    *    (3·|∩| ≥ |A|+|B| ⇔ Jaccard ≥ 0.5) — no float-order drift;
+    *  - clustering via [[ConnectedComponents.run]] — the real iterative
+    *    min-label/pointer-jump job, here proven value-identical to the
+    *    declarative transitive closure.
+    */
+  def dMinhashCluster(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    val docs = d.select(col("doc_id"))
+    val grams = d.filter(length(col("text")) >= 8)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - 7)).as("i"))
+      .select(col("doc_id"), expr("substring(text, i, 8)").as("g"))
+      .distinct()
+    val nBands = 8
+    val sigs = grams
+      .select(col("doc_id"), col("g"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .select(col("doc_id"), col("band"),
+        md5(concat(col("band").cast("string"), lit(":"), col("g"))).as("h"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(min(col("h")).as("sig"))
+    val hubs = sigs.groupBy(col("band"), col("sig")).agg(min(col("doc_id")).as("hub"))
+    val cand = sigs.join(hubs, Seq("band", "sig"))
+      .filter(col("doc_id") =!= col("hub"))
+      .select(col("hub").as("a"), col("doc_id").as("b"))
+      .distinct()
+    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(grams.toDF("a", "g"), Seq("a"))
+      .join(grams.toDF("b", "g"), Seq("b", "g"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("inter"))
+    val edges = inter
+      .join(sizes.toDF("a", "na"), Seq("a"))
+      .join(sizes.toDF("b", "nb"), Seq("b"))
+      .filter(col("inter") * 3 >= col("na") + col("nb"))
+      .select(col("a"), col("b"))
+    ConnectedComponents.run(docs.toDF("fileId"), edges)
+      .select(col("fileId").as("doc_id"), col("clusterId").as("cluster_id"))
+  }
+
   /** Chunk-level dedup stats over documents (destor metrics contract,
     * rows-only: CDC not SQL-expressible).
     */
@@ -1082,6 +1138,7 @@ object Queries {
     "d_rollup_stats" -> (dRollupStats _),
     "d_fingerprint" -> (dFingerprint _),
     "d_doc_clusters" -> (dDocClusters _),
+    "d_minhash_cluster" -> (dMinhashCluster _),
     "d_chunk_stats" -> (dChunkStats _),
     "e_ann_topk" -> (eAnnTopK _),
     "e_ivf_topk" -> (eIvfTopK _),
@@ -1437,6 +1494,43 @@ object Queries {
       """SELECT lang, source, count(*) AS docs,
         |  CAST(sum(length(text)) AS BIGINT) AS chars
         |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
+    // end-to-end clustering oracle: banded md5 MinHash → hub-star buckets
+    // → integer-arithmetic Jaccard verify → recursive-CTE min-label
+    // closure ≡ the Spark job's iterative connected components
+    "d_minhash_cluster" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 8),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 8) AS g
+        |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 7)) AS i FROM d)),
+        |bands AS (SELECT unnest(generate_series(0, 7)) AS band),
+        |sigs AS (
+        |  SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || ':' || g)) AS sig
+        |  FROM grams, bands GROUP BY doc_id, band),
+        |hubs AS (SELECT band, sig, min(doc_id) AS hub FROM sigs GROUP BY band, sig),
+        |cand AS (
+        |  SELECT DISTINCT h.hub AS a, s.doc_id AS b
+        |  FROM sigs s JOIN hubs h USING (band, sig) WHERE s.doc_id <> h.hub),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.a, c.b, count(*) AS inter
+        |  FROM cand c
+        |  JOIN grams ga ON ga.doc_id = c.a
+        |  JOIN grams gb ON gb.doc_id = c.b AND gb.g = ga.g
+        |  GROUP BY c.a, c.b),
+        |edges AS (
+        |  SELECT i.a, i.b FROM inter i
+        |  JOIN sizes sa ON sa.doc_id = i.a
+        |  JOIN sizes sb ON sb.doc_id = i.b
+        |  WHERE 3 * i.inter >= sa.n + sb.n),
+        |sym AS (SELECT a AS x, b AS y FROM edges UNION SELECT b, a FROM edges),
+        |reach(node, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT s.y, r.label FROM reach r JOIN sym s ON s.x = r.node
+        |  WHERE r.label < s.y)
+        |SELECT node AS doc_id, min(label) AS cluster_id
+        |FROM reach GROUP BY node""".stripMargin,
     "e_ann_topk" -> annBruteSql,
     // full-probe IVF must reproduce brute force exactly (losslessness proof)
     "e_ivf_topk" -> annBruteSql,

@@ -25,4 +25,21 @@ class QueriesSpec extends AnyFunSuite {
   test("entry returns clusters") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("d_minhash_cluster groups exact and near dups, separates unrelated") {
+    import spark.implicits._
+    val base = "The quick brown fox jumps over the lazy dog. " * 8
+    val near = base.replace("lazy dog", "idle dog")
+    val other = "Entirely different content about spark shuffles. " * 8
+    val tmp = java.nio.file.Files.createTempDirectory("mhc").toString
+    Seq((0L, base), (1L, base), (2L, near), (3L, other))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Queries.dMinhashCluster(spark, tmp)
+      .as[(Long, Long)].collect().toMap
+    assert(got(0L) === got(1L), "exact dups must share a cluster")
+    assert(got(0L) === got(2L), "near dup (1-word edit) must join the cluster")
+    assert(got(3L) !== got(0L), "unrelated doc must stay out")
+    assert(got.size === 4)
+  }
 }
