@@ -339,7 +339,11 @@ object Queries {
       .withColumn("cfl", round(col("cfl"), 6))
   }
 
-  /** W9 Belady-OPT restore-cache simulation per stream (rows-only). */
+  /** W9 Belady-OPT restore-cache simulation per stream, DuckDB-oracled:
+    * the oracle replays the eviction sequence with a recursive CTE whose
+    * state is a LIST of (container, next-use) structs — see the oracle SQL
+    * comment for the staleness-free invariant that makes this exact.
+    */
   def rRestoreOpt(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     RestoreSim.simulate(
@@ -350,11 +354,19 @@ object Queries {
       .withColumn("cfl", round(col("cfl"), 6))
   }
 
-  /** W8 forward-assembly restore simulation per stream (rows-only). */
+  /** W8 forward-assembly restore simulation per stream, DuckDB-oracled:
+    * chunk sizes are scaled ×65536 so the (cacheSize-1)·4 MiB assembly
+    * area actually fills and flushes every ~10-25 chunks — the greedy
+    * area packing (a data-dependent running-sum reset, no closed window
+    * form) is replayed in the oracle by a recursive CTE stepping each
+    * stream row by row, then reads = count(distinct (area, container)).
+    */
   def rRestoreAsm(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     RestoreSim.simulate(
-      recipeFromLineitem(spark, dir).withColumn("stream", col("stream").cast("string")),
+      recipeFromLineitem(spark, dir)
+        .withColumn("stream", col("stream").cast("string"))
+        .withColumn("size", (col("size") * 65536).cast("int")),
       cacheSize = 8, policy = "asm")
       .toDF()
       .withColumn("speedFactor", round(col("speedFactor"), 6))
@@ -1322,6 +1334,79 @@ object Queries {
         |  ELSE CAST(floor(utilization * 10 + 1) AS INTEGER) END AS bucket,
         |  count(*) AS containers, CAST(sum(refBytes) AS BIGINT) AS bytes
         |FROM v GROUP BY 1""".stripMargin,
+    // greedy assembly-area packing is a data-dependent running-sum reset
+    // (no closed window form) — the oracle replays it row by row with a
+    // recursive CTE, one step per (stream, seq); area capacity =
+    // (cacheSize-1)·4 MiB = 29360128, sizes scaled ×65536 like the query
+    "r_restore_asm" ->
+      s"""WITH RECURSIVE r AS MATERIALIZED (
+        |  SELECT CAST(stream AS VARCHAR) AS stream, seq, containerId,
+        |    CAST(size AS BIGINT) * 65536 AS size
+        |  FROM ($recipeSql)),
+        |step(stream, seq, areaBytes, areaId) AS (
+        |  SELECT stream, seq, size, CAST(0 AS BIGINT) FROM r WHERE seq = 1
+        |  UNION ALL
+        |  SELECT r.stream, r.seq,
+        |    CASE WHEN s.areaBytes + r.size > 29360128 THEN r.size
+        |         ELSE s.areaBytes + r.size END,
+        |    CASE WHEN s.areaBytes + r.size > 29360128 THEN s.areaId + 1
+        |         ELSE s.areaId END
+        |  FROM step s JOIN r ON r.stream = s.stream AND r.seq = s.seq + 1),
+        |areas AS (
+        |  SELECT r.stream, r.containerId, r.size, s.areaId
+        |  FROM r JOIN step s ON s.stream = r.stream AND s.seq = r.seq),
+        |reads AS (
+        |  SELECT stream, count(*) AS containerReads
+        |  FROM (SELECT DISTINCT stream, areaId, containerId FROM areas)
+        |  GROUP BY stream),
+        |agg AS (
+        |  SELECT stream, count(*) AS chunks, CAST(sum(size) AS BIGINT) AS bytes
+        |  FROM areas GROUP BY stream)
+        |SELECT a.stream, a.chunks, a.bytes,
+        |  CAST(rd.containerReads AS BIGINT) AS containerReads,
+        |  round(a.bytes / 1048576.0 / rd.containerReads, 6) AS speedFactor,
+        |  round(ceil(a.bytes / 4194304.0) / rd.containerReads, 6) AS cfl
+        |FROM agg a JOIN reads rd ON rd.stream = a.stream""".stripMargin,
+    // Belady-OPT is sequential, but it IS oracle-able: the cache state
+    // rides the recursion as a LIST of (cid, nxt) structs where nxt is the
+    // container's next-use seq. nxt is refreshed on every access from the
+    // row's precomputed lead(), so between accesses it is never stale —
+    // eviction = max (nxt, cid), exactly the Scala sim's deterministic
+    // tie-break (RestoreSim.optStats). AS MATERIALIZED keeps the window
+    // CTE from re-running per iteration (13x).
+    "r_restore_opt" ->
+      s"""WITH RECURSIVE r AS MATERIALIZED (
+        |  SELECT CAST(stream AS VARCHAR) AS stream, seq, containerId,
+        |    CAST(size AS BIGINT) AS size,
+        |    coalesce(lead(seq) OVER (PARTITION BY stream, containerId ORDER BY seq),
+        |             9223372036854775807) AS nxt
+        |  FROM ($recipeSql)),
+        |step(stream, seq, cache, reads) AS (
+        |  SELECT stream, seq, [struct_pack(cid := containerId, nxt := nxt)],
+        |    CAST(1 AS BIGINT)
+        |  FROM r WHERE seq = 1
+        |  UNION ALL
+        |  SELECT r.stream, r.seq,
+        |    CASE WHEN list_contains(list_transform(s.cache, e -> e.cid), r.containerId)
+        |         THEN list_transform(s.cache, e -> CASE WHEN e.cid = r.containerId
+        |              THEN struct_pack(cid := e.cid, nxt := r.nxt) ELSE e END)
+        |         WHEN len(s.cache) < 8
+        |         THEN list_append(s.cache, struct_pack(cid := r.containerId, nxt := r.nxt))
+        |         ELSE list_append(list_filter(s.cache, e -> e.cid !=
+        |           list_reduce(s.cache, (a, b) -> CASE WHEN b.nxt > a.nxt
+        |             OR (b.nxt = a.nxt AND b.cid > a.cid) THEN b ELSE a END).cid),
+        |           struct_pack(cid := r.containerId, nxt := r.nxt)) END,
+        |    s.reads + CASE WHEN list_contains(list_transform(s.cache, e -> e.cid), r.containerId)
+        |              THEN 0 ELSE 1 END
+        |  FROM step s JOIN r ON r.stream = s.stream AND r.seq = s.seq + 1),
+        |final AS (SELECT stream, max_by(reads, seq) AS containerReads FROM step GROUP BY stream),
+        |agg AS (SELECT stream, count(*) AS chunks, CAST(sum(size) AS BIGINT) AS bytes
+        |        FROM r GROUP BY stream)
+        |SELECT a.stream, a.chunks, a.bytes,
+        |  CAST(f.containerReads AS BIGINT) AS containerReads,
+        |  round(a.bytes / 1048576.0 / f.containerReads, 6) AS speedFactor,
+        |  round(ceil(a.bytes / 4194304.0) / f.containerReads, 6) AS cfl
+        |FROM agg a JOIN final f ON f.stream = a.stream""".stripMargin,
     "r_restore_lru" ->
       s"""WITH r AS ($recipeSql),
         |x AS (SELECT stream AS skey, CAST(stream AS VARCHAR) AS stream_s,
