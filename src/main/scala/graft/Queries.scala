@@ -756,8 +756,12 @@ object Queries {
       .select(col("fileId").as("doc_id"), col("clusterId").as("cluster_id"))
   }
 
-  /** Chunk-level dedup stats over documents (destor metrics contract,
-    * rows-only: CDC not SQL-expressible).
+  /** Chunk-level dedup stats over documents (destor metrics contract),
+    * DuckDB-oracled: the fixed-256 boundaries are recomputed
+    * arithmetically (boundary parity separately proven per chunk by
+    * [[dFixedChunks]]'s sha256 oracle), unique_chunks counts distinct
+    * chunk CONTENT — equal to the Spark side's distinct-SHA-1 count —
+    * and zero_chunks replays the all-NUL detector on the text slices.
     */
   def dChunkStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1579,6 +1583,21 @@ object Queries {
       """SELECT lang, source, count(*) AS docs,
         |  CAST(sum(length(text)) AS BIGINT) AS chars
         |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
+    // distinct SHA-1 fps ≡ distinct chunk contents (collision-free in any
+    // test corpus); boundaries arithmetic like d_fixed_chunks
+    "d_chunk_stats" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents WHERE length(text) > 0),
+        |chunks AS (
+        |  SELECT substr(text, CAST(i * 256 + 1 AS INTEGER), 256) AS content,
+        |    CAST(least(256, len - i * 256) AS BIGINT) AS size
+        |  FROM (SELECT doc_id, text, len,
+        |          unnest(generate_series(0, CAST(ceil(len / 256.0) AS BIGINT) - 1)) AS i
+        |        FROM d))
+        |SELECT count(*) AS total_chunks,
+        |  count(DISTINCT content) AS unique_chunks,
+        |  CAST(sum(size) AS BIGINT) AS total_bytes,
+        |  CAST(sum(CASE WHEN content = repeat(chr(0), CAST(size AS INTEGER)) THEN 1 ELSE 0 END) AS BIGINT) AS zero_chunks
+        |FROM chunks""".stripMargin,
     // end-to-end clustering oracle: banded md5 MinHash → hub-star buckets
     // → integer-arithmetic Jaccard verify → recursive-CTE min-label
     // closure ≡ the Spark job's iterative connected components
