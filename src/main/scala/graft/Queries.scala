@@ -614,9 +614,19 @@ object Queries {
     val gramDf = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val rare = grams.join(gramDf.filter(col("df") <= NgramDfCap).select(col("g")), Seq("g"))
     val sizes = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = rare.as("x").join(rare.as("y"),
-        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    // pair generation via one groupBy + bounded C(n,2) explode instead of a
+    // second shuffle of the full gram table for a self-join: collect_list
+    // here is skew-safe BY CONSTRUCTION — every group is a DF-capped gram,
+    // so lists are ≤ NgramDfCap elements (the cap is enforced upstream,
+    // where the count is a combinable aggregate, never a list build)
+    val inter = rare
+      .groupBy(col("g")).agg(collect_list(col("doc_id")).as("ds"))
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds)), y ->
+          |    named_struct('a', least(x, y), 'b', greatest(x, y)))))""".stripMargin)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), Seq("a"))
