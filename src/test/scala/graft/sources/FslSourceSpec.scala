@@ -83,6 +83,58 @@ class FslSourceSpec extends AnyFunSuite {
       FslChunk("z/late.bin", 307, 1, "bb" * 20, "bb" * 20, 7, 0)))
   }
 
+  test("v3 hashfile: 64-bit chunk sizes, 20-byte file headers, no cratio") {
+    val hashBytes = 16 // MD5
+    val path = "old/v3"
+    val buf = java.nio.ByteBuffer.allocate(8288 + 20 + path.length + 2 * (8 + hashBytes))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(0xDEADDEAD); buf.putInt(3)
+    buf.putLong(1L) // files
+    buf.put(new Array[Byte](4096)) // path_root
+    buf.putLong(2L) // chunks
+    buf.putInt(FslSource.Variable); buf.put(new Array[Byte](44))
+    buf.putInt(FslSource.Md5); buf.putInt(128)
+    buf.put(new Array[Byte](4096)) // sysid
+    buf.putLong(0L); buf.putLong(0L) // start/end (v3 header ends here)
+    // file_header_v2: size, chunks, pathlen
+    buf.putLong(300L); buf.putLong(2L); buf.putInt(path.length)
+    buf.put(path.getBytes("UTF-8"))
+    // chunks: u64 size + 16-byte hash, NO cratio
+    buf.putLong(200L); buf.put(Array.fill[Byte](16)(0x11))
+    buf.putLong(100L); buf.put(Array.fill[Byte](16)(0x22))
+    val got = FslSource.parse(buf.array()).toList
+    assert(got === List(
+      FslChunk(path, 300, 0, "11" * 16 + "00" * 4, "11" * 16, 200, 0),
+      FslChunk(path, 300, 1, "22" * 16 + "00" * 4, "22" * 16, 100, 0)))
+  }
+
+  test("v5 FIXED chunking: sizes derived from chunk_size with the tail rule") {
+    val hashBytes = 20
+    val path = "fx"
+    val buf = java.nio.ByteBuffer.allocate(8296 + 96 + path.length + 3 * hashBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(0xDEADDEAD); buf.putInt(5)
+    buf.putLong(1L); buf.put(new Array[Byte](4096))
+    buf.putLong(3L)
+    buf.putInt(FslSource.Fixed)
+    buf.putInt(100) // fixed_params.chunk_size heads the union
+    buf.put(new Array[Byte](40))
+    buf.putInt(FslSource.Sha1); buf.putInt(160)
+    buf.put(new Array[Byte](4096))
+    buf.putLong(0L); buf.putLong(0L); buf.putLong(250L) // bytes (v5 header)
+    // file_header_v4: size 250 → chunks 100, 100, 50 (tail)
+    buf.putLong(250L); buf.putLong(0L); buf.putInt(0); buf.putInt(0)
+    buf.putLong(0x8000L); buf.putLong(0L); buf.putLong(0L); buf.putLong(0L)
+    buf.putLong(1L); buf.putLong(0L); buf.putLong(0L)
+    buf.putLong(3L); buf.putInt(path.length); buf.putInt(0)
+    buf.put(path.getBytes("UTF-8"))
+    (1 to 3).foreach(i => buf.put(Array.fill[Byte](20)((i * 0x11).toByte)))
+    val got = FslSource.parse(buf.array()).toList
+    assert(got.map(_.size) === List(100L, 100L, 50L))
+    assert(got.map(_.cratio) === List(0, 0, 0)) // v5 < v6: no cratio bytes
+    assert(got.head.fp === "11" * 20)
+  }
+
   test("destor fp padding: short hashes (MD5-48) pad to 40-hex like backup.c") {
     // synthesize a minimal v7 header + one file with a 6-byte hash
     val hashBytes = 6
