@@ -113,4 +113,56 @@ object StreamIngest {
       .select(col("window.start").as("window_start"),
         col("events"), col("total_value"))
   }
+
+  /** Per-fingerprint dedup state for [[dedupStream]]: where the chunk was
+    * first written and how many duplicates arrived since.
+    */
+  final case class FpState(firstFile: String, firstBatchSeq: Long, dups: Long)
+
+  /** One streamed chunk occurrence (seq = arrival order within the file,
+    * used only for the deterministic first-writer tie-break).
+    */
+  final case class ChunkEvent(fp: String, file: String, seq: Long, size: Int)
+
+  final case class DedupDecision(fp: String, file: String, size: Int,
+      unique: Boolean, dupsSoFar: Long)
+
+  /** J1 dedup lookup as a STATEFUL streaming operator
+    * (flatMapGroupsWithState): chunks grouped by fingerprint; keyed
+    * GroupState holds the first writer, so across micro-batches exactly
+    * one occurrence per fp is emitted `unique = true` and every later one
+    * is marked duplicate with a running count — destor's fingerprint-index
+    * hit path (reference src/index/index.c:264-273) with the kv store
+    * replaced by Spark's managed state store (checkpointed, versioned —
+    * the resume story comes free).
+    *
+    * Scale notes: state is per-fp O(1) and hash-partitioned by key across
+    * executors; no timeout is set because a dedup index never expires —
+    * at 100 TB you'd back this with RocksDB state store, same code.
+    * Within one micro-batch the iterator is folded in (file, seq) order so
+    * the first writer is deterministic regardless of shuffle arrival.
+    */
+  def dedupStream(chunks: Dataset[ChunkEvent]): Dataset[DedupDecision] = {
+    import chunks.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    chunks
+      .groupByKey(_.fp)
+      .flatMapGroupsWithState[FpState, DedupDecision](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (fp: String, events: Iterator[ChunkEvent], state: GroupState[FpState]) =>
+          val ordered = events.toSeq.sortBy(e => (e.file, e.seq))
+          var st = state.getOption.orNull
+          val out = ordered.map { e =>
+            if (st == null) {
+              st = FpState(e.file, e.seq, 0L)
+              DedupDecision(fp, e.file, e.size, unique = true, 0L)
+            } else {
+              st = st.copy(dups = st.dups + 1)
+              DedupDecision(fp, e.file, e.size, unique = false, st.dups)
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
 }

@@ -95,4 +95,32 @@ class StreamIngestSpec extends AnyFunSuite {
       .as[(Long, Double)].collect()
     assert(rows.take(2).toSeq === Seq((2L, 3.0), (1L, 5.0)))
   }
+
+  test("stateful dedup stream: first writer wins across micro-batches") {
+    import StreamIngest.{ChunkEvent, DedupDecision}
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[ChunkEvent]
+    val out = StreamIngest.dedupStream(stream.toDS())
+    val q = out.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    // batch 1: fp A seen twice (within-batch dup), fp B once
+    stream.addData(
+      ChunkEvent("A", "f1", 0, 10), ChunkEvent("A", "f2", 0, 10),
+      ChunkEvent("B", "f1", 1, 20))
+    q.processAllAvailable()
+    // batch 2: A again (cross-batch dup — state must remember f1), C new
+    stream.addData(ChunkEvent("A", "f3", 0, 10), ChunkEvent("C", "f3", 1, 30))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT fp, file, unique, dupsSoFar FROM sdedup")
+      .as[(String, String, Boolean, Long)].collect().toSet
+    assert(rows === Set(
+      ("A", "f1", true, 0L),   // deterministic first writer (min file,seq)
+      ("A", "f2", false, 1L),
+      ("B", "f1", true, 0L),
+      ("A", "f3", false, 2L),  // state survived the micro-batch boundary
+      ("C", "f3", true, 0L)))
+    // exactly one unique emission per fingerprint
+    assert(rows.toSeq.filter(_._3).map(_._1).sorted === Seq("A", "B", "C"))
+  }
 }
