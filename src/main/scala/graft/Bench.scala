@@ -13,13 +13,16 @@ object Bench {
   /** Headline subset: the shuffle/window/join-heavy operators plus the
     * flagship pipeline-on-documents query. Round-1 names kept stable for
     * round-over-round comparison; round 2 adds the scalable embedding
-    * dedup and the uncapped rare-gram Jaccard join.
+    * dedup and the uncapped rare-gram Jaccard join. (d_minhash_cluster is
+    * deliberately NOT here: its md5 band hashing exists for DuckDB
+    * replayability, not production speed — the production clustering
+    * path benched is d_doc_clusters/dedup_pipeline.)
     */
   val headline: Seq[String] = Seq(
     "q1_agg", "q_first_writer", "q_topk_per_group", "q_cum_packing",
     "q_broadcast_join", "q_distinct_agg", "q_lru_stack", "q_min_sample",
     "q_segment_bounds", "d_exact_dedup", "d_ngram_shingles", "d_fingerprint",
-    "d_doc_clusters", "d_minhash_cluster", "e_ann_topk", "e_lsh_buckets",
+    "d_doc_clusters", "e_ann_topk", "e_lsh_buckets",
     "e_lsh_dedup", "d_ngram_jaccard_pairs", "q_quantile")
 
   /** Materialize the synthetic corpus as a parquet table once (this is

@@ -420,14 +420,22 @@ object DedupPipeline {
     * with exact Jaccard ≥ τ. Two shuffles (one per side); the shingle
     * arrays are the only payload moved.
     */
+  /** Hub-star linearization makes the `a` join key deliberately hot (one
+    * hub fronts a whole mega-bucket), so the a-side signature lookup goes
+    * through the hot-key split join: hub signatures broadcast, the star's
+    * million rows never shuffle. The b side stays a plain join — spokes
+    * are distinct within a bucket, so no single b dominates.
+    */
   def verifiedPairs(pairs: DataFrame, features: Dataset[FileSig],
-      cfg: DedupConfig): DataFrame = {
+      cfg: DedupConfig, hotKeyThreshold: Long = 100000L): DataFrame = {
     val spark = features.sparkSession
     import spark.implicits._
     val sets = features.select($"fileId", $"shingles")
     val tau = cfg.shingle.tau
-    pairs
-      .join(sets.withColumnRenamed("fileId", "a").withColumnRenamed("shingles", "sa"), Seq("a"))
+    graft.operators.SkewJoin.lookupJoin(
+        pairs,
+        sets.withColumnRenamed("fileId", "a").withColumnRenamed("shingles", "sa"),
+        "a", hotKeyThreshold)
       .join(sets.withColumnRenamed("fileId", "b").withColumnRenamed("shingles", "sb"), Seq("b"))
       .withColumn("jaccard", graft.functions.JaccardSorted($"sa", $"sb"))
       .filter($"jaccard" >= tau)
