@@ -96,7 +96,30 @@ object Bench {
       }
     }
 
-    val (nFiles, pipeSec) = runPipeline(spark, nBases)
+    // The pipeline leg runs in a FRESH session — the same methodology as
+    // BenchScaling.once — because the query sweep leaves session state
+    // (lingering localCheckpoint blocks, shuffle files, codegen classes,
+    // a pressured heap) that was measured to swing the pipeline sample
+    // up to 5x. Warm-up run + best-of-2 per the BASELINE.md noise rules:
+    // single samples on this shared host swing 2-5x with co-tenant bursts.
+    spark.stop()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark2 = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", s"${8 * 1024 * 1024}")
+      .getOrCreate()
+    spark2.sparkContext.setLogLevel("WARN")
+    runPipeline(spark2, math.max(nBases / 10, 1000)) // JIT/codegen warm-up
+    val (nFiles, pipeSec) = {
+      val a = runPipeline(spark2, nBases)
+      val b = runPipeline(spark2, nBases)
+      if (a._2 <= b._2) a else b
+    }
     val filesPerSec = nFiles / pipeSec
 
     val qs = (results.map { case (k, (s, _)) => s""""$k":$s""" } :+
@@ -113,6 +136,6 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
-    spark.stop()
+    spark2.stop()
   }
 }
