@@ -598,6 +598,22 @@ object Queries {
     */
   private val NgramDfCap = 32
 
+  /** Distinct (doc_id, gram) rows with grams hashed to 64-bit via
+    * xxhash64 immediately after the substring: every downstream shuffle
+    * (distinct, DF count, join, pair groupBy) then carries 8-byte longs
+    * instead of 8-char strings — the hashing a 100 TB run would do, and
+    * Jaccard only needs gram EQUALITY, never the gram text (collision
+    * odds at 2^64 are negligible and the DuckDB string-side oracle stays
+    * green).
+    */
+  private def hashedGrams(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").filter(length(col("text")) >= 8)
+    d.select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - 7)).as("i"))
+      .select(col("doc_id"), xxhash64(expr("substring(text, i, 8)")).as("g"))
+      .distinct()
+  }
+
   /** Pairwise rare-gram Jaccard near-dup scores (exact, SQL-expressible):
     * distinct 8-grams per doc, grams with document frequency ≤
     * [[NgramDfCap]] kept, intersection via self-join on gram; set sizes
@@ -605,14 +621,14 @@ object Queries {
     * documents — no hardcoded id cap; the DF cap is what bounds the join.
     */
   def dNgramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val d = t(spark, dir, "documents").filter(length(col("text")) >= 8)
-    val grams = d
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")) - 7)).as("i"))
-      .select(col("doc_id"), expr("substring(text, i, 8)").as("g"))
-      .distinct()
+    val grams = hashedGrams(spark, dir)
     val gramDf = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    val rare = grams.join(gramDf.filter(col("df") <= NgramDfCap).select(col("g")), Seq("g"))
+    // materialized once: both the per-doc sizes and the per-gram pair
+    // lists branch from it — without this the gram distinct + DF join
+    // subtree recomputes per branch (measured 2× the query's cost)
+    val rare = grams
+      .join(gramDf.filter(col("df") <= NgramDfCap).select(col("g")), Seq("g"))
+      .localCheckpoint(true)
     val sizes = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // pair generation via one groupBy + bounded C(n,2) explode instead of a
     // second shuffle of the full gram table for a self-join: collect_list
@@ -628,6 +644,8 @@ object Queries {
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("inter"))
+    // sizes scales with the corpus (one row per doc) so it is NOT force-
+    // broadcast; AQE picks broadcast at test scale, shuffle join at 100 TB
     inter
       .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), Seq("a"))
       .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), Seq("b"))
@@ -641,13 +659,7 @@ object Queries {
     * distinct grams the cap keeps vs drops, and the hottest gram's DF.
     */
   def dNgramDfStats(spark: SparkSession, dir: String): DataFrame = {
-    val d = t(spark, dir, "documents").filter(length(col("text")) >= 8)
-    val grams = d
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")) - 7)).as("i"))
-      .select(col("doc_id"), expr("substring(text, i, 8)").as("g"))
-      .distinct()
-    grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    hashedGrams(spark, dir).groupBy(col("g")).agg(count(lit(1)).as("df"))
       .agg(count(lit(1)).as("distinct_grams"),
         sum(when(col("df") <= NgramDfCap, 1L).otherwise(0L)).as("kept_grams"),
         sum(when(col("df") > NgramDfCap, 1L).otherwise(0L)).as("hot_grams"),
@@ -1003,12 +1015,9 @@ object Queries {
     val queries = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
     val cands = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("v"))
-    val dot = expr("aggregate(zip_with(q, v, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, z) -> acc + z)")
-    val nq = expr("aggregate(q, cast(0.0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double))")
-    val nv = expr("aggregate(v, cast(0.0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double))")
     val joined = queries.crossJoin(cands)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", dot / (sqrt(nq) * sqrt(nv)))
+      .withColumn("cosine", graft.functions.CosineSim(col("q"), col("v")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     joined.withColumn("rk", row_number().over(w).cast("long"))
@@ -1037,13 +1046,10 @@ object Queries {
     val e = t(spark, dir, "embeddings").filter(col("vec_id") < 200)
     val l = e.select(col("vec_id").as("a"), col("embedding").as("q"))
     val r = e.select(col("vec_id").as("b"), col("embedding").as("v"))
-    val dot = expr("aggregate(zip_with(q, v, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, z) -> acc + z)")
-    val nq = expr("aggregate(q, cast(0.0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double))")
-    val nv = expr("aggregate(v, cast(0.0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double))")
     val w = Window.partitionBy(col("a"))
       .orderBy(col("cosine").desc, col("b"))
     l.join(r, col("a") =!= col("b"))
-      .withColumn("cosine", dot / (sqrt(nq) * sqrt(nv)))
+      .withColumn("cosine", graft.functions.CosineSim(col("q"), col("v")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("a").as("vec_id"), col("b").as("nearest"),

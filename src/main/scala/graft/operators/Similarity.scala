@@ -74,15 +74,12 @@ object Similarity {
     // it instead of recomputing candidate generation twice
     val pairs = coldPairs.union(hotPairs).distinct().localCheckpoint(true)
     val sym = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
-    val dot = expr("aggregate(zip_with(q, v, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, z) -> acc + z)")
-    val nq = expr("aggregate(q, cast(0.0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double))")
-    val nv = expr("aggregate(v, cast(0.0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double))")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("a")).orderBy(col("cosine").desc, col("b"))
     sym
       .join(e.select(col("vec_id").as("a"), col("embedding").as("q")), Seq("a"))
       .join(e.select(col("vec_id").as("b"), col("embedding").as("v")), Seq("b"))
-      .withColumn("cosine", dot / (sqrt(nq) * sqrt(nv)))
+      .withColumn("cosine", graft.functions.CosineSim(col("q"), col("v")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("a").as("vec_id"), col("b").as("nearest"),
@@ -184,13 +181,11 @@ object Similarity {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    val cosUdf = udf((a: Seq[Float], b: Seq[Float]) =>
-      cosine(a.toArray, b.toArray))
     val out = queries
       .join(assigned.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("v"), col("listId")), Seq("listId"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosUdf(col("q"), col("v")))
+      .withColumn("cos", graft.functions.CosineSim(col("q"), col("v")))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rk"),

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.JaccardSorted
+import graft.functions.{CosineSim, JaccardSorted}
 
 /** Engine extensions: registers the native codegen'd expressions with the
   * session so they are callable from SQL.
@@ -17,8 +17,10 @@ import graft.functions.JaccardSorted
   * long arrays (the verify join's hot expression).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.jaccardSorted)
+    ext.injectFunction(GraftExtensions.cosineSim)
+  }
 }
 
 object GraftExtensions {
@@ -31,8 +33,19 @@ object GraftExtensions {
       JaccardSorted(children.head, children(1))
     })
 
+  private val cosineSim = (
+    new FunctionIdentifier("cosine_sim"),
+    new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "cosine_sim(a, b) takes two numeric-array args")
+      CosineSim(children.head, children(1))
+    })
+
   /** Register on an existing session (same builder the extension injects). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       jaccardSorted._1, jaccardSorted._2, jaccardSorted._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      cosineSim._1, cosineSim._2, cosineSim._3)
+  }
 }

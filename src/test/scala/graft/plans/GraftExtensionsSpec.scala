@@ -23,4 +23,33 @@ class GraftExtensionsSpec extends AnyFunSuite {
     // wrong arity fails at analysis, not at runtime
     intercept[Exception](spark.sql("SELECT jaccard_sorted(array(1L))").collect())
   }
+
+  test("cosine_sim matches the scalar implementation and is SQL-callable") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vecs = Seq.fill(20)(Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val pairs = df.as("a").join(df.as("b"),
+        org.apache.spark.sql.functions.col("a.id") <
+          org.apache.spark.sql.functions.col("b.id"))
+      .select(org.apache.spark.sql.functions.col("a.id").as("i"),
+        org.apache.spark.sql.functions.col("b.id").as("j"),
+        graft.functions.CosineSim(
+          org.apache.spark.sql.functions.col("a.v"),
+          org.apache.spark.sql.functions.col("b.v")).as("c"))
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.length === 190)
+    pairs.foreach { case (i, j, c) =>
+      val exp = graft.operators.Similarity.cosine(vecs(i.toInt), vecs(j.toInt))
+      assert(math.abs(c - exp) < 1e-12, s"pair ($i,$j)")
+    }
+    // SQL path, double arrays, self-similarity = 1
+    val one = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 2.0D), array(1.0D, 2.0D)) AS c")
+      .as[Double].head()
+    assert(math.abs(one - 1.0) < 1e-12)
+    intercept[Exception](spark.sql("SELECT cosine_sim(array(1.0D))").collect())
+  }
 }
