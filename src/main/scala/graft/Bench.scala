@@ -50,18 +50,26 @@ object Bench {
     val files = spark.read.parquet(corpusPath(spark, nBases))
       .as[graft.corpus.CorpusFile]
     val t0 = System.nanoTime()
-    // one featurize pass, cached columnar; downstream reads prune columns
+    // one featurize pass, cached columnar while the chunk stats and the
+    // narrow signature projection are taken from it
     val fdf = DedupPipeline.featurize(files, cfg).toDF().persist()
     val nFiles = fdf.count()
     // destor-parity dedup ratio over the chunk stream
     DedupPipeline.chunkTableDF(fdf)
       .agg(count(lit(1)), sum($"size"), countDistinct($"fp")).collect()
+    // clustering re-reads the signatures ~5× (banding, two verify joins,
+    // exact edges, vertices): cache ONLY the narrow projection and free
+    // the wide chunk-bearing cache before the shuffle-heavy phase — the
+    // wide blocks otherwise crowd the storage pool exactly when the
+    // shuffles need the memory
     val sigs = fdf.select($"fileId", $"sha256", $"shingles", $"minhash")
-      .as[graft.pipeline.FileSig]
+      .as[graft.pipeline.FileSig].persist()
+    sigs.count()
+    fdf.unpersist()
     val clusters = DedupPipeline.clusterSigs(sigs, cfg)
     clusters.count()
     val dt = (System.nanoTime() - t0) / 1e9
-    fdf.unpersist()
+    sigs.unpersist()
     (nFiles, dt)
   }
 
