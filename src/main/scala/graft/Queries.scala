@@ -674,6 +674,36 @@ object Queries {
         sum(length(col("text")).cast("long")).as("chars"))
   }
 
+  /** End-to-end corpus curation — the canonical training-data pass
+    * composed from the individual operators: (1) quality gate (min length
+    * + min whitespace ratio, integer arithmetic only), (2) exact dedup
+    * over md5(text) keeping the lowest doc_id (the shuffle key is the
+    * fixed-width digest, never the text — bounded payload at 100 TB),
+    * (3) per-(lang, source) retention report: total docs, dropped by
+    * quality, dropped as duplicates, kept. Fully SQL-expressible; the
+    * DuckDB oracle replays all three stages.
+    */
+  def dCuration(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("n_spaces",
+        (length(col("text")) - length(regexp_replace(col("text"), " ", ""))).cast("long"))
+      .withColumn("quality_ok",
+        col("n_chars") >= 100 && col("n_spaces") * 100 >= col("n_chars") * 5)
+    val qok = d.filter(col("quality_ok")).withColumn("h", md5(col("text")))
+    val keep = qok.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+    val marked = qok.join(keep, Seq("h"))
+      .withColumn("is_dup", col("doc_id") =!= col("keep_id"))
+    val dupStats = marked.groupBy(col("lang"), col("source"))
+      .agg(sum(when(col("is_dup"), 1L).otherwise(0L)).as("drop_dup"),
+        sum(when(!col("is_dup"), 1L).otherwise(0L)).as("kept"))
+    d.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(when(!col("quality_ok"), 1L).otherwise(0L)).as("drop_quality"))
+      .join(dupStats, Seq("lang", "source"), "left")
+      .na.fill(0L, Seq("drop_dup", "kept"))
+  }
+
   /** Distinct character 5-gram shingles per document. */
   def dNgramShingles(spark: SparkSession, dir: String): DataFrame = {
     val d = t(spark, dir, "documents")
@@ -1168,6 +1198,7 @@ object Queries {
     "d_ngram_jaccard_pairs" -> (dNgramJaccardPairs _),
     "d_ngram_df_stats" -> (dNgramDfStats _),
     "d_rollup_stats" -> (dRollupStats _),
+    "d_curation" -> (dCuration _),
     "d_fingerprint" -> (dFingerprint _),
     "d_doc_clusters" -> (dDocClusters _),
     "d_minhash_cluster" -> (dMinhashCluster _),
@@ -1599,6 +1630,29 @@ object Queries {
       """SELECT lang, source, count(*) AS docs,
         |  CAST(sum(length(text)) AS BIGINT) AS chars
         |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
+    "d_curation" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source, text,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces
+        |  FROM documents),
+        |q AS (SELECT *, n_chars >= 100 AND n_spaces * 100 >= n_chars * 5 AS quality_ok FROM d),
+        |qok AS (SELECT *, md5(text) AS h FROM q WHERE quality_ok),
+        |keep AS (SELECT h, min(doc_id) AS keep_id FROM qok GROUP BY 1),
+        |marked AS (
+        |  SELECT qok.lang, qok.source, qok.doc_id <> keep.keep_id AS is_dup
+        |  FROM qok JOIN keep USING (h)),
+        |dup_stats AS (
+        |  SELECT lang, source,
+        |    CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS drop_dup,
+        |    CAST(sum(CASE WHEN is_dup THEN 0 ELSE 1 END) AS BIGINT) AS kept
+        |  FROM marked GROUP BY 1, 2)
+        |SELECT q.lang, q.source, count(*) AS docs,
+        |  CAST(sum(CASE WHEN quality_ok THEN 0 ELSE 1 END) AS BIGINT) AS drop_quality,
+        |  CAST(COALESCE(any_value(dup_stats.drop_dup), 0) AS BIGINT) AS drop_dup,
+        |  CAST(COALESCE(any_value(dup_stats.kept), 0) AS BIGINT) AS kept
+        |FROM q LEFT JOIN dup_stats ON q.lang = dup_stats.lang AND q.source = dup_stats.source
+        |GROUP BY 1, 2""".stripMargin,
     // distinct SHA-1 fps ≡ distinct chunk contents (collision-free in any
     // test corpus); boundaries arithmetic like d_fixed_chunks
     "d_chunk_stats" ->

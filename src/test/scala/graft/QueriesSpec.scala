@@ -42,4 +42,28 @@ class QueriesSpec extends AnyFunSuite {
     assert(got(3L) !== got(0L), "unrelated doc must stay out")
     assert(got.size === 4)
   }
+
+  test("d_curation partitions every doc into exactly one bucket") {
+    import spark.implicits._
+    val good = "spark shuffle partition " * 10 // 240 chars, 25% spaces
+    val tmp = java.nio.file.Files.createTempDirectory("cur").toString
+    Seq(
+      (0L, "en", "s0", good),            // kept (first writer of good)
+      (1L, "en", "s0", good),            // exact dup of 0 -> drop_dup
+      (2L, "en", "s1", good),            // exact dup of 0 -> drop_dup
+      (3L, "en", "s0", "short"),         // quality: too short
+      (4L, "fr", "s1", "x".repeat(200)), // quality: no spaces
+      (5L, "fr", "s1", good + "tail"))   // kept (distinct text)
+      .toDF("doc_id", "lang", "source", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = Queries.dCuration(spark, tmp)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map { case (l, s, d, dq, dd, k) => (l, s) -> ((d, dq, dd, k)) }.toMap
+    assert(rows(("en", "s0")) === ((3L, 1L, 1L, 1L)))
+    assert(rows(("en", "s1")) === ((1L, 0L, 1L, 0L)))
+    assert(rows(("fr", "s1")) === ((2L, 1L, 0L, 1L)))
+    rows.values.foreach { case (docs, dq, dd, k) =>
+      assert(docs === dq + dd + k, "every doc lands in exactly one bucket")
+    }
+  }
 }
