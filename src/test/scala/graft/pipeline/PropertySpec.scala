@@ -135,4 +135,33 @@ class PropertySpec extends AnyFunSuite {
       if (segs.nonEmpty) assert(segs.head == 0L)
     }
   }
+
+  test("CosineSim: range, symmetry, scale invariance, self = 1 (property)") {
+    val vecs: Gen[Array[Float]] = for {
+      n <- Gen.chooseNum(1, 96)
+      seed <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+    } yield {
+      val r = new java.util.Random(seed)
+      // at least one non-zero coordinate so the norm is non-zero
+      Array.tabulate(n)(i => if (i == 0) r.nextFloat() + 0.1f
+        else r.nextFloat() * 2 - 1)
+    }
+    def unsafe(a: Array[Float]) =
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(a)
+    forAll(Gen.zip(vecs, vecs)) { case (a0, b0) =>
+      val n = math.min(a0.length, b0.length)
+      val a = a0.take(n); val b = b0.take(n)
+      val c = graft.functions.CosineSim.computeF(unsafe(a), unsafe(b))
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+      val sym = graft.functions.CosineSim.computeF(unsafe(b), unsafe(a))
+      assert(math.abs(c - sym) < 1e-12, "symmetric")
+      val scaled = graft.functions.CosineSim.computeF(
+        unsafe(a.map(_ * 4.0f)), unsafe(b))
+      assert(math.abs(c - scaled) < 1e-6, "scale invariant")
+      val self = graft.functions.CosineSim.computeF(unsafe(a), unsafe(a))
+      assert(math.abs(self - 1.0) < 1e-9, "self similarity = 1")
+      // parity with the scalar pipeline implementation
+      assert(math.abs(c - graft.operators.Similarity.cosine(a, b)) < 1e-12)
+    }
+  }
 }
