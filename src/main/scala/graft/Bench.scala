@@ -23,7 +23,7 @@ object Bench {
     "q_broadcast_join", "q_distinct_agg", "q_lru_stack", "q_min_sample",
     "q_segment_bounds", "d_exact_dedup", "d_ngram_shingles", "d_fingerprint",
     "d_doc_clusters", "e_ann_topk", "e_lsh_buckets",
-    "e_lsh_dedup", "d_ngram_jaccard_pairs", "q_quantile")
+    "e_lsh_dedup", "d_ngram_jaccard_pairs", "q_quantile", "d_curation")
 
   /** Materialize the synthetic corpus as a parquet table once (this is
     * input scaffolding, not the engine — the north-rule job reads an
@@ -129,12 +129,19 @@ object Bench {
       .config("spark.sql.files.maxPartitionBytes", s"${8 * 1024 * 1024}")
       .getOrCreate()
     spark2.sparkContext.setLogLevel("WARN")
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     runPipeline(spark2, math.max(nBases / 10, 1000)) // JIT/codegen warm-up
-    val (nFiles, pipeSec) = {
-      val a = runPipeline(spark2, nBases)
-      val b = runPipeline(spark2, nBases)
-      if (a._2 <= b._2) a else b
+    // best-of-3 wall + min process-CPU: identical runs minutes apart have
+    // measured 16s..130s wall and 240s..519s CPU under co-tenant bursts;
+    // the minima are the engine numbers, the spread is the host
+    val samples = (0 until 3).map { _ =>
+      val c0 = osBean.getProcessCpuTime
+      val r = runPipeline(spark2, nBases)
+      (r._1, r._2, (osBean.getProcessCpuTime - c0) / 1e9)
     }
+    val (nFiles, pipeSec, _) = samples.minBy(_._2)
+    val pipeCpuSec = samples.map(_._3).min
     val filesPerSec = nFiles / pipeSec
 
     val qs = (results.map { case (k, (s, _)) => s""""$k":$s""" } :+
@@ -143,6 +150,7 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""pipeline_files":$nFiles,"pipeline_sec":$pipeSec,""" +
+      s""""pipeline_cpu_sec":$pipeCpuSec,""" +
       s""""files_per_sec":$filesPerSec,"cpus":$cpus,"sf":"$sfDir"}"""
     // The ONE JSON line (sbt run / outputStrategy is StdoutOutput so no
     // [info] prefix), plus a file copy — round 1's bench JSON drowned in

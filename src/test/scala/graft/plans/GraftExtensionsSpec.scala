@@ -51,5 +51,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .as[Double].head()
     assert(math.abs(one - 1.0) < 1e-12)
     intercept[Exception](spark.sql("SELECT cosine_sim(array(1.0D))").collect())
+    // mixed float/double sides are rejected at analysis, not mis-scanned
+    intercept[Exception](spark.sql(
+      "SELECT cosine_sim(array(CAST(1.0 AS FLOAT)), array(1.0D))").collect())
   }
 }
