@@ -614,34 +614,54 @@ object Queries {
       .distinct()
   }
 
-  /** Pairwise rare-gram Jaccard near-dup scores (exact, SQL-expressible):
-    * distinct 8-grams per doc, grams with document frequency ≤
-    * [[NgramDfCap]] kept, intersection via self-join on gram; set sizes
-    * and the Jaccard denominator count kept grams only. Runs over ALL
-    * documents — no hardcoded id cap; the DF cap is what bounds the join.
+  /** Pairwise rare-gram Jaccard near-dup scores (exact, SQL-expressible
+    * semantics — the DuckDB oracle replays them relationally): distinct
+    * 8-grams per doc, grams with document frequency ≤ [[NgramDfCap]]
+    * kept, intersection counted per gram group; set sizes and the
+    * Jaccard denominator count kept grams only. Runs over ALL documents —
+    * no hardcoded id cap; the DF cap is what bounds the pair fan-out at
+    * C(cap,2) per gram.
     */
   def dNgramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val grams = hashedGrams(spark, dir)
-    val gramDf = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    // materialized once: both the per-doc sizes and the per-gram pair
-    // lists branch from it — without this the gram distinct + DF join
-    // subtree recomputes per branch (measured 2× the query's cost)
-    val rare = grams
-      .join(gramDf.filter(col("df") <= NgramDfCap).select(col("g")), Seq("g"))
-      .localCheckpoint(true)
-    val sizes = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    // pair generation via one groupBy + bounded C(n,2) explode instead of a
-    // second shuffle of the full gram table for a self-join: collect_list
-    // here is skew-safe BY CONSTRUCTION — every group is a DF-capped gram,
-    // so lists are ≤ NgramDfCap elements (the cap is enforced upstream,
-    // where the count is a combinable aggregate, never a list build)
-    val inter = rare
-      .groupBy(col("g")).agg(collect_list(col("doc_id")).as("ds"))
-      .select(explode(expr(
-        """flatten(transform(ds, (x, i) ->
-          |  transform(slice(ds, i + 2, size(ds)), y ->
-          |    named_struct('a', least(x, y), 'b', greatest(x, y)))))""".stripMargin)).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
+    import spark.implicits._
+    val d = t(spark, dir, "documents").filter(length(col("text")) >= 8)
+    // Raw (gram-hash, doc_id) instances — NOT pre-distinct'ed: the single
+    // gram-keyed shuffle below dedupes doc ids per group with bounded
+    // state, so the per-instance distinct shuffle the round-1 shape paid
+    // is folded away. Everything the query needs (DF cap, candidate
+    // pairs, per-doc kept-gram sizes) comes out of that ONE wide shuffle;
+    // the two tiny aggregations + one join after it run over pair/size
+    // contribution rows only.
+    val gramRows = d
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - 7)).as("i"))
+      .select(xxhash64(expr("substring(text, i, 8)")).as("g"), col("doc_id"))
+      .as[(Long, Long)]
+    // Per gram group (skew-safe: state bounded at NgramDfCap+1 distinct
+    // docs, hot grams stream-drained and dropped — the same overflow
+    // pattern as DedupPipeline.candidatePairs): emit C(n,2) pair rows
+    // (a, b) plus one size-contribution row (doc, -1) per kept doc.
+    val contrib = gramRows.groupByKey(_._1)
+      .flatMapGroups { (_: Long, it: Iterator[(Long, Long)]) =>
+        val docs = scala.collection.mutable.SortedSet.empty[Long]
+        var overflow = false
+        while (it.hasNext && !overflow) {
+          docs += it.next()._2
+          if (docs.size > NgramDfCap) overflow = true
+        }
+        if (overflow) Iterator.empty
+        else {
+          val a = docs.toArray
+          a.iterator.map(x => (x, -1L)) ++
+            (for { i <- a.indices.iterator; j <- (i + 1) until a.length }
+              yield (a(i), a(j)))
+        }
+      }
+      .toDF("a", "b")
+      .localCheckpoint(true) // sizes and inter both read it
+    val sizes = contrib.filter(col("b") === -1L)
+      .groupBy(col("a").as("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = contrib.filter(col("b") >= 0L)
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("inter"))
     // sizes scales with the corpus (one row per doc) so it is NOT force-
