@@ -625,18 +625,26 @@ object Queries {
   def dNgramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val d = t(spark, dir, "documents").filter(length(col("text")) >= 8)
-    // Raw (gram-hash, doc_id) instances — NOT pre-distinct'ed: the single
-    // gram-keyed shuffle below dedupes doc ids per group with bounded
-    // state, so the per-instance distinct shuffle the round-1 shape paid
-    // is folded away. Everything the query needs (DF cap, candidate
-    // pairs, per-doc kept-gram sizes) comes out of that ONE wide shuffle;
-    // the two tiny aggregations + one join after it run over pair/size
+    // Distinct (gram-hash, doc_id) rows built per document in one typed
+    // flatMap: the distinct set is bounded by the doc's own gram count
+    // (never corpus-global state), and typed groupByKey has NO map-side
+    // combine — shuffling raw gram instances would ship every within-doc
+    // repetition. Everything the query needs (DF cap, candidate pairs,
+    // per-doc kept-gram sizes) comes out of ONE gram-keyed shuffle; the
+    // two tiny aggregations + one join after it run over pair/size
     // contribution rows only.
     val gramRows = d
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")) - 7)).as("i"))
-      .select(xxhash64(expr("substring(text, i, 8)")).as("g"), col("doc_id"))
-      .as[(Long, Long)]
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val set = scala.collection.mutable.HashSet.empty[Long]
+        var i = 0
+        val n = text.length - 7
+        while (i < n) {
+          set += graft.functions.Hash64.hashString(text.substring(i, i + 8))
+          i += 1
+        }
+        set.iterator.map(g => (g, id))
+      }
     // Per gram group (skew-safe: state bounded at NgramDfCap+1 distinct
     // docs, hot grams stream-drained and dropped — the same overflow
     // pattern as DedupPipeline.candidatePairs): emit C(n,2) pair rows
