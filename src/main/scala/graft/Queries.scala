@@ -836,6 +836,54 @@ object Queries {
       .select(col("fileId").as("doc_id"), col("clusterId").as("cluster_id"))
   }
 
+  /** Replayable SimHash analog WITH a value oracle (the production
+    * SimHash in [[graft.pipeline.Shingles]] is gear-shingle based and so
+    * only spec-tested): per word, a 60-bit hash from the first 15 md5 hex
+    * nibbles; SimHash = sign-sum over word occurrences per bit; 4 bands
+    * of 15 bits block the candidate join with hub-star linearization
+    * (same shape as the production SimHash path); pairs within Hamming
+    * radius 3 of their hub emitted with the distance. Deterministic
+    * integer arithmetic end to end — DuckDB replays every stage.
+    */
+  def dSimhashMd5(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    val words = d
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val bits = words
+      .select(col("doc_id"), md5(col("w")).as("h"),
+        explode(sequence(lit(1), lit(15))).as("p"))
+      .select(col("doc_id"), col("p"),
+        expr("cast(conv(substring(h, p, 1), 16, 10) as int)").as("nib"))
+      .select(col("doc_id"), col("p"), col("nib"),
+        explode(sequence(lit(0), lit(3))).as("b"))
+      .select(col("doc_id"),
+        ((col("p") - 1) * 4 + col("b")).as("j"),
+        expr("(shiftright(nib, b) & 1)").as("bit"))
+    val sig = bits
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(col("bit") * 2 - 1).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") >= 0, expr("shiftleft(cast(1 as bigint), j)"))
+        .otherwise(0L)).as("sig"))
+    val bv = sig
+      .select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(3))).as("t"))
+      .select(col("doc_id"), col("sig"), col("t"),
+        expr("shiftright(sig, 15 * t) & 32767").as("v"))
+    val hubs = bv.groupBy(col("t"), col("v")).agg(min(col("doc_id")).as("hub"))
+    val cand = bv.join(hubs, Seq("t", "v"))
+      .filter(col("doc_id") =!= col("hub"))
+      .select(col("hub").as("a"), col("doc_id").as("b"))
+      .distinct()
+    cand
+      .join(sig.select(col("doc_id").as("a"), col("sig").as("sa")), Seq("a"))
+      .join(sig.select(col("doc_id").as("b"), col("sig").as("sb")), Seq("b"))
+      .withColumn("hamming", expr("cast(bit_count(sa ^ sb) as bigint)"))
+      .filter(col("hamming") <= 3)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+
   /** Chunk-level dedup stats over documents (destor metrics contract),
     * DuckDB-oracled: the fixed-256 boundaries are recomputed
     * arithmetically (boundary parity separately proven per chunk by
@@ -1230,6 +1278,7 @@ object Queries {
     "d_fingerprint" -> (dFingerprint _),
     "d_doc_clusters" -> (dDocClusters _),
     "d_minhash_cluster" -> (dMinhashCluster _),
+    "d_simhash_md5" -> (dSimhashMd5 _),
     "d_chunk_stats" -> (dChunkStats _),
     "e_ann_topk" -> (eAnnTopK _),
     "e_ivf_topk" -> (eIvfTopK _),
@@ -1733,6 +1782,35 @@ object Queries {
         |  WHERE r.label < s.y)
         |SELECT node AS doc_id, min(label) AS cluster_id
         |FROM reach GROUP BY node""".stripMargin,
+    "d_simhash_md5" ->
+      """WITH words AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> ''),
+        |nib AS (
+        |  SELECT doc_id, p, strpos('0123456789abcdef', substr(md5(w), CAST(p AS INTEGER), 1)) - 1 AS nib
+        |  FROM words, (SELECT unnest(generate_series(1, 15)) AS p)),
+        |bits AS (
+        |  SELECT doc_id, (p - 1) * 4 + b AS j, (nib >> CAST(b AS INTEGER)) & 1 AS bit
+        |  FROM nib, (SELECT unnest(generate_series(0, 3)) AS b)),
+        |s AS (SELECT doc_id, j, sum(2 * bit - 1) AS s FROM bits GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN s >= 0 THEN CAST(1 AS BIGINT) << CAST(j AS INTEGER) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM s GROUP BY 1),
+        |bv AS (
+        |  SELECT doc_id, sig, t, (sig >> CAST(15 * t AS INTEGER)) & 32767 AS v
+        |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS t)),
+        |hubs AS (SELECT t, v, min(doc_id) AS hub FROM bv GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT h.hub AS a, b.doc_id AS b
+        |  FROM bv b JOIN hubs h USING (t, v) WHERE b.doc_id <> h.hub)
+        |SELECT a, b, hamming FROM (
+        |  SELECT c.a, c.b, CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS hamming
+        |  FROM cand c
+        |  JOIN sig sa ON sa.doc_id = c.a
+        |  JOIN sig sb ON sb.doc_id = c.b)
+        |WHERE hamming <= 3""".stripMargin,
     "e_ann_topk" -> annBruteSql,
     // full-probe IVF must reproduce brute force exactly (losslessness proof)
     "e_ivf_topk" -> annBruteSql,
