@@ -65,7 +65,8 @@ object Bench {
     val sigs = fdf.select($"fileId", $"sha256", $"shingles", $"minhash")
       .as[graft.pipeline.FileSig].persist()
     sigs.count()
-    fdf.unpersist()
+    fdf.unpersist(blocking = true) // async removal would let the wide
+    // blocks linger into exactly the shuffles this frees memory for
     val clusters = DedupPipeline.clusterSigs(sigs, cfg)
     clusters.count()
     val dt = (System.nanoTime() - t0) / 1e9
@@ -106,8 +107,12 @@ object Bench {
           val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
           ((System.nanoTime() - t0) / 1e9, n)
         }
-        val a = sample(); val b = sample()
-        name -> (if (a._1 <= b._1) a else b)
+        // min over SUCCESSFUL samples only: a fast-failing sample must not
+        // mask the real time (and a genuine failure must stay visible as a
+        // short run with n = -1, not disappear)
+        val ss = Seq(sample(), sample())
+        val ok = ss.filter(_._2 >= 0)
+        name -> (if (ok.nonEmpty) ok.minBy(_._1) else ss.minBy(_._1))
       }
     }
 
@@ -115,7 +120,7 @@ object Bench {
     // BenchScaling.once — because the query sweep leaves session state
     // (lingering localCheckpoint blocks, shuffle files, codegen classes,
     // a pressured heap) that was measured to swing the pipeline sample
-    // up to 5x. Warm-up run + best-of-2 per the BASELINE.md noise rules:
+    // up to 5x. Warm-up run + best-of-3 per the BASELINE.md noise rules:
     // single samples on this shared host swing 2-5x with co-tenant bursts.
     spark.stop()
     SparkSession.clearActiveSession()

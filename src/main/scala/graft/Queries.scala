@@ -600,11 +600,13 @@ object Queries {
 
   /** Distinct (doc_id, gram) rows with grams hashed to 64-bit via
     * xxhash64 immediately after the substring: every downstream shuffle
-    * (distinct, DF count, join, pair groupBy) then carries 8-byte longs
-    * instead of 8-char strings — the hashing a 100 TB run would do, and
-    * Jaccard only needs gram EQUALITY, never the gram text (collision
-    * odds at 2^64 are negligible and the DuckDB string-side oracle stays
-    * green).
+    * carries 8-byte longs instead of 8-char strings — the hashing a
+    * 100 TB run would do; gram counting only needs EQUALITY, never the
+    * gram text (collision odds at 2^64 are negligible and the DuckDB
+    * string-side oracle stays green). Used by [[dNgramDfStats]];
+    * [[dNgramJaccardPairs]] builds the same code-point-window grams
+    * per document inside its one-shuffle flatMap (different 64-bit hash,
+    * same gram definition — only equality ever matters).
     */
   private def hashedGrams(spark: SparkSession, dir: String): DataFrame = {
     val d = t(spark, dir, "documents").filter(length(col("text")) >= 8)
@@ -636,11 +638,16 @@ object Queries {
     val gramRows = d
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
+        // grams are windows of 8 CODE POINTS (matching SQL substr both in
+        // the Spark-side dNgramDfStats and the DuckDB oracle — Java
+        // substring counts UTF-16 units and would diverge on non-BMP text)
+        val cps = text.codePoints().toArray
         val set = scala.collection.mutable.HashSet.empty[Long]
         var i = 0
-        val n = text.length - 7
+        val n = cps.length - 7
         while (i < n) {
-          set += graft.functions.Hash64.hashString(text.substring(i, i + 8))
+          set += graft.functions.Hash64.hashString(
+            new String(cps, i, 8))
           i += 1
         }
         set.iterator.map(g => (g, id))

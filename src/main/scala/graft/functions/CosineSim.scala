@@ -17,9 +17,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * the hot expression (SURVEY.md §4 altitude rule — custom Expression only
   * where profiling justifies; measured ~5-10× on the ANN brute-force sweep).
   *
-  * Accumulation is left-to-right in index order with double precision —
-  * bit-identical to the HOF version it replaces, so DuckDB oracles that
-  * compare `round(cosine, 4)` are unaffected.
+  * Semantics match the HOF version exactly: for equal-length arrays with no
+  * null elements the accumulation is left-to-right in index order with
+  * double precision (bit-identical, so DuckDB oracles comparing
+  * `round(cosine, 4)` are unaffected); mismatched lengths or a null element
+  * yield NULL (as `zip_with` padding / null propagation did) instead of a
+  * silently-wrong finite score.
   */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -45,16 +48,24 @@ case class CosineSim(left: Expression, right: Expression)
     case _ => false
   }
 
-  override def nullSafeEval(l: Any, r: Any): Any =
-    if (isFloat(left) && isFloat(right))
-      CosineSim.computeF(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
-    else
-      CosineSim.computeD(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    if (CosineSim.invalid(a, b)) null
+    else if (isFloat(left) && isFloat(right)) CosineSim.computeF(a, b)
+    else CosineSim.computeD(a, b)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val fn = if (isFloat(left) && isFloat(right)) "computeF" else "computeD"
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.CosineSim.$fn($a, $b);")
+      s"""if (graft.functions.CosineSim.invalid($a, $b)) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.CosineSim.$fn($a, $b);
+         |}""".stripMargin)
   }
 
   override protected def withNewChildrenInternal(
@@ -64,11 +75,26 @@ case class CosineSim(left: Expression, right: Expression)
 
 object CosineSim {
 
-  /** Float-array cosine: dot and both norms in one scan. */
+  /** NULL-result guard: mismatched lengths or any null element (unsafe
+    * getFloat/getDouble would read the zeroed slot without consulting the
+    * null bitmap — a silently-wrong score instead of a detectable NULL).
+    */
+  def invalid(a: ArrayData, b: ArrayData): Boolean = {
+    val n = a.numElements()
+    if (n != b.numElements()) return true
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Float-array cosine: dot and both norms in one scan. Callers must
+    * have passed the [[invalid]] guard (equal lengths, no null elements).
+    */
   def computeF(a: ArrayData, b: ArrayData): Double = {
-    val na = a.numElements()
-    val nb = b.numElements()
-    val n = math.min(na, nb)
+    val n = a.numElements()
     var dot = 0.0; var qq = 0.0; var vv = 0.0
     var i = 0
     while (i < n) {
@@ -77,17 +103,12 @@ object CosineSim {
       dot += x * y; qq += x * x; vv += y * y
       i += 1
     }
-    while (i < na) { val x = a.getFloat(i).toDouble; qq += x * x; i += 1 }
-    var j = n
-    while (j < nb) { val y = b.getFloat(j).toDouble; vv += y * y; j += 1 }
     dot / (math.sqrt(qq) * math.sqrt(vv))
   }
 
   /** Double-array variant (same semantics). */
   def computeD(a: ArrayData, b: ArrayData): Double = {
-    val na = a.numElements()
-    val nb = b.numElements()
-    val n = math.min(na, nb)
+    val n = a.numElements()
     var dot = 0.0; var qq = 0.0; var vv = 0.0
     var i = 0
     while (i < n) {
@@ -96,9 +117,6 @@ object CosineSim {
       dot += x * y; qq += x * x; vv += y * y
       i += 1
     }
-    while (i < na) { val x = a.getDouble(i); qq += x * x; i += 1 }
-    var j = n
-    while (j < nb) { val y = b.getDouble(j); vv += y * y; j += 1 }
     dot / (math.sqrt(qq) * math.sqrt(vv))
   }
 

@@ -54,5 +54,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
     // mixed float/double sides are rejected at analysis, not mis-scanned
     intercept[Exception](spark.sql(
       "SELECT cosine_sim(array(CAST(1.0 AS FLOAT)), array(1.0D))").collect())
+    // mismatched lengths and null elements yield NULL (like the HOF
+    // formulation this replaced), never a silently-wrong finite score
+    assert(spark.sql(
+      "SELECT cosine_sim(array(1.0D), array(1.0D, 2.0D)) AS c")
+      .head().isNullAt(0))
+    assert(spark.sql(
+      "SELECT cosine_sim(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D)) AS c")
+      .head().isNullAt(0))
   }
 }
