@@ -21,10 +21,13 @@ object DrivePipeline {
     import spark.implicits._
 
     val cfg = DedupConfig()
+    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     def time[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime()
+      val c0 = os.getProcessCpuTime
       val r = f
-      println(f"[stage] $name%-16s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      println(f"[stage] $name%-16s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ${(os.getProcessCpuTime - c0) / 1e9}%7.1f s cpu")
       r
     }
 
