@@ -43,6 +43,31 @@ class QueriesSpec extends AnyFunSuite {
     assert(got.size === 4)
   }
 
+  test("d_simhash_md5 ranks exact dups at hamming 0, keeps unrelated out") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    // ONE occurrence changed out of 60 words: word-granularity SimHash is
+    // coarse, so a sweeping edit (all 5 "lazy"s) legitimately exceeds the
+    // radius — verified hamming for this edit is 2
+    val near = base.replaceFirst("lazy dog", "lazy cat")
+    val other = ("completely different shuffle partition spill broadcast " +
+      "codegen catalyst tungsten executor ") * 5
+    val tmp = java.nio.file.Files.createTempDirectory("shm").toString
+    Seq((0L, base), (1L, base), (2L, near), (3L, other))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Queries.dSimhashMd5(spark, tmp)
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, h) => (a, b) -> h }.toMap
+    assert(got((0L, 1L)) === 0L, "identical docs must pair at hamming 0")
+    assert(got.get((0L, 2L)).exists(_ <= 3L),
+      "one-word edit must stay within the radius")
+    assert(!got.keySet.exists { case (a, b) => (a min b, a max b) match {
+      case (x, 3L) => x != 3L
+      case _ => false
+    }}, "unrelated doc must not pair")
+  }
+
   test("d_curation partitions every doc into exactly one bucket") {
     import spark.implicits._
     val good = "spark shuffle partition " * 10 // 240 chars, 25% spaces
