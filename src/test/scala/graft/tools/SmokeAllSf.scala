@@ -15,7 +15,7 @@ object SmokeAllSf {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     var bad = 0
-    for (sf <- Seq("sf0.001", "sf0.1")) {
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
       val dir = s"/root/testdata/$sf"
       graft.Queries.all.toSeq.sortBy(_._1)
         .filter(_._1.contains(filter)).foreach { case (name, fn) =>
