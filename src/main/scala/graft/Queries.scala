@@ -1139,6 +1139,36 @@ object Queries {
         round(col("cosine"), 4).as("cosine_r"))
   }
 
+  /** Int8 scalar-quantization audit — per dimension: code range actually
+    * used and total absolute reconstruction error in integer micro-units
+    * (associative bigint sum, so float accumulation order can't drift
+    * between engines). The 4×-compression step a 100 TB embedding store
+    * runs before ANN; recall of the dequantized cosine top-k vs exact is
+    * gated in SimilaritySpec.
+    */
+  def eQuantizeStats(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val ex = e
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"), col("x").cast("double").as("x"))
+    val stats = ex.groupBy(col("dim"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    // dim-stats table is FIXED SIZE (one row per dimension) — broadcast
+    // is the scale-correct plan regardless of corpus size
+    ex.join(broadcast(stats), Seq("dim"))
+      .withColumn("q",
+        when(col("hi") === col("lo"), lit(0)).otherwise(
+          round((col("x") - col("lo")) / (col("hi") - col("lo")) * 255)
+            .cast("int")))
+      .withColumn("deq",
+        col("lo") + col("q") * (col("hi") - col("lo")) / 255)
+      .withColumn("err", round(abs(col("x") - col("deq")) * 1e6).cast("long"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("err")).as("sum_abs_err_micro"),
+        min(col("q")).as("qmin"), max(col("q")).as("qmax"))
+  }
+
   /** Embedding norms + label stats (vector math via higher-order fns). */
   def eNormStats(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
@@ -1292,6 +1322,7 @@ object Queries {
     "e_ivf_probe" -> (eIvfProbe _),
     "e_cosine_dedup" -> (eCosineDedup _),
     "e_norm_stats" -> (eNormStats _),
+    "e_quantize_stats" -> (eQuantizeStats _),
     "e_lsh_buckets" -> (eLshBuckets _),
     "e_lsh_dedup" -> (eLshDedup _)
   )
@@ -1818,6 +1849,26 @@ object Queries {
         |  JOIN sig sa ON sa.doc_id = c.a
         |  JOIN sig sb ON sb.doc_id = c.b)
         |WHERE hamming <= 3""".stripMargin,
+    "e_quantize_stats" ->
+      """WITH ex AS (
+        |  SELECT CAST(ord - 1 AS BIGINT) AS dim, CAST(x AS DOUBLE) AS x
+        |  FROM (SELECT unnest(embedding) AS x,
+        |               unnest(generate_series(1, len(embedding))) AS ord
+        |        FROM embeddings)),
+        |stats AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM ex GROUP BY 1),
+        |q AS (
+        |  SELECT ex.dim, x, lo, hi,
+        |    CASE WHEN hi = lo THEN 0
+        |         ELSE CAST(round((x - lo) / (hi - lo) * 255) AS INTEGER) END AS q
+        |  FROM ex JOIN stats USING (dim)),
+        |d AS (
+        |  SELECT dim, q,
+        |    CAST(round(abs(x - (lo + q * (hi - lo) / 255)) * 1e6) AS BIGINT) AS err
+        |  FROM q)
+        |SELECT dim, count(*) AS n,
+        |  CAST(sum(err) AS BIGINT) AS sum_abs_err_micro,
+        |  min(q) AS qmin, max(q) AS qmax
+        |FROM d GROUP BY 1""".stripMargin,
     "e_ann_topk" -> annBruteSql,
     // full-probe IVF must reproduce brute force exactly (losslessness proof)
     "e_ivf_topk" -> annBruteSql,

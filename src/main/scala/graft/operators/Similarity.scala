@@ -87,6 +87,61 @@ object Similarity {
         (col("cosine") >= tau).as("is_dup"))
   }
 
+  /** Int8 scalar quantization — the standard 4× compression step before
+    * ANN at scale (100 TB of float32 embeddings → 25 TB of codes): per
+    * dimension, linear-map [min, max] onto 0..255. Returns
+    * (vec_id, label, codes array<int>) plus the per-dim (lo, hi) table
+    * needed to dequantize. The dim-stats side is FIXED-SIZE (one row per
+    * dimension, independent of corpus size) so broadcasting it is the
+    * scale-correct plan.
+    */
+  def quantize(embeddings: DataFrame): (DataFrame, DataFrame) = {
+    val ex = embeddings
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("label"), col("dim").cast("long").as("dim"),
+        col("x").cast("double").as("x"))
+    val stats = ex.groupBy(col("dim"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val codes = ex.join(broadcast(stats), Seq("dim"))
+      .withColumn("q",
+        when(col("hi") === col("lo"), lit(0)).otherwise(
+          round((col("x") - col("lo")) / (col("hi") - col("lo")) * 255)
+            .cast("int")))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("q"))))
+        .getField("q").as("codes"))
+    (codes, stats)
+  }
+
+  /** Dequantized embeddings (array<float> reconstructed from the int8
+    * codes) — drop-in for any cosine path; recall vs exact is gated in
+    * SimilaritySpec.
+    */
+  def dequantized(embeddings: DataFrame): DataFrame = {
+    val (codes, stats) = quantize(embeddings)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val dims = stats.orderBy(col("dim")).as[(Long, Double, Double)].collect()
+    val lo = dims.map(_._2)
+    val span = dims.map(d => (d._3 - d._2) / 255.0)
+    val bcLo = spark.sparkContext.broadcast(lo)
+    val bcSpan = spark.sparkContext.broadcast(span)
+    codes.select(col("vec_id"), col("label"), col("codes"))
+      .as[(Long, Int, Seq[Int])]
+      .map { case (id, label, cs) =>
+        val l = bcLo.value; val s = bcSpan.value
+        val out = new Array[Float](cs.length)
+        var i = 0
+        while (i < out.length) {
+          out(i) = (l(i) + cs(i) * s(i)).toFloat
+          i += 1
+        }
+        (id, out, label)
+      }
+      .toDF("vec_id", "embedding", "label")
+  }
+
   /** Deterministic centroid seeds: the nlist lowest vec_ids. */
   def centroids(embeddings: DataFrame, nlist: Int): Array[(Long, Array[Float])] = {
     val spark = embeddings.sparkSession

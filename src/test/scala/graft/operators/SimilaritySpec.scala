@@ -163,4 +163,28 @@ class SimilaritySpec extends AnyFunSuite {
     info(f"IVF recall@5 with nProbe=4/16: $recall%.3f")
     assert(recall >= 0.5, f"recall $recall too low")
   }
+
+  test("int8 quantization: codes span the range, dequantized ANN keeps recall") {
+    val (codes, stats) = Similarity.quantize(emb)
+    val dim = emb.select(size($"embedding")).as[Int].head()
+    assert(codes.select(size($"codes")).as[Int].collect().forall(_ == dim))
+    val st = stats.as[(Long, Double, Double)].collect()
+    assert(st.length === dim)
+    st.foreach { case (_, lo, hi) => assert(lo <= hi) }
+    // dequantized top-5 vs exact top-5: int8 error is ~0.2% of each dim's
+    // range, so neighbor ranking should be nearly unchanged
+    val deq = Similarity.dequantized(emb)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val exact = bruteTopK(5, 20)
+    val deqTop = deq.filter(_._1 < 20).map { case (qid, q) =>
+      qid -> deq.filter(_._1 != qid)
+        .map { case (id, v) => (id, Similarity.cosine(q, v)) }
+        .sortBy(x => (-x._2, x._1)).take(5).map(_._1).toSet
+    }.toMap
+    val recall = exact.map { case (q, truth) =>
+      deqTop(q).intersect(truth.toSet).size.toDouble / truth.size
+    }.sum / exact.size
+    info(f"quantized recall@5: $recall%.3f")
+    assert(recall >= 0.9, f"int8 quantization recall $recall too low")
+  }
 }
