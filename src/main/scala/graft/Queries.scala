@@ -690,6 +690,33 @@ object Queries {
       .select(col("a"), col("b"), col("inter"), col("jaccard"))
   }
 
+  /** Winnowing document fingerprints (MOSS-style, value-oracled): 8-gram
+    * md5 per position, sliding window of 4 consecutive grams, the window
+    * minimum (lexicographic on the md5 hex — replayable in DuckDB where
+    * the production gear rolling hash is not) is selected; the distinct
+    * selected fingerprints per document are the guarantee-bearing sketch
+    * (any shared substring of ≥ 11 code points yields a shared
+    * fingerprint). The per-doc window sort is bounded by the document's
+    * own gram count — never corpus-global.
+    */
+  def dWinnow(spark: SparkSession, dir: String): DataFrame = {
+    val w = 4
+    val d = t(spark, dir, "documents").filter(length(col("text")) >= 8)
+    val grams = d
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - 7)).as("i"))
+      .select(col("doc_id"), col("i"),
+        (length(col("text")) - 7).as("ngrams"),
+        md5(expr("substring(text, i, 8)")).as("h"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("fp", min(col("h")).over(win))
+      .filter(col("i") <= col("ngrams") - w + 1) // full windows only
+      .select(col("doc_id"), col("fp"))
+      .distinct()
+  }
+
   /** The n-gram DF-cap truncation metric (no silent caps): how many
     * distinct grams the cap keeps vs drops, and the hottest gram's DF.
     */
@@ -1312,6 +1339,7 @@ object Queries {
     "d_ngram_df_stats" -> (dNgramDfStats _),
     "d_rollup_stats" -> (dRollupStats _),
     "d_curation" -> (dCuration _),
+    "d_winnow" -> (dWinnow _),
     "d_fingerprint" -> (dFingerprint _),
     "d_doc_clusters" -> (dDocClusters _),
     "d_minhash_cluster" -> (dMinhashCluster _),
@@ -1849,6 +1877,21 @@ object Queries {
         |  JOIN sig sa ON sa.doc_id = c.a
         |  JOIN sig sb ON sb.doc_id = c.b)
         |WHERE hamming <= 3""".stripMargin,
+    "d_winnow" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 8),
+        |grams AS (
+        |  SELECT doc_id, i, length(text) - 7 AS ngrams,
+        |    md5(substr(text, CAST(i AS INTEGER), 8)) AS h
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, length(text) - 7)) AS i
+        |        FROM d)),
+        |sel AS (
+        |  SELECT doc_id,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+        |    i, ngrams
+        |  FROM grams)
+        |SELECT DISTINCT doc_id, fp FROM sel WHERE i <= ngrams - 3""".stripMargin,
     "e_quantize_stats" ->
       """WITH ex AS (
         |  SELECT CAST(ord - 1 AS BIGINT) AS dim, CAST(x AS DOUBLE) AS x

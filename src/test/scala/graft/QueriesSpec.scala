@@ -68,6 +68,24 @@ class QueriesSpec extends AnyFunSuite {
     }}, "unrelated doc must not pair")
   }
 
+  test("d_winnow: shared >=11-cp substring guarantees a shared fingerprint") {
+    import spark.implicits._
+    val common = "thequickbrownfox" // 16 cp >= w + gram - 1 = 11
+    val a = "aaaa bbbb cccc " + common + " dddd eeee"
+    val b = "zzzz yyyy xxxx " + common + " wwww vvvv"
+    val c = "0123456789 completely disjoint text 9876543210"
+    val tmp = java.nio.file.Files.createTempDirectory("win").toString
+    Seq((0L, a), (1L, b), (2L, c)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val fps = Queries.dWinnow(spark, tmp)
+      .as[(Long, String)].collect().groupBy(_._1)
+      .map { case (d, r) => d -> r.map(_._2).toSet }
+    assert(fps(0L).intersect(fps(1L)).nonEmpty,
+      "winnowing guarantee: window+gram-1 shared cps => shared fp")
+    // no shared 8-gram with doc c => fingerprint sets cannot intersect
+    assert(fps(0L).intersect(fps(2L)).isEmpty)
+  }
+
   test("d_curation partitions every doc into exactly one bucket") {
     import spark.implicits._
     val good = "spark shuffle partition " * 10 // 240 chars, 25% spaces
