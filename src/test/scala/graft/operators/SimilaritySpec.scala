@@ -187,4 +187,25 @@ class SimilaritySpec extends AnyFunSuite {
     info(f"quantized recall@5: $recall%.3f")
     assert(recall >= 0.9, f"int8 quantization recall $recall too low")
   }
+
+  test("int8 quantization: codes in [0,255], error bounded by half a step") {
+    val (codes, stats) = Similarity.quantize(emb)
+    val span = stats.as[(Long, Double, Double)].collect()
+      .map { case (d, lo, hi) => d.toInt -> (hi - lo) }.toMap
+    val orig = emb.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    codes.select($"codes").as[Seq[Int]].collect()
+      .foreach(_.foreach(q => assert(q >= 0 && q <= 255, s"code $q out of range")))
+    // per-element reconstruction error ≤ step/2 (+ float slack)
+    val deq = Similarity.dequantized(emb)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().toMap
+    orig.foreach { case (id, x) =>
+      val y = deq(id)
+      x.indices.foreach { d =>
+        val tol = span(d) / 510.0 + 1e-4
+        assert(math.abs(x(d) - y(d)) <= tol,
+          s"vec $id dim $d err ${math.abs(x(d) - y(d))} > $tol")
+      }
+    }
+  }
 }
