@@ -717,6 +717,52 @@ object Queries {
       .distinct()
   }
 
+  /** Winnow-sketch near-dup pairs — the MOSS approach for source code:
+    * documents sharing ≥2 winnowing fingerprints, scored by containment
+    * (shared fps / smaller sketch). Sub-linear in gram volume versus the
+    * exact rare-gram Jaccard join (the sketch keeps ~1/window of the
+    * grams) — the trade a 100 TB code-dedup run makes. Same one-shuffle
+    * bounded-group pattern as [[dNgramJaccardPairs]]: fingerprints with
+    * document frequency > 32 (boilerplate) are stream-drained and
+    * dropped; sketch sizes count kept fps only.
+    */
+  def dWinnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fps = dWinnow(spark, dir)
+      .select(xxhash64(col("fp")).as("g"), col("doc_id"))
+      .as[(Long, Long)]
+    val contrib = fps.groupByKey(_._1)
+      .flatMapGroups { (_: Long, it: Iterator[(Long, Long)]) =>
+        val docs = scala.collection.mutable.SortedSet.empty[Long]
+        var overflow = false
+        while (it.hasNext && !overflow) {
+          docs += it.next()._2
+          if (docs.size > NgramDfCap) overflow = true
+        }
+        if (overflow) Iterator.empty
+        else {
+          val a = docs.toArray
+          a.iterator.map(x => (x, -1L)) ++
+            (for { i <- a.indices.iterator; j <- (i + 1) until a.length }
+              yield (a(i), a(j)))
+        }
+      }
+      .toDF("a", "b")
+      .localCheckpoint(true)
+    val sizes = contrib.filter(col("b") === -1L)
+      .groupBy(col("a").as("doc_id")).agg(count(lit(1)).as("n"))
+    contrib.filter(col("b") >= 0L)
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") >= 2)
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), Seq("a"))
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), Seq("b"))
+      .withColumn("containment",
+        round(col("overlap") / least(col("na"), col("nb")), 6))
+      .select(col("a"), col("b"), col("overlap"), col("na"), col("nb"),
+        col("containment"))
+  }
+
   /** The n-gram DF-cap truncation metric (no silent caps): how many
     * distinct grams the cap keeps vs drops, and the hottest gram's DF.
     */
@@ -1340,6 +1386,7 @@ object Queries {
     "d_rollup_stats" -> (dRollupStats _),
     "d_curation" -> (dCuration _),
     "d_winnow" -> (dWinnow _),
+    "d_winnow_pairs" -> (dWinnowPairs _),
     "d_fingerprint" -> (dFingerprint _),
     "d_doc_clusters" -> (dDocClusters _),
     "d_minhash_cluster" -> (dMinhashCluster _),
@@ -1892,6 +1939,34 @@ object Queries {
         |    i, ngrams
         |  FROM grams)
         |SELECT DISTINCT doc_id, fp FROM sel WHERE i <= ngrams - 3""".stripMargin,
+    "d_winnow_pairs" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 8),
+        |grams AS (
+        |  SELECT doc_id, i, length(text) - 7 AS ngrams,
+        |    md5(substr(text, CAST(i AS INTEGER), 8)) AS h
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, length(text) - 7)) AS i
+        |        FROM d)),
+        |sel AS (
+        |  SELECT doc_id,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+        |    i, ngrams
+        |  FROM grams),
+        |w AS (SELECT DISTINCT doc_id, fp FROM sel WHERE i <= ngrams - 3),
+        |fdf AS (SELECT fp, count(*) AS c FROM w GROUP BY 1),
+        |kept AS (SELECT w.doc_id, w.fp FROM w JOIN fdf USING (fp) WHERE c <= 32),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1),
+        |pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS overlap
+        |  FROM kept x JOIN kept y ON x.fp = y.fp AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT p.a, p.b, p.overlap, sa.n AS na, sb.n AS nb,
+        |  round(CAST(p.overlap AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
+        |FROM pairs p
+        |JOIN sizes sa ON sa.doc_id = p.a
+        |JOIN sizes sb ON sb.doc_id = p.b
+        |WHERE p.overlap >= 2""".stripMargin,
     "e_quantize_stats" ->
       """WITH ex AS (
         |  SELECT CAST(ord - 1 AS BIGINT) AS dim, CAST(x AS DOUBLE) AS x
