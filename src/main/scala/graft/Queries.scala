@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.corpus.CorpusFile
@@ -624,6 +624,43 @@ object Queries {
     * no hardcoded id cap; the DF cap is what bounds the pair fan-out at
     * C(cap,2) per gram.
     */
+  /** The one-shuffle bounded-group pair/size contribution stage shared by
+    * [[dNgramJaccardPairs]] and [[dWinnowPairs]] (the cap/overflow
+    * semantics are oracle-bearing, so they live in exactly one place).
+    * Input: (gramKey, docId) rows. Per gram group — skew-safe: state is
+    * bounded at cap+1 distinct docs, hot grams are stream-drained and
+    * dropped, the same overflow pattern as DedupPipeline.candidatePairs —
+    * emits one size-contribution row (doc, doc, is_size=true) per kept
+    * doc plus C(n,2) pair rows (a, b, is_size=false). Size rows are
+    * tagged explicitly (never a doc_id sentinel: negative ids, legal for
+    * Hash64.fileId-style keys, must fail loudly, not misclassify).
+    */
+  private def pairContrib(gramRows: Dataset[(Long, Long)], cap: Int): DataFrame = {
+    val spark = gramRows.sparkSession
+    import spark.implicits._
+    gramRows.groupByKey(_._1)
+      .flatMapGroups { (_: Long, it: Iterator[(Long, Long)]) =>
+        val docs = scala.collection.mutable.SortedSet.empty[Long]
+        var overflow = false
+        while (it.hasNext && !overflow) {
+          val d = it.next()._2
+          require(d >= 0L,
+            s"pairContrib: negative doc id $d (id scheme not supported here)")
+          docs += d
+          if (docs.size > cap) overflow = true
+        }
+        if (overflow) Iterator.empty
+        else {
+          val a = docs.toArray
+          a.iterator.map(x => (x, x, true)) ++
+            (for { i <- a.indices.iterator; j <- (i + 1) until a.length }
+              yield (a(i), a(j), false))
+        }
+      }
+      .toDF("a", "b", "is_size")
+      .localCheckpoint(true) // sizes and pair counts both read it
+  }
+
   def dNgramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val d = t(spark, dir, "documents").filter(length(col("text")) >= 8)
@@ -652,31 +689,10 @@ object Queries {
         }
         set.iterator.map(g => (g, id))
       }
-    // Per gram group (skew-safe: state bounded at NgramDfCap+1 distinct
-    // docs, hot grams stream-drained and dropped — the same overflow
-    // pattern as DedupPipeline.candidatePairs): emit C(n,2) pair rows
-    // (a, b) plus one size-contribution row (doc, -1) per kept doc.
-    val contrib = gramRows.groupByKey(_._1)
-      .flatMapGroups { (_: Long, it: Iterator[(Long, Long)]) =>
-        val docs = scala.collection.mutable.SortedSet.empty[Long]
-        var overflow = false
-        while (it.hasNext && !overflow) {
-          docs += it.next()._2
-          if (docs.size > NgramDfCap) overflow = true
-        }
-        if (overflow) Iterator.empty
-        else {
-          val a = docs.toArray
-          a.iterator.map(x => (x, -1L)) ++
-            (for { i <- a.indices.iterator; j <- (i + 1) until a.length }
-              yield (a(i), a(j)))
-        }
-      }
-      .toDF("a", "b")
-      .localCheckpoint(true) // sizes and inter both read it
-    val sizes = contrib.filter(col("b") === -1L)
+    val contrib = pairContrib(gramRows, NgramDfCap)
+    val sizes = contrib.filter(col("is_size"))
       .groupBy(col("a").as("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = contrib.filter(col("b") >= 0L)
+    val inter = contrib.filter(!col("is_size"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("inter"))
     // sizes scales with the corpus (one row per doc) so it is NOT force-
@@ -696,25 +712,57 @@ object Queries {
     * the production gear rolling hash is not) is selected; the distinct
     * selected fingerprints per document are the guarantee-bearing sketch
     * (any shared substring of ≥ 11 code points yields a shared
-    * fingerprint). The per-doc window sort is bounded by the document's
-    * own gram count — never corpus-global.
+    * fingerprint).
+    *
+    * The sketch is a PER-DOCUMENT PURE FUNCTION, so the Spark side is a
+    * single typed mapPartitions fold — md5 per gram plus a rolling
+    * w-window min computed in-JVM, per-doc distinct in bounded local
+    * state — zero shuffle, zero row amplification (round 2 exploded one
+    * row per character position through a shuffle + per-doc window sort:
+    * a multi-PB shuffle at 100 TB for values a map can produce). The
+    * DuckDB oracle keeps the relational window formulation — it
+    * constrains VALUES, not the Spark plan.
     */
   def dWinnow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val w = 4
-    val d = t(spark, dir, "documents").filter(length(col("text")) >= 8)
-    val grams = d
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")) - 7)).as("i"))
-      .select(col("doc_id"), col("i"),
-        (length(col("text")) - 7).as("ngrams"),
-        md5(expr("substring(text, i, 8)")).as("h"))
-    val win = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-      .rowsBetween(Window.currentRow, w - 1)
-    grams
-      .withColumn("fp", min(col("h")).over(win))
-      .filter(col("i") <= col("ngrams") - w + 1) // full windows only
-      .select(col("doc_id"), col("fp"))
-      .distinct()
+    t(spark, dir, "documents")
+      .filter(length(col("text")) >= 8)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          // windows of 8 CODE POINTS (SQL substr semantics; Java substring
+          // counts UTF-16 units and would diverge on non-BMP text)
+          val cps = text.codePoints().toArray
+          val n = cps.length - 7
+          if (n < w) Iterator.empty
+          else {
+            val hs = new Array[String](n)
+            var i = 0
+            while (i < n) {
+              md.reset()
+              val gram = new String(cps, i, 8)
+              hs(i) = DedupPipeline.toHex(md.digest(
+                gram.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+              i += 1
+            }
+            // rolling window min (w=4: direct scan beats a deque), per-doc
+            // distinct in a local set bounded by the doc's own gram count
+            val sel = scala.collection.mutable.HashSet.empty[String]
+            i = 0
+            while (i <= n - w) {
+              var m = hs(i)
+              var j = i + 1
+              while (j < i + w) { if (hs(j) < m) m = hs(j); j += 1 }
+              sel += m
+              i += 1
+            }
+            sel.iterator.map(fp => (id, fp))
+          }
+        }
+      }
+      .toDF("doc_id", "fp")
   }
 
   /** Winnow-sketch near-dup pairs — the MOSS approach for source code:
@@ -731,27 +779,10 @@ object Queries {
     val fps = dWinnow(spark, dir)
       .select(xxhash64(col("fp")).as("g"), col("doc_id"))
       .as[(Long, Long)]
-    val contrib = fps.groupByKey(_._1)
-      .flatMapGroups { (_: Long, it: Iterator[(Long, Long)]) =>
-        val docs = scala.collection.mutable.SortedSet.empty[Long]
-        var overflow = false
-        while (it.hasNext && !overflow) {
-          docs += it.next()._2
-          if (docs.size > NgramDfCap) overflow = true
-        }
-        if (overflow) Iterator.empty
-        else {
-          val a = docs.toArray
-          a.iterator.map(x => (x, -1L)) ++
-            (for { i <- a.indices.iterator; j <- (i + 1) until a.length }
-              yield (a(i), a(j)))
-        }
-      }
-      .toDF("a", "b")
-      .localCheckpoint(true)
-    val sizes = contrib.filter(col("b") === -1L)
+    val contrib = pairContrib(fps, NgramDfCap)
+    val sizes = contrib.filter(col("is_size"))
       .groupBy(col("a").as("doc_id")).agg(count(lit(1)).as("n"))
-    contrib.filter(col("b") >= 0L)
+    contrib.filter(!col("is_size"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("overlap"))
       .filter(col("overlap") >= 2)
@@ -1782,12 +1813,12 @@ object Queries {
         |  FROM documents WHERE length(text) >= 5)
         |GROUP BY doc_id""".stripMargin,
     "d_ngram_jaccard_pairs" ->
-      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 8),
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 8),
         |grams AS (
         |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 8) AS g
         |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 7)) AS i FROM d)),
         |gdf AS (SELECT g, count(*) AS df FROM grams GROUP BY 1),
-        |rare AS (SELECT grams.doc_id, grams.g FROM grams JOIN gdf USING (g) WHERE gdf.df <= 32),
+        |rare AS (SELECT grams.doc_id, grams.g FROM grams JOIN gdf USING (g) WHERE gdf.df <= $NgramDfCap),
         |sizes AS (SELECT doc_id, count(*) AS n FROM rare GROUP BY 1),
         |inter AS (
         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
@@ -1806,14 +1837,14 @@ object Queries {
         |        unnest(generate_series(0, CAST(ceil(len / 256.0) AS BIGINT) - 1)) AS i
         |      FROM d)""".stripMargin,
     "d_ngram_df_stats" ->
-      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 8),
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 8),
         |grams AS (
         |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 8) AS g
         |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 7)) AS i FROM d)),
         |gdf AS (SELECT g, count(*) AS df FROM grams GROUP BY 1)
         |SELECT count(*) AS distinct_grams,
-        |  CAST(sum(CASE WHEN df <= 32 THEN 1 ELSE 0 END) AS BIGINT) AS kept_grams,
-        |  CAST(sum(CASE WHEN df > 32 THEN 1 ELSE 0 END) AS BIGINT) AS hot_grams,
+        |  CAST(sum(CASE WHEN df <= $NgramDfCap THEN 1 ELSE 0 END) AS BIGINT) AS kept_grams,
+        |  CAST(sum(CASE WHEN df > $NgramDfCap THEN 1 ELSE 0 END) AS BIGINT) AS hot_grams,
         |  max(df) AS max_df
         |FROM gdf""".stripMargin,
     "d_rollup_stats" ->
@@ -1940,7 +1971,7 @@ object Queries {
         |  FROM grams)
         |SELECT DISTINCT doc_id, fp FROM sel WHERE i <= ngrams - 3""".stripMargin,
     "d_winnow_pairs" ->
-      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 8),
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 8),
         |grams AS (
         |  SELECT doc_id, i, length(text) - 7 AS ngrams,
         |    md5(substr(text, CAST(i AS INTEGER), 8)) AS h
@@ -1955,7 +1986,7 @@ object Queries {
         |  FROM grams),
         |w AS (SELECT DISTINCT doc_id, fp FROM sel WHERE i <= ngrams - 3),
         |fdf AS (SELECT fp, count(*) AS c FROM w GROUP BY 1),
-        |kept AS (SELECT w.doc_id, w.fp FROM w JOIN fdf USING (fp) WHERE c <= 32),
+        |kept AS (SELECT w.doc_id, w.fp FROM w JOIN fdf USING (fp) WHERE c <= $NgramDfCap),
         |sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1),
         |pairs AS (
         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS overlap

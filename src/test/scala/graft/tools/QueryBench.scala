@@ -12,9 +12,12 @@ object QueryBench {
     val reps = args.lift(1).map(_.toInt).getOrElse(3)
     val names = if (args.length > 2) args.drop(2).toSeq
       else Seq("e_ann_topk", "e_lsh_dedup", "e_ivf_topk", "e_cosine_dedup")
+    // same SPARK_GRAFT_CPUS convention as graft.Bench so numbers compare
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
