@@ -1329,31 +1329,58 @@ object Queries {
   def eLshDedup(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.lshDedup(t(spark, dir, "embeddings"))
 
-  /** LSH-bucketed ANN scale path: random-hyperplane signs from the
-    * deterministic gear table → 16-bit bucket per vector (rows-only).
+  /** LSH-bucketed ANN scale path, fully value-oracled: 16 pseudo-random
+    * hyperplanes whose coefficients derive from md5("p:i") (byte 0 as
+    * unsigned minus 128 → an integer in [-128, 127]) — SQL-replayable, so
+    * DuckDB recomputes the identical planes. The plane matrix is built
+    * ONCE on the driver and broadcast (round 2 recomputed planes×dims
+    * hash calls per row). The projection is integer arithmetic end to
+    * end: embedding values are rounded to micro-units first, so the dot
+    * product is an associative bigint sum with no float-order drift
+    * between engines; bucket bit p = (sum > 0). Map-only — no shuffle.
     */
   def eLshBuckets(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val planes = 16
+    val maxDims = 256
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val coef: Array[Array[Long]] = Array.tabulate(planes) { p =>
+      Array.tabulate(maxDims) { i =>
+        md.reset()
+        val h = md.digest(
+          s"$p:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        ((h(0) & 0xff) - 128).toLong
+      }
+    }
+    val bc = spark.sparkContext.broadcast(coef)
     t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), col("label"))
       .as[(Long, Array[Float], Int)]
-      .map { case (id, emb, label) =>
-        var bucket = 0
-        var p = 0
-        while (p < planes) {
-          var s = 0.0
+      .mapPartitions { it =>
+        val c = bc.value
+        it.map { case (id, emb, label) =>
+          require(emb.length <= maxDims,
+            s"eLshBuckets: ${emb.length} dims exceeds plane matrix ($maxDims)")
+          val micro = new Array[Long](emb.length)
           var i = 0
           while (i < emb.length) {
-            // deterministic pseudo-plane component from the gear table
-            val h = graft.functions.Hash64.hashLong(p.toLong * 997 + i, 0x9e37L)
-            s += emb(i) * ((h >> 32).toInt.toDouble / Int.MaxValue)
+            // HALF_UP on the shortest decimal repr == Spark/DuckDB round()
+            micro(i) = java.math.BigDecimal.valueOf(emb(i).toDouble * 1e6)
+              .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
             i += 1
           }
-          if (s > 0) bucket |= (1 << p)
-          p += 1
+          var bucket = 0
+          var p = 0
+          while (p < planes) {
+            val cp = c(p)
+            var s = 0L
+            var j = 0
+            while (j < emb.length) { s += micro(j) * cp(j); j += 1 }
+            if (s > 0) bucket |= (1 << p)
+            p += 1
+          }
+          (id, bucket, label)
         }
-        (id, bucket, label)
       }
       .toDF("vec_id", "bucket", "label")
   }
@@ -2018,6 +2045,27 @@ object Queries {
         |  CAST(sum(err) AS BIGINT) AS sum_abs_err_micro,
         |  min(q) AS qmin, max(q) AS qmax
         |FROM d GROUP BY 1""".stripMargin,
+    "e_lsh_buckets" ->
+      """WITH ex AS (
+        |  SELECT vec_id, label, CAST(ord - 1 AS BIGINT) AS i,
+        |    CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT) AS micro
+        |  FROM (SELECT vec_id, label, unnest(embedding) AS x,
+        |               unnest(generate_series(1, len(embedding))) AS ord
+        |        FROM embeddings)),
+        |coef AS (
+        |  SELECT p, i,
+        |    CAST((strpos('0123456789abcdef', substr(md5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef', substr(md5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 2, 1)) - 1)
+        |       - 128 AS BIGINT) AS c
+        |  FROM (SELECT unnest(generate_series(0, 15)) AS p),
+        |       (SELECT DISTINCT i FROM ex)),
+        |s AS (
+        |  SELECT vec_id, label, p, sum(micro * c) AS s
+        |  FROM ex JOIN coef USING (i) GROUP BY 1, 2, 3)
+        |SELECT vec_id,
+        |  CAST(sum(CASE WHEN s > 0 THEN 1 << CAST(p AS INTEGER) ELSE 0 END) AS INTEGER) AS bucket,
+        |  label
+        |FROM s GROUP BY vec_id, label""".stripMargin,
     "e_ann_topk" -> annBruteSql,
     // full-probe IVF must reproduce brute force exactly (losslessness proof)
     "e_ivf_topk" -> annBruteSql,

@@ -225,13 +225,64 @@ object DedupPipeline {
   /** Recipe with stream identity and per-stream sequence — the input
     * contract for the rewrite/restore analytics (stream = repo; order =
     * (path, commit, chunkIdx) within the stream).
+    *
+    * The per-stream rank is TWO-PHASE DISTRIBUTED (range-partition on the
+    * full ordering, per-(partition, repo) counts, broadcast prefix
+    * offsets — the qQuantile/packContainers pattern), never a per-repo
+    * window: a mega-repo with 10^9 chunks would funnel its whole stream
+    * through one window-sort task. Repos are contiguous under the range
+    * partitioning, so each partition carries only a handful of distinct
+    * repo offsets and the driver-side count exchange is O(partitions).
+    * The result is localCheckpoint-materialized so the sampled range
+    * boundaries the offsets were computed against can be freed safely.
     */
   def streamRecipe(rec: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("repo"))
-      .orderBy(col("path"), col("commit"), col("chunkIdx"))
-    rec.withColumn("stream", col("repo"))
-      .withColumn("seq", row_number().over(w).cast("long"))
+    val spark = rec.sparkSession
+    val ordered = rec
+      .repartitionByRange(col("repo"), col("path"), col("commit"), col("chunkIdx"))
+      .sortWithinPartitions(col("repo"), col("path"), col("commit"), col("chunkIdx"))
+      .persist()
+    val repoIdx = ordered.schema.fieldIndex("repo")
+    val counts = ordered.mapPartitions { it =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      it.foreach { r =>
+        val k = r.getString(repoIdx); m(k) = m.getOrElse(k, 0L) + 1
+      }
+      val pid = TaskContext.getPartitionId()
+      m.iterator.map { case (repo, n) => (pid, repo, n) }
+    }(org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaInt,
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaLong)).collect()
+    val offsets: Map[Int, Map[String, Long]] = {
+      val m = scala.collection.mutable.Map
+        .empty[Int, scala.collection.mutable.Map[String, Long]]
+      counts.groupBy(_._2).foreach { case (repo, rows) =>
+        var cum = 0L
+        rows.sortBy(_._1).foreach { case (pid, _, n) =>
+          m.getOrElseUpdate(pid, scala.collection.mutable.Map.empty)(repo) = cum
+          cum += n
+        }
+      }
+      m.map { case (k, v) => (k, v.toMap) }.toMap
+    }
+    val offB = spark.sparkContext.broadcast(offsets)
+    val outSchema = ordered.schema
+      .add("stream", org.apache.spark.sql.types.StringType, nullable = false)
+      .add("seq", org.apache.spark.sql.types.LongType, nullable = false)
+    val out = ordered.mapPartitions { it =>
+      val base = offB.value.getOrElse(
+        TaskContext.getPartitionId(), Map.empty[String, Long])
+      val running = scala.collection.mutable.Map.empty[String, Long]
+      it.map { r =>
+        val repo = r.getString(repoIdx)
+        val s = running.getOrElse(repo, base.getOrElse(repo, 0L)) + 1
+        running(repo) = s
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ repo :+ s)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema)).localCheckpoint(true)
+    ordered.unpersist()
+    out
   }
 
   // ------------------------------------------------------------------

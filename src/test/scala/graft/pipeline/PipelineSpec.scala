@@ -191,4 +191,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(c(ids(0)) == c(ids(1)))
     assert(c(ids(0)) != c(ids(2)))
   }
+
+  test("streamRecipe: two-phase distributed per-stream rank matches the window formulation") {
+    val chunks = DedupPipeline.chunkTable(features)
+    val packed = DedupPipeline.packContainers(DedupPipeline.uniqueChunks(chunks), cfg)
+    val rec = DedupPipeline.recipe(chunks, packed).persist()
+    val sr = DedupPipeline.streamRecipe(rec)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"repo")
+      .orderBy($"path", $"commit", $"chunkIdx")
+    val expect = rec
+      .withColumn("seqW", row_number().over(w).cast("long"))
+      .select($"repo", $"path", $"commit", $"chunkIdx", $"seqW")
+    val mismatches = sr
+      .select($"stream".as("repo"), $"path", $"commit", $"chunkIdx", $"seq")
+      .join(expect, Seq("repo", "path", "commit", "chunkIdx"), "full")
+      .filter($"seq".isNull || $"seqW".isNull || $"seq" =!= $"seqW")
+      .count()
+    assert(mismatches === 0L)
+    rec.unpersist()
+  }
 }
