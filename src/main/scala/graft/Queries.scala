@@ -439,6 +439,87 @@ object Queries {
     }.toDF("file_id", "seg_id", "method", "feature")
   }
 
+  /** 40-hex chunk fingerprints DuckDB can recompute: fixed-256 chunking
+    * over the (ASCII) text, fp = md5(slice) || first-8-hex(md5(slice)).
+    * The 8 appended chars land at hex positions [32,40) — exactly where
+    * Segmenting.fpTailInt reads the reference's `*(int*)&fp[16]` — so the
+    * content-defined boundary test and random sampling run on a tail the
+    * SQL replay can rebuild. All avg/rate moduli used with these fps are
+    * powers of two ≤ 256, so the signed-int32 Java modulus and the
+    * unsigned low-byte SQL modulus agree on divisibility.
+    */
+  private def md5Fp40s(md: java.security.MessageDigest, text: String): Vector[String] = {
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = (bytes.length + 255) / 256
+    (0 until n).iterator.map { i =>
+      md.reset()
+      md.update(bytes, i * 256, math.min(256, bytes.length - i * 256))
+      val h = DedupPipeline.toHex(md.digest())
+      h + h.substring(0, 8)
+    }.toVector
+  }
+
+  /** W6/A1-A4 segmenting + sampling, fully value-oracled — the
+    * d_simhash_md5-style REPLAYABLE TWIN of [[dSegmentFeatures]]: the
+    * exact same Segmenting.contentDefined and Sampling.uniform/random/
+    * min/optimizedMin code paths run end to end, but over [[md5Fp40s]]
+    * chunk fingerprints that DuckDB recomputes (SHA-1 fps are not
+    * SQL-recomputable; md5 slices are). The DuckDB oracle replays the
+    * content-defined segmenting fold as a recursive running-state CTE
+    * (the r_restore_asm pattern) and each sampling method relationally,
+    * including the empty-random sentinel and optmin's 8-back lookback.
+    * Map-only on the Spark side: the fold is a per-document pure function.
+    */
+  def dSegmentMd5(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "documents").filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val fps = md5Fp40s(md, text)
+          val segs = Segmenting.contentDefined(avg = 4, min = 2, max = 16)(fps)
+          fps.indices.groupBy(segs(_)).toSeq.sortBy(_._1).flatMap {
+            case (segId, idxs) =>
+              val segFps = idxs.map(fps)
+              Seq("uniform", "random", "min", "optmin").flatMap { m =>
+                Sampling.sample(m, segFps, 4).map(f => (id, segId, m, f))
+              }
+          }
+        }
+      }.toDF("doc_id", "seg_id", "method", "feature")
+  }
+
+  /** The index-preset matrix, fully value-oracled — the replayable twin
+    * of [[dIndexPresets]]: every preset's forced segmenting/sampling
+    * combination (DDFS, BLC, sampled, sparse, SiLo, extreme binning) runs
+    * through the real IndexPresets.segmentAndSample over [[md5Fp40s]]
+    * fingerprints, reporting per-preset file/segment/feature counts that
+    * DuckDB recomputes preset by preset.
+    */
+  def dPresetsMd5(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val presets = IndexPresets.names
+    t(spark, dir, "documents").filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (_, text) =>
+          val fps = md5Fp40s(md, text)
+          presets.iterator.map { name =>
+            val p = IndexPresets.preset(name)
+              .copy(segmentSize = 4, segmentMin = 2, segmentMax = 16)
+            val segs = IndexPresets.segmentAndSample(p)(fps)
+            (name, segs.length.toLong, segs.iterator.map(_._2.size.toLong).sum)
+          }
+        }
+      }.toDF("preset", "segments", "features")
+      .groupBy(col("preset"))
+      .agg(count(lit(1)).as("files"),
+        sum(col("segments")).as("segments"),
+        sum(col("features")).as("features"))
+  }
+
   /** Full near-dup clustering of documents through a destor index PRESET
     * (sparse index: content-defined segmenting + random sampling + FIFO
     * feature index) instead of MinHash LSH — the reference's own
@@ -1020,6 +1101,135 @@ object Queries {
       sum(when(col("zero"), 1L).otherwise(0L)).as("zero_chunks"))
   }
 
+  /** The full per-backup metrics contract as ONE oracled reporting query —
+    * backup.log's 13-field line plus the end-of-job banner block
+    * (reference src/do_backup.c:75-186): per backup, file/chunk/byte
+    * totals, zero chunks, unique (first-writer) chunks/bytes, rewritten
+    * chunks/bytes, dedup and rewrite ratios, container count, sparse /
+    * inherited-sparse container counts, index lookup/update request
+    * counters, prefetch units, and accumulative stored capacity.
+    *
+    * Composition (every stage an existing oracled operator pattern):
+    * documents split into two logical backups (doc_id parity, backup 1
+    * first in stream order), fixed-256 chunking through the REAL pipeline
+    * path (chunk shas recomputed from text slices like d_fixed_chunks so
+    * DuckDB can replay), global first-writer dedup across backups
+    * (q_first_writer pattern), backup-1 containers packed by cumulative
+    * size (q_cum_packing; scaled-down 16 KiB payload so the doc corpus
+    * actually fills containers), one-shot HAR over backup 2's references
+    * into backup-1 containers (utilization vs actual container bytes,
+    * threshold 0.5 — monitoring and rewriting collapsed into the same
+    * backup, a documented 2-backup composition of r_har_sparse
+    * semantics), HAR-rewritten duplicates counted as stored.
+    *
+    * Scale shape: shuffles only on sha and containerId; packing is the
+    * two-phase streamPrefix (no global window — the only window left is
+    * the 2-row stored_cum frame, bounded by the number of backups).
+    */
+  def dBackupStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val payload = 16384L
+    val d = t(spark, dir, "documents")
+    val files = d.select(col("source").as("repo"),
+        col("doc_id").cast("string").as("path"), lit("0").as("commit"),
+        col("lang"), col("text").as("content"))
+      .as[CorpusFile]
+    val cfg = DedupConfig(chunker = graft.chunking.ChunkerConfig("fixed", avgSize = 256))
+    val chunks = DedupPipeline.chunkTableDF(
+        DedupPipeline.featurize(files, cfg).toDF())
+      .select(col("path").cast("long").as("doc_id"),
+        col("chunkIdx").cast("long").as("idx"),
+        col("offset").cast("long").as("off"),
+        col("size").cast("long").as("size"), col("zero"))
+      .join(d.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"), (pmod(col("doc_id"), lit(2)) + 1).cast("long").as("b"),
+        col("idx"), col("size"), col("zero"),
+        sha2(expr("substring(text, off + 1, size)"), 256).as("sha"))
+      .persist()
+    // global first-writer across (backup, doc, chunk) stream order —
+    // groupBy-min + join, never a per-sha window (q_first_writer pattern)
+    val first = chunks.groupBy(col("sha"))
+      .agg(min(struct(col("b"), col("doc_id"), col("idx"))).as("first"))
+    val inst = chunks.join(first, Seq("sha"))
+      .withColumn("is_first",
+        struct(col("b"), col("doc_id"), col("idx")) === col("first"))
+      .drop("first")
+      .persist()
+    // backup-1 containers: cumulative-size packing of its unique chunks
+    val u1 = inst.filter(col("b") === 1 && col("is_first"))
+      .select(col("sha"), col("doc_id"), col("idx"), col("size"),
+        lit("1").as("s"))
+    val u1c = DedupPipeline.streamPrefix(
+        u1, "s", Seq("doc_id", "idx"), "size", "pre")
+      .withColumn("cid",
+        floor((col("pre") + col("size") - 1) / payload).cast("long"))
+      .select(col("sha"), col("size"), col("cid"))
+      .persist()
+    val cbytes = u1c.groupBy(col("cid")).agg(sum(col("size")).as("cb"))
+    // backup-2 duplicate instances referencing backup-1-owned chunks
+    val b2ref = inst.filter(col("b") === 2 && !col("is_first"))
+      .join(u1c.select(col("sha"), col("cid")), Seq("sha"))
+      .select(col("sha"), col("size"), col("cid"))
+      .persist()
+    // one-shot HAR: utilization of each backup-1 container under backup
+    // 2's references (distinct chunks), sparse iff < 0.5 of actual bytes
+    val util = u1c
+      .join(b2ref.select(col("sha")).distinct(), Seq("sha"))
+      .groupBy(col("cid")).agg(sum(col("size")).as("refb"))
+    val sparse = cbytes.join(util, Seq("cid"), "left")
+      .filter(coalesce(col("refb"), lit(0L)) < lit(0.5) * col("cb"))
+      .select(col("cid"))
+      .persist()
+    val rw = b2ref.join(broadcast(sparse), Seq("cid"))
+    val core = inst.groupBy(col("b")).agg(
+      countDistinct(col("doc_id")).as("files"),
+      count(lit(1)).as("chunks"),
+      sum(col("size")).as("data_size"),
+      sum(when(col("zero"), 1L).otherwise(0L)).as("zero_chunks"),
+      sum(when(col("is_first"), 1L).otherwise(0L)).as("unique_chunks"),
+      sum(when(col("is_first"), col("size")).otherwise(0L)).as("unique_size"))
+    val rwAgg = rw.agg(
+        count(lit(1)).as("rewritten_chunks"),
+        coalesce(sum(col("size")), lit(0L)).as("rewritten_size"))
+      .withColumn("b", lit(2L))
+    val extras = sparse.agg(count(lit(1)).as("sparse_containers"))
+      .crossJoin(rw.agg(
+        countDistinct(col("cid")).as("inherited_sparse")))
+      .crossJoin(b2ref.join(broadcast(sparse), Seq("cid"), "left_anti")
+        .agg(countDistinct(col("cid")).as("prefetch_units")))
+      .withColumn("b", lit(2L))
+    val out = core
+      .join(rwAgg, Seq("b"), "left")
+      .join(extras, Seq("b"), "left")
+      .na.fill(0L, Seq("rewritten_chunks", "rewritten_size",
+        "sparse_containers", "inherited_sparse", "prefetch_units"))
+      .withColumn("stored_size", col("unique_size") + col("rewritten_size"))
+      .withColumn("stored_cum", sum(col("stored_size")).over(
+        Window.orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("dedup_rate", round(
+        (col("data_size") - col("unique_size") - col("rewritten_size"))
+          / col("data_size"), 6))
+      .withColumn("rewrite_rate",
+        round(col("rewritten_size") / col("data_size"), 6))
+      .withColumn("containers",
+        ceil(col("stored_size") / payload).cast("long"))
+      .withColumn("lookup_requests", col("chunks"))
+      .withColumn("update_requests",
+        col("unique_chunks") + col("rewritten_chunks"))
+      .select(col("b").as("backup_id"), col("files"), col("chunks"),
+        col("data_size"), col("zero_chunks"), col("unique_chunks"),
+        col("unique_size"), col("rewritten_chunks"), col("rewritten_size"),
+        col("stored_size"), col("stored_cum"), col("dedup_rate"),
+        col("rewrite_rate"), col("containers"), col("sparse_containers"),
+        col("inherited_sparse"), col("prefetch_units"),
+        col("lookup_requests"), col("update_requests"))
+      .localCheckpoint(true)
+    sparse.unpersist(); b2ref.unpersist(); u1c.unpersist()
+    inst.unpersist(); chunks.unpersist()
+    out
+  }
+
   // ====================================================================
   // GC / restore / span-verification / multimodal
   // ====================================================================
@@ -1320,6 +1530,18 @@ object Queries {
     graft.operators.Similarity.ivfTopK(
       t(spark, dir, "embeddings"), queryMaxId = 20, nlist = 16, nProbe = 4, k = 5)
 
+  /** IVF ANN partial probe with Lloyd-refined centroids (5 rounds) — the
+    * variant a skewed/clustered 100 TB corpus needs: raw seed centroids
+    * route a near-dup mega-group as pure jitter noise while k-means pulls
+    * the lists onto the real structure (recall gate kmeans > seeds on the
+    * clustered corpus, plus full-probe losslessness, in SimilaritySpec).
+    * Rows-only: approximate by design.
+    */
+  def eIvfKmeans(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.ivfTopK(
+      t(spark, dir, "embeddings"), queryMaxId = 20, nlist = 16, nProbe = 4,
+      k = 5, kmeansIters = 5)
+
   /** Scalable embedding near-dup dedup: banded sign-LSH candidates +
     * exact-cosine rerank with hub-star hot-bucket linearization — the
     * 100 TB replacement for the all-pairs crossJoin (which
@@ -1422,7 +1644,9 @@ object Queries {
     "q_champion_plain" -> (qChampionPlain _),
     "q_champion_trim" -> (qChampionTrim _),
     "d_segment_features" -> (dSegmentFeatures _),
+    "d_segment_md5" -> (dSegmentMd5 _),
     "d_index_presets" -> (dIndexPresets _),
+    "d_presets_md5" -> (dPresetsMd5 _),
     "d_preset_clusters" -> (dPresetClusters _),
     "d_fixed_chunks" -> (dFixedChunks _),
     "g_dead_chunks" -> (gDeadChunks _),
@@ -1450,9 +1674,11 @@ object Queries {
     "d_minhash_cluster" -> (dMinhashCluster _),
     "d_simhash_md5" -> (dSimhashMd5 _),
     "d_chunk_stats" -> (dChunkStats _),
+    "d_backup_stats" -> (dBackupStats _),
     "e_ann_topk" -> (eAnnTopK _),
     "e_ivf_topk" -> (eIvfTopK _),
     "e_ivf_probe" -> (eIvfProbe _),
+    "e_ivf_kmeans" -> (eIvfKmeans _),
     "e_cosine_dedup" -> (eCosineDedup _),
     "e_norm_stats" -> (eNormStats _),
     "e_quantize_stats" -> (eQuantizeStats _),
@@ -1476,6 +1702,49 @@ object Queries {
       |  SELECT query_id, neighbor_id, cosine,
       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rk
       |  FROM j) WHERE rk <= 5""".stripMargin
+
+  /** Shared CTE prefix for the md5-fp40 replayable twins
+    * ([[dSegmentMd5]]/[[dPresetsMd5]] oracles): fixed-256 md5 chunk fps
+    * with the fp-tail low byte `tb` (enough for every power-of-two ≤ 256
+    * modulus the samplers use), and the content-defined segmenting fold
+    * (avg 4, min 2, max 16) replayed as a recursive running-state CTE —
+    * the r_restore_asm pattern. `AS MATERIALIZED` per the repo's DuckDB
+    * recursive-CTE rule (window re-evaluation otherwise).
+    */
+  private val md5ChunkSegSql =
+    """d AS MATERIALIZED (
+      |  SELECT doc_id, text, length(text) AS len FROM documents WHERE length(text) > 0),
+      |ch AS MATERIALIZED (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS idx, m || substr(m, 1, 8) AS fp,
+      |    (strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 16
+      |      + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) AS tb
+      |  FROM (SELECT doc_id, i, md5(substr(text, CAST(i * 256 + 1 AS INTEGER), 256)) AS m
+      |        FROM (SELECT doc_id, text,
+      |                unnest(generate_series(0, CAST(ceil(len / 256.0) AS BIGINT) - 1)) AS i
+      |              FROM d))),
+      |st AS (
+      |  SELECT doc_id, idx, CAST(0 AS BIGINT) AS sid,
+      |    CAST(0 AS BIGINT) AS seg, CAST(1 AS BIGINT) AS num
+      |  FROM ch WHERE idx = 0
+      |  UNION ALL
+      |  SELECT c.doc_id, c.idx,
+      |    CASE WHEN s.num < 2 THEN s.seg
+      |         WHEN c.tb % 4 = 0 THEN s.seg + 1
+      |         ELSE s.seg END,
+      |    CASE WHEN s.num < 2 THEN s.seg
+      |         WHEN c.tb % 4 = 0 THEN s.seg + 1
+      |         WHEN s.num + 1 >= 16 THEN s.seg + 1
+      |         ELSE s.seg END,
+      |    CASE WHEN s.num < 2 THEN s.num + 1
+      |         WHEN c.tb % 4 = 0 THEN CAST(1 AS BIGINT)
+      |         WHEN s.num + 1 >= 16 THEN CAST(0 AS BIGINT)
+      |         ELSE s.num + 1 END
+      |  FROM st s JOIN ch c ON c.doc_id = s.doc_id AND c.idx = s.idx + 1),
+      |sc AS MATERIALIZED (
+      |  SELECT st.doc_id, st.idx, st.sid, ch.fp, ch.tb,
+      |    row_number() OVER (PARTITION BY st.doc_id, st.sid ORDER BY st.idx) - 1 AS pos,
+      |    count(*) OVER (PARTITION BY st.doc_id, st.sid) AS n
+      |  FROM st JOIN ch USING (doc_id, idx))""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q1_agg" ->
@@ -2045,6 +2314,124 @@ object Queries {
         |  CAST(sum(err) AS BIGINT) AS sum_abs_err_micro,
         |  min(q) AS qmin, max(q) AS qmax
         |FROM d GROUP BY 1""".stripMargin,
+    "d_segment_md5" ->
+      s"""WITH RECURSIVE $md5ChunkSegSql
+        |SELECT DISTINCT doc_id, sid AS seg_id, 'uniform' AS method, fp AS feature
+        |FROM sc WHERE pos % 4 = 0
+        |UNION ALL
+        |SELECT DISTINCT doc_id, sid, 'random', fp FROM sc WHERE tb % 4 = 0
+        |UNION ALL
+        |SELECT doc_id, sid, 'random', repeat('0', 40) FROM (
+        |  SELECT doc_id, sid FROM sc GROUP BY 1, 2
+        |  HAVING sum(CASE WHEN tb % 4 = 0 THEN 1 ELSE 0 END) = 0)
+        |UNION ALL
+        |SELECT DISTINCT doc_id, sid, 'min', fp FROM (
+        |  SELECT doc_id, sid, fp,
+        |    row_number() OVER (PARTITION BY doc_id, sid ORDER BY fp, idx) AS rn,
+        |    CASE WHEN n <= 4 THEN 1
+        |         ELSE n // 4 + CASE WHEN 2 * (n % 4) > 4 THEN 1 ELSE 0 END END AS fn
+        |  FROM sc) WHERE rn <= fn
+        |UNION ALL
+        |SELECT DISTINCT a.doc_id, a.sid, 'optmin', b.fp FROM (
+        |  SELECT doc_id, sid, pos,
+        |    row_number() OVER (PARTITION BY doc_id, sid ORDER BY fp, idx) AS rn,
+        |    CASE WHEN n <= 4 THEN 1
+        |         ELSE n // 4 + CASE WHEN 2 * (n % 4) > 4 THEN 1 ELSE 0 END END AS fn
+        |  FROM sc) a
+        |JOIN sc b ON b.doc_id = a.doc_id AND b.sid = a.sid
+        |  AND b.pos = greatest(a.pos - 8, 0)
+        |WHERE a.rn <= a.fn""".stripMargin,
+    "d_presets_md5" ->
+      s"""WITH RECURSIVE $md5ChunkSegSql,
+        |fx AS (
+        |  SELECT
+        |    (SELECT count(*) FROM (SELECT DISTINCT doc_id, idx // 4 FROM ch)) AS segs,
+        |    (SELECT count(*) FROM (SELECT DISTINCT doc_id, idx // 4, fp FROM ch)) AS dfeat,
+        |    (SELECT count(*) FROM d) AS files),
+        |sp AS (
+        |  SELECT count(*) AS segs,
+        |    CAST(sum(CASE WHEN k = 0 THEN 1 ELSE k END) AS BIGINT) AS feats
+        |  FROM (SELECT doc_id, sid,
+        |          count(DISTINCT CASE WHEN tb % 128 = 0 THEN fp END) AS k
+        |        FROM sc GROUP BY 1, 2))
+        |SELECT 'ddfs' AS preset, files, segs AS segments, dfeat AS features FROM fx
+        |UNION ALL SELECT 'blc', files, segs, dfeat FROM fx
+        |UNION ALL SELECT 'sampled', files, segs, segs FROM fx
+        |UNION ALL SELECT 'silo', files, segs, segs FROM fx
+        |UNION ALL SELECT 'extreme_binning', files, files, files FROM fx
+        |UNION ALL SELECT 'sparse', fx.files, sp.segs, sp.feats FROM fx, sp""".stripMargin,
+    "d_backup_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 2 + 1 AS b, text, length(text) AS len
+        |  FROM documents WHERE length(text) > 0),
+        |chunks AS (
+        |  SELECT doc_id, CAST(b AS BIGINT) AS b, CAST(i AS BIGINT) AS idx,
+        |    CAST(least(256, len - i * 256) AS BIGINT) AS size,
+        |    substr(text, CAST(i * 256 + 1 AS INTEGER), 256)
+        |      = repeat(chr(0), CAST(least(256, len - i * 256) AS INTEGER)) AS zero,
+        |    sha256(substr(text, CAST(i * 256 + 1 AS INTEGER), 256)) AS sha
+        |  FROM (SELECT doc_id, b, text, len,
+        |          unnest(generate_series(0, CAST(ceil(len / 256.0) AS BIGINT) - 1)) AS i
+        |        FROM d)),
+        |inst AS (
+        |  SELECT *, row_number() OVER (PARTITION BY sha ORDER BY b, doc_id, idx) = 1 AS is_first
+        |  FROM chunks),
+        |u1 AS (
+        |  SELECT sha, size,
+        |    CAST(floor((sum(size) OVER (ORDER BY doc_id, idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) / 16384.0) AS BIGINT) AS cid
+        |  FROM inst WHERE b = 1 AND is_first),
+        |cbytes AS (SELECT cid, CAST(sum(size) AS BIGINT) AS cb FROM u1 GROUP BY 1),
+        |b2ref AS (
+        |  SELECT i.sha, i.size, u1.cid
+        |  FROM inst i JOIN u1 ON i.sha = u1.sha
+        |  WHERE i.b = 2 AND NOT i.is_first),
+        |util AS (
+        |  SELECT u1.cid, CAST(sum(u1.size) AS BIGINT) AS refb
+        |  FROM u1 WHERE u1.sha IN (SELECT DISTINCT sha FROM b2ref) GROUP BY 1),
+        |sparse AS (
+        |  SELECT c.cid FROM cbytes c LEFT JOIN util USING (cid)
+        |  WHERE coalesce(refb, 0) < 0.5 * cb),
+        |rw AS (SELECT * FROM b2ref WHERE cid IN (SELECT cid FROM sparse)),
+        |core AS (
+        |  SELECT b, count(DISTINCT doc_id) AS files, count(*) AS chunks,
+        |    CAST(sum(size) AS BIGINT) AS data_size,
+        |    CAST(sum(CASE WHEN zero THEN 1 ELSE 0 END) AS BIGINT) AS zero_chunks,
+        |    CAST(sum(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT) AS unique_chunks,
+        |    CAST(sum(CASE WHEN is_first THEN size ELSE 0 END) AS BIGINT) AS unique_size
+        |  FROM inst GROUP BY 1),
+        |rwagg AS (
+        |  SELECT CAST(2 AS BIGINT) AS b, count(*) AS rewritten_chunks,
+        |    CAST(coalesce(sum(size), 0) AS BIGINT) AS rewritten_size
+        |  FROM rw),
+        |extras AS (
+        |  SELECT CAST(2 AS BIGINT) AS b,
+        |    (SELECT count(*) FROM sparse) AS sparse_containers,
+        |    (SELECT count(DISTINCT cid) FROM rw) AS inherited_sparse,
+        |    (SELECT count(DISTINCT cid) FROM b2ref
+        |     WHERE cid NOT IN (SELECT cid FROM sparse)) AS prefetch_units),
+        |j AS (
+        |  SELECT core.b, files, chunks, data_size, zero_chunks, unique_chunks,
+        |    unique_size,
+        |    coalesce(rewritten_chunks, 0) AS rewritten_chunks,
+        |    coalesce(rewritten_size, 0) AS rewritten_size,
+        |    coalesce(sparse_containers, 0) AS sparse_containers,
+        |    coalesce(inherited_sparse, 0) AS inherited_sparse,
+        |    coalesce(prefetch_units, 0) AS prefetch_units
+        |  FROM core LEFT JOIN rwagg USING (b) LEFT JOIN extras USING (b)),
+        |f AS (SELECT *, unique_size + rewritten_size AS stored_size FROM j)
+        |SELECT b AS backup_id, files, chunks, data_size, zero_chunks,
+        |  unique_chunks, unique_size, rewritten_chunks, rewritten_size,
+        |  stored_size,
+        |  CAST(sum(stored_size) OVER (ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS stored_cum,
+        |  round((data_size - unique_size - rewritten_size) / CAST(data_size AS DOUBLE), 6) AS dedup_rate,
+        |  round(rewritten_size / CAST(data_size AS DOUBLE), 6) AS rewrite_rate,
+        |  CAST(ceil(stored_size / 16384.0) AS BIGINT) AS containers,
+        |  sparse_containers, inherited_sparse, prefetch_units,
+        |  chunks AS lookup_requests,
+        |  unique_chunks + rewritten_chunks AS update_requests
+        |FROM f""".stripMargin,
     "e_lsh_buckets" ->
       """WITH ex AS (
         |  SELECT vec_id, label, CAST(ord - 1 AS BIGINT) AS i,

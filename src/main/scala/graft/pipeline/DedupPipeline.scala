@@ -236,20 +236,40 @@ object DedupPipeline {
     * The result is localCheckpoint-materialized so the sampled range
     * boundaries the offsets were computed against can be freed safely.
     */
-  def streamRecipe(rec: DataFrame): DataFrame = {
-    val spark = rec.sparkSession
-    val ordered = rec
-      .repartitionByRange(col("repo"), col("path"), col("commit"), col("chunkIdx"))
-      .sortWithinPartitions(col("repo"), col("path"), col("commit"), col("chunkIdx"))
-      .persist()
-    val repoIdx = ordered.schema.fieldIndex("repo")
+  def streamRecipe(rec: DataFrame): DataFrame =
+    streamPrefix(rec.withColumn("one", lit(1L)),
+        "repo", Seq("path", "commit", "chunkIdx"), "one", "pre")
+      .withColumn("stream", col("repo"))
+      .withColumn("seq", col("pre") + 1L)
+      .drop("one", "pre")
+
+  /** Exclusive per-stream running prefix sum of `valueCol` (a bigint
+    * column) over rows ordered by `orderCols` within `streamCol`, added
+    * as column `out` — TWO-PHASE DISTRIBUTED: range-partition on the full
+    * ordering, per-(partition, stream) totals, broadcast prefix offsets,
+    * one running-sum map (the packContainers/qQuantile pattern). Never a
+    * per-stream window: a mega-stream with 10^9 rows would funnel one
+    * window-sort task. Streams are contiguous under the range
+    * partitioning, so each partition carries only a handful of distinct
+    * stream offsets and the driver exchange is O(partitions). The result
+    * is localCheckpoint-materialized so the sampled range boundaries the
+    * offsets were computed against can be freed safely.
+    */
+  private[graft] def streamPrefix(df: DataFrame, streamCol: String,
+      orderCols: Seq[String], valueCol: String, out: String): DataFrame = {
+    val spark = df.sparkSession
+    val sortCols = (streamCol +: orderCols).map(col)
+    val ordered = df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*).persist()
+    val sIdx = ordered.schema.fieldIndex(streamCol)
+    val vIdx = ordered.schema.fieldIndex(valueCol)
     val counts = ordered.mapPartitions { it =>
       val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
       it.foreach { r =>
-        val k = r.getString(repoIdx); m(k) = m.getOrElse(k, 0L) + 1
+        val k = r.getString(sIdx); m(k) = m.getOrElse(k, 0L) + r.getLong(vIdx)
       }
       val pid = TaskContext.getPartitionId()
-      m.iterator.map { case (repo, n) => (pid, repo, n) }
+      m.iterator.map { case (s, n) => (pid, s, n) }
     }(org.apache.spark.sql.Encoders.tuple(
       org.apache.spark.sql.Encoders.scalaInt,
       org.apache.spark.sql.Encoders.STRING,
@@ -257,10 +277,10 @@ object DedupPipeline {
     val offsets: Map[Int, Map[String, Long]] = {
       val m = scala.collection.mutable.Map
         .empty[Int, scala.collection.mutable.Map[String, Long]]
-      counts.groupBy(_._2).foreach { case (repo, rows) =>
+      counts.groupBy(_._2).foreach { case (stream, rows) =>
         var cum = 0L
         rows.sortBy(_._1).foreach { case (pid, _, n) =>
-          m.getOrElseUpdate(pid, scala.collection.mutable.Map.empty)(repo) = cum
+          m.getOrElseUpdate(pid, scala.collection.mutable.Map.empty)(stream) = cum
           cum += n
         }
       }
@@ -268,21 +288,20 @@ object DedupPipeline {
     }
     val offB = spark.sparkContext.broadcast(offsets)
     val outSchema = ordered.schema
-      .add("stream", org.apache.spark.sql.types.StringType, nullable = false)
-      .add("seq", org.apache.spark.sql.types.LongType, nullable = false)
-    val out = ordered.mapPartitions { it =>
+      .add(out, org.apache.spark.sql.types.LongType, nullable = false)
+    val res = ordered.mapPartitions { it =>
       val base = offB.value.getOrElse(
         TaskContext.getPartitionId(), Map.empty[String, Long])
       val running = scala.collection.mutable.Map.empty[String, Long]
       it.map { r =>
-        val repo = r.getString(repoIdx)
-        val s = running.getOrElse(repo, base.getOrElse(repo, 0L)) + 1
-        running(repo) = s
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ repo :+ s)
+        val k = r.getString(sIdx)
+        val before = running.getOrElse(k, base.getOrElse(k, 0L))
+        running(k) = before + r.getLong(vIdx)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ before)
       }
     }(org.apache.spark.sql.Encoders.row(outSchema)).localCheckpoint(true)
     ordered.unpersist()
-    out
+    res
   }
 
   // ------------------------------------------------------------------
@@ -375,29 +394,106 @@ object DedupPipeline {
       valueLength: Int = 4): DataFrame = {
     val spark = features.sparkSession
     import spark.implicits._
+    if (icfg.segmentPrefetch <= 0) {
+      val segFeatures = features
+        .select($"fileId", $"chunks.fp".as("fps"))
+        .as[(Long, Seq[String])]
+        .flatMap { case (fileId, fps) =>
+          IndexPresets.segmentAndSample(icfg)(fps).iterator.flatMap {
+            case (segId, feats) => feats.iterator.map(f => (fileId, segId, f))
+          }
+        }
+        .toDF("fileId", "segId", "feature")
+      // FIFO index over segments: recency = stream order analog (fileId);
+      // key = (fileId, segId) flattened for the candidate join
+      val idx = SimilaritySelection.buildFeatureIndex(
+        segFeatures.select(
+          struct($"fileId", $"segId").as("segKey"), $"feature", $"fileId".as("recency"))
+          .select($"segKey".as("segId"), $"feature", $"recency"),
+        valueLength)
+      segFeatures
+        .select(struct($"fileId", $"segId").as("segKey"), $"fileId", $"feature")
+        .join(idx.select($"feature", $"candId"), Seq("feature"))
+        .select($"fileId".as("qFile"), $"candId.fileId".as("cFile"))
+        .filter($"qFile" =!= $"cFile")
+        .select(least($"qFile", $"cFile").as("a"), greatest($"qFile", $"cFile").as("b"))
+        .distinct()
+    } else prefetchCandidates(features, icfg, valueLength)
+  }
+
+  /** [[presetCandidates]] with logical-locality prefetch (segmentPrefetch
+    * > 0): a feature hit on a champion segment ALSO admits the champion
+    * stream's following `segmentPrefetch` segments' files as candidates —
+    * the heart of BLC/Sparse/SiLo locality (reference
+    * src/index/similarity_detection.c:136-217 loads the hit segment's
+    * recipe neighborhood; prefetch counts at src/index/index.c:47,70,88).
+    * The batch stream analog: segments take a stream-global position
+    * (repo stream, files ordered by (path, commit), segments in file
+    * order), computed as a two-phase per-stream prefix of per-file
+    * segment counts — never a window. Self-file hits do not prefetch
+    * (a file trivially "hits" its own indexed features; prefetching from
+    * them would link every stream-adjacent file pair by position alone,
+    * not similarity). Downstream verification (verifiedPairs) still gates
+    * every admitted pair by exact Jaccard, exactly as the reference
+    * dedups prefetched fingerprints by actual lookup.
+    *
+    * Shuffle shape: map-only segment+sample, one tiny file-level prefix
+    * exchange, one shuffle on feature, one equi-join on (stream, gpos)
+    * for the bounded prefetch fan-out (≤ segmentPrefetch rows per hit),
+    * one shuffle for pair dedup.
+    */
+  private def prefetchCandidates(features: Dataset[FileFeatures],
+      icfg: IndexConfig, valueLength: Int): DataFrame = {
+    val spark = features.sparkSession
+    import spark.implicits._
     val segFeatures = features
-      .select($"fileId", $"chunks.fp".as("fps"))
-      .as[(Long, Seq[String])]
-      .flatMap { case (fileId, fps) =>
-        IndexPresets.segmentAndSample(icfg)(fps).iterator.flatMap {
-          case (segId, feats) => feats.iterator.map(f => (fileId, segId, f))
+      .select($"fileId", $"repo", $"path", $"commit", $"chunks.fp".as("fps"))
+      .as[(Long, String, String, String, Seq[String])]
+      .flatMap { case (fileId, repo, path, commit, fps) =>
+        val segs = IndexPresets.segmentAndSample(icfg)(fps)
+        val n = segs.length.toLong
+        segs.iterator.flatMap { case (segId, feats) =>
+          feats.iterator.map(f => (fileId, repo, path, commit, segId, n, f))
         }
       }
-      .toDF("fileId", "segId", "feature")
-    // FIFO index over segments: recency = stream order analog (fileId);
-    // key = (fileId, segId) flattened for the candidate join
+      .toDF("fileId", "repo", "path", "commit", "segId", "nSegs", "feature")
+      .persist()
+    // stream-global segment position = per-file exclusive prefix of
+    // segment counts within the repo stream + local segId
+    val fileSegs = segFeatures
+      .select($"fileId", $"repo", $"path", $"commit", $"nSegs").distinct()
+    val based = streamPrefix(fileSegs, "repo", Seq("path", "commit"), "nSegs", "base")
+      .select($"fileId", $"base")
+    val segPos = segFeatures
+      .join(based, Seq("fileId"))
+      .select($"fileId", $"repo".as("stream"), ($"base" + $"segId").as("gpos"),
+        $"feature")
+      .persist()
+    val segTable = segPos.select($"stream", $"gpos", $"fileId").distinct()
     val idx = SimilaritySelection.buildFeatureIndex(
-      segFeatures.select(
-        struct($"fileId", $"segId").as("segKey"), $"feature", $"fileId".as("recency"))
-        .select($"segKey".as("segId"), $"feature", $"recency"),
+      segPos.select(struct($"fileId", $"stream", $"gpos").as("segId"),
+        $"feature", $"fileId".as("recency")),
       valueLength)
-    segFeatures
-      .select(struct($"fileId", $"segId").as("segKey"), $"fileId", $"feature")
+    val hits = segPos
+      .select($"fileId".as("qFile"), $"feature")
       .join(idx.select($"feature", $"candId"), Seq("feature"))
-      .select($"fileId".as("qFile"), $"candId.fileId".as("cFile"))
+      .select($"qFile", $"candId.fileId".as("cFile"),
+        $"candId.stream".as("stream"), $"candId.gpos".as("gpos"))
       .filter($"qFile" =!= $"cFile")
+      .persist()
+    val direct = hits.select($"qFile", $"cFile")
+    val prefetched = hits
+      .select($"qFile", $"stream", explode(array(
+        (1 to icfg.segmentPrefetch).map(p => $"gpos" + p): _*)).as("gpos"))
+      .join(segTable, Seq("stream", "gpos"))
+      .select($"qFile", $"fileId".as("cFile"))
+      .filter($"qFile" =!= $"cFile")
+    val out = direct.union(prefetched)
       .select(least($"qFile", $"cFile").as("a"), greatest($"qFile", $"cFile").as("b"))
       .distinct()
+      .localCheckpoint(true)
+    hits.unpersist(); segPos.unpersist(); segFeatures.unpersist()
+    out
   }
 
   /** SimHash candidate pairs: 64-bit SimHash banded into four 16-bit

@@ -96,4 +96,35 @@ class IndexPresetSpec extends AnyFunSuite {
     // usable: truncation is deterministic and stable
     assert(t4 == keys.map(IndexPresets.truncateKey(_, 4)))
   }
+
+  test("segmentPrefetch admits the champion stream's following segments (BLC/Sparse/SiLo locality)") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    def mk(repo: String, path: String, fs: Seq[String]): FileFeatures =
+      FileFeatures(graft.functions.Hash64.fileId(repo, path, "0"),
+        repo, path, "0", "md", fs.length * 10, "sha-" + path,
+        fs.zipWithIndex.map { case (f, i) => ChunkInfo(i * 10, 10, f, false) },
+        Array.empty, Array.empty, 0L)
+    def fp(c: Char) = c.toString * 40
+    // version-chain stream in repo "r": f1, f2, f3 in path order, one
+    // 4-chunk segment each (min-sampled => 1 indexed feature per segment)
+    val f1 = mk("r", "a", Seq(fp('1'), fp('2'), fp('3'), fp('4')))
+    val f2 = mk("r", "b", Seq(fp('5'), fp('6'), fp('7'), fp('8')))
+    val f3 = mk("r", "c", Seq(fp('9'), fp('a'), fp('b'), fp('c')))
+    // query file shares f1's sampled min feature but NONE of f2/f3's
+    // sampled features — prefetch-0 can only ever find f1
+    val q = mk("rq", "q", Seq(fp('1'), fp('d'), fp('e'), fp('f')))
+    val ds = spark.createDataset(Seq(f1, f2, f3, q))(
+      org.apache.spark.sql.Encoders.product[FileFeatures])
+    val base = IndexConfig(samplingMethod = "min", sampleRate = 0,
+      segmentMethod = "fixed", segmentSize = 4)
+    def pairs(p: Int): Set[(Long, Long)] =
+      DedupPipeline.presetCandidates(ds, base.copy(segmentPrefetch = p))
+        .as[(Long, Long)].collect().toSet
+    def pr(x: FileFeatures, y: FileFeatures) =
+      (math.min(x.fileId, y.fileId), math.max(x.fileId, y.fileId))
+    assert(pairs(0) === Set(pr(q, f1)))
+    assert(pairs(1) === Set(pr(q, f1), pr(q, f2)))
+    assert(pairs(16) === Set(pr(q, f1), pr(q, f2), pr(q, f3)))
+  }
 }
