@@ -549,13 +549,15 @@ object Queries {
     out
   }
 
-  /** P1/P2 fixed chunking through the REAL pipeline path (featurize →
-    * posexplode chunk table), driver-oracle checked: every chunk's
-    * (offset, size) boundary is recomputed arithmetically in DuckDB and
-    * its content verified by sha256 over the text slice — per-chunk
-    * content equality without SHA-1 (absent in DuckDB; the SHA-1 fps stay
-    * golden-gated against compiled reference C in GoldenChunkSpec).
-    * Documents are ASCII, so char offsets == byte offsets.
+  /** P1/P2 fixed chunking through the REAL pipeline chunker
+    * (chunkBoundsDF — the boundaries-only stage; featurize's SHA-1/
+    * shingle signatures would be discarded here), driver-oracle checked:
+    * every chunk's (offset, size) boundary is recomputed arithmetically
+    * in DuckDB and its content verified by sha256 over the text slice —
+    * per-chunk content equality without SHA-1 (absent in DuckDB; the
+    * SHA-1 fps stay golden-gated against compiled reference C in
+    * GoldenChunkSpec). Documents are ASCII, so char offsets == byte
+    * offsets.
     */
   def dFixedChunks(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -564,8 +566,8 @@ object Queries {
         col("doc_id").cast("string").as("path"),
         lit("0").as("commit"), col("lang"), col("text").as("content"))
       .as[CorpusFile]
-    val cfg = DedupConfig(chunker = graft.chunking.ChunkerConfig("fixed", avgSize = 256))
-    DedupPipeline.chunkTableDF(DedupPipeline.featurize(files, cfg).toDF())
+    DedupPipeline.chunkBoundsDF(files,
+        graft.chunking.ChunkerConfig("fixed", avgSize = 256))
       .select(col("path").cast("long").as("doc_id"),
         col("chunkIdx").cast("long").as("chunk_idx"),
         col("offset").cast("long").as("chunk_offset"),
@@ -1134,9 +1136,8 @@ object Queries {
         col("doc_id").cast("string").as("path"), lit("0").as("commit"),
         col("lang"), col("text").as("content"))
       .as[CorpusFile]
-    val cfg = DedupConfig(chunker = graft.chunking.ChunkerConfig("fixed", avgSize = 256))
-    val chunks = DedupPipeline.chunkTableDF(
-        DedupPipeline.featurize(files, cfg).toDF())
+    val chunks = DedupPipeline.chunkBoundsDF(files,
+        graft.chunking.ChunkerConfig("fixed", avgSize = 256))
       .select(col("path").cast("long").as("doc_id"),
         col("chunkIdx").cast("long").as("idx"),
         col("offset").cast("long").as("off"),
