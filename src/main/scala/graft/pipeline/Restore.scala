@@ -63,4 +63,67 @@ object Restore {
     features.unpersist()
     res
   }
+
+  /** MATERIALIZING restore — the reference's actual restore writer
+    * (src/do_restore.c:132-208 rebuilds the directory tree on disk):
+    * reassemble every file from (recipe ⋈ first-writer chunk bytes) and
+    * write it under `outDir/<repo>/<commit>/<path>`, executor-side (each
+    * task writes its own files directly — no driver funnel; on a real
+    * cluster outDir is the shared filesystem, exactly like the
+    * reference's restore path). Per-file verification stays in-line:
+    * every written file's sha256 is compared against the original
+    * content hash, the same check `destor -r` offers via its md5 mode.
+    *
+    * Bounded state: one file's chunk rows are gathered per group (the
+    * file is being rebuilt — its own size is the floor), never a stream
+    * or corpus aggregate. Returns one row per file:
+    * (fileId, restoredPath, bytes, ok).
+    */
+  def materialize(corpus: Dataset[CorpusFile], cfg: DedupConfig,
+      outDir: String): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val features = DedupPipeline.featurize(corpus, cfg).toDF().persist()
+    val chunks = DedupPipeline.chunkTableDF(features)
+    val unique = DedupPipeline.uniqueChunks(chunks.as[ChunkRow])
+    val corpusBin = corpus.select($"repo", $"path", $"commit",
+      encode($"content", "UTF-8").as("bin"))
+    val ownerSlices = unique
+      .select($"fp", $"repo", $"path", $"commit", $"chunkIdx")
+      .join(chunks.select($"fp", $"repo", $"path", $"commit", $"chunkIdx",
+          $"offset", $"size"),
+        Seq("fp", "repo", "path", "commit", "chunkIdx"))
+      .join(corpusBin, Seq("repo", "path", "commit"))
+      .select($"fp", expr("substring(bin, offset + 1, size)").as("bytes"))
+    val written = chunks
+      .select($"fileId", $"repo", $"path", $"commit", $"chunkIdx", $"fp")
+      .join(ownerSlices, Seq("fp"))
+      .select($"fileId", $"repo", $"path", $"commit", $"chunkIdx", $"bytes")
+      .as[(Long, String, String, String, Int, Array[Byte])]
+      .groupByKey(_._1)
+      .mapGroups { (fileId: Long, it: Iterator[(Long, String, String, String, Int, Array[Byte])]) =>
+        val rows = it.toArray.sortBy(_._5)
+        val repo = rows.head._2; val path = rows.head._3
+        val commit = rows.head._4
+        val target = java.nio.file.Paths.get(outDir, repo, commit, path)
+        java.nio.file.Files.createDirectories(target.getParent)
+        val out = new java.io.BufferedOutputStream(
+          java.nio.file.Files.newOutputStream(target))
+        val sha = java.security.MessageDigest.getInstance("SHA-256")
+        var bytes = 0L
+        rows.foreach { r =>
+          out.write(r._6); sha.update(r._6); bytes += r._6.length
+        }
+        out.close()
+        (fileId, s"$repo/$commit/$path", bytes, DedupPipeline.toHex(sha.digest()))
+      }
+      .toDF("fileId", "restoredPath", "bytes", "restoredSha")
+    val res = features.select($"fileId", $"sha256")
+      .join(written, Seq("fileId"))
+      .select($"fileId", $"restoredPath", $"bytes",
+        ($"sha256" === $"restoredSha").as("ok"))
+      .localCheckpoint(true) // the writes have happened; free the cache
+    features.unpersist()
+    res
+  }
 }
