@@ -520,6 +520,41 @@ object Queries {
         sum(col("features")).as("features"))
   }
 
+  /** The preset candidate machinery itself — segment → sample → FIFO
+    * feature index (valueLength cap) → candidate join → LOGICAL-LOCALITY
+    * PREFETCH — fully value-oracled: the REAL
+    * `DedupPipeline.presetCandidates` runs under a sparse-style config
+    * (content-defined 4/2/16, random/2 sampling incl. the empty-sample
+    * sentinel, prefetch 1, valueLength 4) over [[md5Fp40s]] fingerprints
+    * with fileId = doc_id, so EVERY stage — including the FIFO recency
+    * eviction order and the stream-global prefetch positions — is
+    * replayable relationally in DuckDB. Streams = the `source` column;
+    * file order inside a stream = zero-padded doc_id paths.
+    */
+  def dPresetCandMd5(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val features = t(spark, dir, "documents")
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, src, text) =>
+          val fps = md5Fp40s(md, text)
+          FileFeatures(fileId = id, repo = src, path = f"$id%010d",
+            commit = "0", lang = "", size = 0, sha256 = "",
+            chunks = fps.zipWithIndex.map { case (f, i) =>
+              ChunkInfo(i * 256, 256, f, zero = false) },
+            shingles = Array.empty, minhash = Array.empty, simhash = 0L)
+        }
+      }
+    val icfg = IndexConfig(exact = false, logicalLocality = true,
+      samplingMethod = "random", sampleRate = 2, segmentMethod = "content",
+      segmentSize = 4, segmentMin = 2, segmentMax = 16,
+      segmentPrefetch = 1, keyBytes = 20)
+    DedupPipeline.presetCandidates(features, icfg, valueLength = 4)
+  }
+
   /** Full near-dup clustering of documents through a destor index PRESET
     * (sparse index: content-defined segmenting + random sampling + FIFO
     * feature index) instead of MinHash LSH — the reference's own
@@ -1525,7 +1560,9 @@ object Queries {
 
   /** IVF ANN partial probe — the actual scale path (candidates shrink by
     * ~nProbe/nlist; recall@5 = 0.85 at 4/16 proven in SimilaritySpec).
-    * Rows-only: approximate by design.
+    * Approximate w.r.t. brute force but fully DETERMINISTIC, so it is
+    * value-oracled: DuckDB replays seed centroids, argmax assignment,
+    * the nProbe probe and the rerank stage by stage ([[ivfProbeSql]]).
     */
   def eIvfProbe(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.ivfTopK(
@@ -1536,7 +1573,10 @@ object Queries {
     * route a near-dup mega-group as pure jitter noise while k-means pulls
     * the lists onto the real structure (recall gate kmeans > seeds on the
     * clustered corpus, plus full-probe losslessness, in SimilaritySpec).
-    * Rows-only: approximate by design.
+    * Rows-only — and necessarily so: the Lloyd means are distributed
+    * float sums whose accumulation order is partition-dependent; a
+    * cross-engine value oracle would be chasing ulps (contrast
+    * e_ivf_probe, whose seed-centroid path is exactly replayable).
     */
   def eIvfKmeans(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.ivfTopK(
@@ -1648,6 +1688,7 @@ object Queries {
     "d_segment_md5" -> (dSegmentMd5 _),
     "d_index_presets" -> (dIndexPresets _),
     "d_presets_md5" -> (dPresetsMd5 _),
+    "d_preset_cand_md5" -> (dPresetCandMd5 _),
     "d_preset_clusters" -> (dPresetClusters _),
     "d_fixed_chunks" -> (dFixedChunks _),
     "g_dead_chunks" -> (gDeadChunks _),
@@ -1686,6 +1727,53 @@ object Queries {
     "e_lsh_buckets" -> (eLshBuckets _),
     "e_lsh_dedup" -> (eLshDedup _)
   )
+
+  /** DuckDB cosine between two FLOAT lists, elementwise-in-order double
+    * sums — the exact accumulation order Similarity.cosine uses, so the
+    * rounded values match Spark's.
+    */
+  private def cosSql(a: String, b: String): String =
+    s"""list_aggregate(list_transform(list_zip($a, $b), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')
+       |      / (sqrt(list_aggregate(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+       |       * sqrt(list_aggregate(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))""".stripMargin
+
+  /** Full IVF partial-probe replay — oracle for e_ivf_probe: every stage
+    * of Similarity.ivfTopK at kmeansIters=0 is deterministic (seed
+    * centroids = the nlist lowest vec_ids in id order; assignment =
+    * argmax cosine with first-index tie-break; probe = top-nProbe
+    * centroids per query with index tie-break; exact-cosine rerank), so
+    * DuckDB recomputes the identical candidate sets and ranks — the
+    * driver-checked proof of the PROBE path itself, beyond the
+    * full-probe ≡ brute-force proof e_ivf_topk carries.
+    */
+  private val ivfProbeSql =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |cents AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS listId, embedding AS c
+      |  FROM e ORDER BY vec_id LIMIT 16),
+      |asg AS (
+      |  SELECT vec_id, embedding, listId FROM (
+      |    SELECT e.vec_id, e.embedding, cents.listId,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.embedding", "cents.c")} DESC, cents.listId) AS rk
+      |    FROM e CROSS JOIN cents)
+      |  WHERE rk = 1),
+      |probe AS (
+      |  SELECT query_id, listId FROM (
+      |    SELECT e.vec_id AS query_id, cents.listId,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.embedding", "cents.c")} DESC, cents.listId) AS rk
+      |    FROM e CROSS JOIN cents WHERE e.vec_id < 20)
+      |  WHERE rk <= 4),
+      |cand AS (
+      |  SELECT p.query_id, a.vec_id AS neighbor_id,
+      |    ${cosSql("qe.embedding", "a.embedding")} AS cos
+      |  FROM probe p
+      |  JOIN asg a USING (listId)
+      |  JOIN e qe ON qe.vec_id = p.query_id
+      |  WHERE a.vec_id <> p.query_id)
+      |SELECT query_id, neighbor_id, rk, round(cos, 4) AS cosine_r FROM (
+      |  SELECT query_id, neighbor_id, cos,
+      |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
+      |  FROM cand) WHERE rk <= 5""".stripMargin
 
   /** Brute-force cosine top-k in DuckDB — oracle for e_ann_topk AND for
     * e_ivf_topk at full probe (nProbe = nlist ⇒ IVF ≡ brute force).
@@ -2361,6 +2449,44 @@ object Queries {
         |UNION ALL SELECT 'silo', files, segs, segs FROM fx
         |UNION ALL SELECT 'extreme_binning', files, files, files FROM fx
         |UNION ALL SELECT 'sparse', fx.files, sp.segs, sp.feats FROM fx, sp""".stripMargin,
+    "d_preset_cand_md5" ->
+      s"""WITH RECURSIVE $md5ChunkSegSql,
+        |feat AS (
+        |  SELECT doc_id, sid, fp FROM (
+        |    SELECT DISTINCT doc_id, sid, fp FROM sc WHERE tb % 2 = 0)
+        |  UNION ALL
+        |  SELECT doc_id, sid, repeat('0', 40) FROM (
+        |    SELECT doc_id, sid FROM sc GROUP BY 1, 2
+        |    HAVING sum(CASE WHEN tb % 2 = 0 THEN 1 ELSE 0 END) = 0)),
+        |docs AS (SELECT doc_id, source AS stream FROM documents WHERE length(text) > 0),
+        |nseg AS (SELECT doc_id, max(sid) + 1 AS nsegs FROM sc GROUP BY 1),
+        |base AS (
+        |  SELECT n.doc_id,
+        |    coalesce(sum(n.nsegs) OVER (PARTITION BY d.stream ORDER BY n.doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base0
+        |  FROM nseg n JOIN docs d USING (doc_id)),
+        |segpos AS (
+        |  SELECT f.doc_id, d.stream, b.base0 + f.sid AS gpos, f.fp
+        |  FROM feat f JOIN docs d USING (doc_id) JOIN base b ON b.doc_id = f.doc_id),
+        |idx AS (
+        |  SELECT fp AS feature, doc_id AS cf, stream, gpos FROM (
+        |    SELECT fp, doc_id, stream, gpos,
+        |      row_number() OVER (PARTITION BY fp
+        |        ORDER BY doc_id DESC, stream DESC, gpos DESC) AS rn
+        |    FROM segpos)
+        |  WHERE rn <= 4),
+        |hits AS (
+        |  SELECT s.doc_id AS qf, i.cf, i.stream, i.gpos
+        |  FROM segpos s JOIN idx i ON i.feature = s.fp
+        |  WHERE s.doc_id <> i.cf),
+        |pre AS (
+        |  SELECT h.qf, t.doc_id AS cf
+        |  FROM hits h
+        |  JOIN (SELECT DISTINCT stream, gpos, doc_id FROM segpos) t
+        |    ON t.stream = h.stream AND t.gpos = h.gpos + 1
+        |  WHERE h.qf <> t.doc_id)
+        |SELECT DISTINCT least(qf, cf) AS a, greatest(qf, cf) AS b
+        |FROM (SELECT qf, cf FROM hits UNION ALL SELECT qf, cf FROM pre)""".stripMargin,
     "d_backup_stats" ->
       """WITH d AS (
         |  SELECT doc_id, doc_id % 2 + 1 AS b, text, length(text) AS len
@@ -2457,6 +2583,8 @@ object Queries {
     "e_ann_topk" -> annBruteSql,
     // full-probe IVF must reproduce brute force exactly (losslessness proof)
     "e_ivf_topk" -> annBruteSql,
+    // partial-probe IVF replayed stage by stage (probe-path proof)
+    "e_ivf_probe" -> ivfProbeSql,
     "r_cbr_rewrite" ->
       s"""WITH r AS ($recipeSql),
         |w AS (SELECT *,

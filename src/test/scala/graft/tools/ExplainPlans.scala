@@ -16,7 +16,8 @@ object ExplainPlans {
     spark.sparkContext.setLogLevel("ERROR")
     for (name <- Seq("q1_agg", "q_broadcast_join", "q_semi_join",
         "q_first_writer", "d_token_count", "e_ann_topk",
-        "e_lsh_dedup", "d_ngram_jaccard_pairs", "q_quantile")) {
+        "e_lsh_dedup", "d_ngram_jaccard_pairs", "q_quantile",
+        "d_winnow", "e_lsh_buckets", "d_backup_stats")) {
       println(s"\n===== $name =====")
       println(graft.Queries.all(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
