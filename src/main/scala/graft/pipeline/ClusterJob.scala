@@ -92,10 +92,25 @@ object ClusterJob {
     summary
   }
 
-  /** spark-submit entry: ClusterJob <corpusParquet> <checkpointRoot> [runId] */
+  /** spark-submit entry:
+    * ClusterJob <corpusParquet> <checkpointRoot> [runId] [destor.config]
+    *
+    * The optional 4th argument is a destor-config file (the reference's
+    * own directive language, [[DestorConfig]]) — its chunk-* directives
+    * configure the pipeline, so `destor /path` invocations carry their
+    * config straight over.
+    */
   def main(args: Array[String]): Unit = {
     val Array(corpusPath, root) = args.take(2)
     val runId = args.lift(2).getOrElse(s"run-${java.util.UUID.randomUUID()}")
+    val cfg = args.lift(3) match {
+      case Some(cfgPath) =>
+        val text = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(cfgPath)),
+          java.nio.charset.StandardCharsets.UTF_8)
+        DestorConfig.parse(text).dedupConfig
+      case None => DedupConfig()
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
@@ -107,7 +122,7 @@ object ClusterJob {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     val corpus = spark.read.parquet(corpusPath).as[CorpusFile]
-    val s = run(corpus, root, runId)
+    val s = run(corpus, root, runId, cfg)
     println(s"[clusterjob] $s")
     spark.stop()
   }

@@ -164,4 +164,33 @@ class PropertySpec extends AnyFunSuite {
       assert(math.abs(c - graft.operators.Similarity.cosine(a, b)) < 1e-12)
     }
   }
+
+  test("streamPrefix equals the sequential per-stream exclusive scan (property)") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val rows: Gen[List[(String, Int, Long)]] = for {
+      n <- Gen.chooseNum(0, 120)
+      streams <- Gen.chooseNum(1, 5)
+      xs <- Gen.listOfN(n, for {
+        s <- Gen.chooseNum(0, streams - 1)
+        k <- Gen.chooseNum(0, 50)
+        v <- Gen.chooseNum(0L, 1000L)
+      } yield (s"s$s", k, v))
+    } yield xs
+    forAll(rows, n = 12) { xs =>
+      // unique order key per stream so the ordering is total
+      val data = xs.zipWithIndex.map { case ((s, _, v), i) => (s, i, v) }
+      val df = data.toDF("stream", "k", "v")
+      val got = DedupPipeline.streamPrefix(df, "stream", Seq("k"), "v", "pre")
+        .select($"stream", $"k", $"pre").as[(String, Int, Long)]
+        .collect().map(r => (r._1, r._2) -> r._3).toMap
+      val expect = data.groupBy(_._1).flatMap { case (_, rs) =>
+        var cum = 0L
+        rs.sortBy(_._2).map { case (s, k, v) =>
+          val out = (s, k) -> cum; cum += v; out
+        }
+      }.toMap
+      assert(got == expect)
+    }
+  }
 }
