@@ -584,33 +584,52 @@ object Queries {
     out
   }
 
-  /** P1/P2 fixed chunking through the REAL pipeline chunker
-    * (chunkBoundsDF — the boundaries-only stage; featurize's SHA-1/
-    * shingle signatures would be discarded here), driver-oracle checked:
-    * every chunk's (offset, size) boundary is recomputed arithmetically
-    * in DuckDB and its content verified by sha256 over the text slice —
-    * per-chunk content equality without SHA-1 (absent in DuckDB; the
-    * SHA-1 fps stay golden-gated against compiled reference C in
-    * GoldenChunkSpec). Documents are ASCII, so char offsets == byte
-    * offsets.
+  /** Fixed-256 chunks with per-slice sha256, in ONE map pass through the
+    * REAL pipeline chunker (Chunkers boundaries + zero detect, hash
+    * computed on the chunk bytes in the same pass). Shared by
+    * [[dFixedChunks]] and [[dBackupStats]]. No text join anywhere: at
+    * 100 TB, joining the chunk table back to `documents` for slice
+    * hashing would shuffle the full corpus text — the map pass reads
+    * each document exactly once and emits only fixed-width rows.
+    * Documents are ASCII, so char offsets == byte offsets and the DuckDB
+    * substr-based oracle recomputes identical hashes.
     */
-  def dFixedChunks(spark: SparkSession, dir: String): DataFrame = {
+  private def sliceShaChunks(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val d = t(spark, dir, "documents")
-    val files = d.select(col("source").as("repo"),
-        col("doc_id").cast("string").as("path"),
-        lit("0").as("commit"), col("lang"), col("text").as("content"))
-      .as[CorpusFile]
-    DedupPipeline.chunkBoundsDF(files,
-        graft.chunking.ChunkerConfig("fixed", avgSize = 256))
-      .select(col("path").cast("long").as("doc_id"),
-        col("chunkIdx").cast("long").as("chunk_idx"),
-        col("offset").cast("long").as("chunk_offset"),
-        col("size").cast("long").as("chunk_size"))
-      .join(d.select(col("doc_id"), col("text")), Seq("doc_id"))
-      .select(col("doc_id"), col("chunk_idx"), col("chunk_offset"), col("chunk_size"),
-        sha2(expr("substring(text, chunk_offset + 1, chunk_size)"), 256).as("chunk_sha"))
+    t(spark, dir, "documents").filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val cut = graft.chunking.Chunkers.forConfig(
+          graft.chunking.ChunkerConfig("fixed", avgSize = 256))
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        it.flatMap { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          graft.chunking.Chunkers.boundaries(bytes, cut).iterator.zipWithIndex
+            .map { case (bd, i) =>
+              md.reset()
+              md.update(bytes, bd.offset, bd.length)
+              (id, i.toLong, bd.offset.toLong, bd.length.toLong,
+                graft.chunking.Chunkers.isZeroChunk(bytes, bd.offset, bd.length),
+                DedupPipeline.toHex(md.digest()))
+            }
+        }
+      }
+      .toDF("doc_id", "idx", "off", "size", "zero", "sha")
   }
+
+  /** P1/P2 fixed chunking through the REAL pipeline chunker
+    * ([[sliceShaChunks]] — one map pass, no text join), driver-oracle
+    * checked: every chunk's (offset, size) boundary is recomputed
+    * arithmetically in DuckDB and its content verified by sha256 over
+    * the text slice — per-chunk content equality without SHA-1 (absent
+    * in DuckDB; the SHA-1 fps stay golden-gated against compiled
+    * reference C in GoldenChunkSpec).
+    */
+  def dFixedChunks(spark: SparkSession, dir: String): DataFrame =
+    sliceShaChunks(spark, dir)
+      .select(col("doc_id"), col("idx").as("chunk_idx"),
+        col("off").as("chunk_offset"), col("size").as("chunk_size"),
+        col("sha").as("chunk_sha"))
 
   /** Index-preset matrix over the documents chunk stream: every published
     * system's forced segmenting/sampling combination (DDFS, BLC, sampled,
@@ -1166,21 +1185,9 @@ object Queries {
   def dBackupStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val payload = 16384L
-    val d = t(spark, dir, "documents")
-    val files = d.select(col("source").as("repo"),
-        col("doc_id").cast("string").as("path"), lit("0").as("commit"),
-        col("lang"), col("text").as("content"))
-      .as[CorpusFile]
-    val chunks = DedupPipeline.chunkBoundsDF(files,
-        graft.chunking.ChunkerConfig("fixed", avgSize = 256))
-      .select(col("path").cast("long").as("doc_id"),
-        col("chunkIdx").cast("long").as("idx"),
-        col("offset").cast("long").as("off"),
-        col("size").cast("long").as("size"), col("zero"))
-      .join(d.select(col("doc_id"), col("text")), Seq("doc_id"))
+    val chunks = sliceShaChunks(spark, dir)
       .select(col("doc_id"), (pmod(col("doc_id"), lit(2)) + 1).cast("long").as("b"),
-        col("idx"), col("size"), col("zero"),
-        sha2(expr("substring(text, off + 1, size)"), 256).as("sha"))
+        col("idx"), col("size"), col("zero"), col("sha"))
       .persist()
     // global first-writer across (backup, doc, chunk) stream order —
     // groupBy-min + join, never a per-sha window (q_first_writer pattern)

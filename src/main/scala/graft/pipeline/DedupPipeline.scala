@@ -124,26 +124,6 @@ object DedupPipeline {
   // Stage 2: chunk table + exact dedup + container packing
   // ------------------------------------------------------------------
 
-  /** Chunk BOUNDARIES only — the pipeline's chunking stage without the
-    * per-chunk SHA-1 / shingle / MinHash work, for consumers that
-    * recompute content hashes themselves (the replayable slice-sha
-    * queries): featurize would burn signature CPU those queries discard.
-    */
-  def chunkBoundsDF(files: Dataset[CorpusFile], cfg: ChunkerConfig): DataFrame = {
-    val spark = files.sparkSession
-    import spark.implicits._
-    files.mapPartitions { it =>
-      val cut = Chunkers.forConfig(cfg)
-      it.flatMap { f =>
-        val bytes = f.content.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        Chunkers.boundaries(bytes, cut).iterator.zipWithIndex.map { case (b, i) =>
-          (f.repo, f.path, f.commit, i, b.offset, b.length,
-            Chunkers.isZeroChunk(bytes, b.offset, b.length))
-        }
-      }
-    }.toDF("repo", "path", "commit", "chunkIdx", "offset", "size", "zero")
-  }
-
   /** Chunk table via native posexplode (stays in whole-stage codegen and
     * lets the columnar cache prune unrelated columns).
     */
