@@ -1590,6 +1590,20 @@ object Queries {
       t(spark, dir, "embeddings"), queryMaxId = 20, nlist = 16, nProbe = 4,
       k = 5, kmeansIters = 5)
 
+  /** Product-quantization ANN — the compression step PAST int8 for a
+    * 100 TB embedding store (d float32 dims → m byte codes, 32× at
+    * d=64/m=8): codebooks trained driver-side on a bounded deterministic
+    * sample, map-only encode, ADC code scan with per-partition bounded
+    * heaps, exact-cosine rerank of the shortlist. Rows-only — and
+    * necessarily so, like e_ivf_kmeans: the codebooks are float k-means
+    * means, accumulation-order-dependent across engines; recall@5 vs
+    * exact is gated in SimilaritySpec instead.
+    */
+  def ePqTopK(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.pqTopK(
+      t(spark, dir, "embeddings"), queryMaxId = 20, m = 8, k = 16, topK = 5,
+      refine = 16)
+
   /** Scalable embedding near-dup dedup: banded sign-LSH candidates +
     * exact-cosine rerank with hub-star hot-bucket linearization — the
     * 100 TB replacement for the all-pairs crossJoin (which
@@ -1728,6 +1742,7 @@ object Queries {
     "e_ivf_topk" -> (eIvfTopK _),
     "e_ivf_probe" -> (eIvfProbe _),
     "e_ivf_kmeans" -> (eIvfKmeans _),
+    "e_pq_topk" -> (ePqTopK _),
     "e_cosine_dedup" -> (eCosineDedup _),
     "e_norm_stats" -> (eNormStats _),
     "e_quantize_stats" -> (eQuantizeStats _),

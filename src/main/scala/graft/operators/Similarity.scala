@@ -142,6 +142,200 @@ object Similarity {
       .toDF("vec_id", "embedding", "label")
   }
 
+  // ------------------------------------------------------------------
+  // Product quantization (PQ) — the compression step past int8 for a
+  // 100 TB embedding store: d float32 dims → m byte codes (32× at
+  // d=64, m=8). Codebooks are trained driver-side on a BOUNDED,
+  // deterministic sample (the trainN lowest vec_ids) exactly like
+  // production ANN libraries train on a corpus sample — training cost
+  // is independent of corpus size; encode and scan are map-only.
+  // ------------------------------------------------------------------
+
+  private def l2(a: Array[Float], off: Int, c: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < c.length) {
+      val d = a(off + i) - c(i); s += d * d; i += 1
+    }
+    s
+  }
+
+  /** Unit-normalized copy (cosine becomes inner product downstream). */
+  def normalized(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, e) =>
+        val n = norm(e)
+        val out = new Array[Float](e.length)
+        var i = 0
+        while (i < e.length) { out(i) = if (n == 0) 0f else (e(i) / n).toFloat; i += 1 }
+        (id, out)
+      }
+      .toDF("vec_id", "embedding")
+  }
+
+  /** Per-subspace k-means codebooks over the trainN lowest vec_ids'
+    * UNIT-NORMALIZED vectors (deterministic seeds = first k sample
+    * vectors; fixed Lloyd iterations; empty cells keep their centroid).
+    * Returns [m][k][d/m].
+    */
+  def pqTrain(embeddings: DataFrame, m: Int, k: Int, trainN: Int = 1024,
+      iters: Int = 8): Array[Array[Array[Float]]] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val sample = normalized(embeddings)
+      .orderBy(col("vec_id")).limit(trainN)
+      .as[(Long, Array[Float])].collect().map(_._2)
+    require(sample.nonEmpty, "pqTrain: empty corpus")
+    val d = sample.head.length
+    require(d % m == 0, s"pqTrain: $d dims not divisible into $m subspaces")
+    val dsub = d / m
+    Array.tabulate(m) { j =>
+      val off = j * dsub
+      var cents = Array.tabulate(math.min(k, sample.length)) { c =>
+        java.util.Arrays.copyOfRange(sample(c), off, off + dsub)
+      }
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(cents.length, dsub)(0.0)
+        val counts = new Array[Long](cents.length)
+        sample.foreach { v =>
+          var best = 0; var bd = Double.MaxValue; var c = 0
+          while (c < cents.length) {
+            val dist = l2(v, off, cents(c))
+            if (dist < bd) { bd = dist; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < dsub) { sums(best)(i) += v(off + i); i += 1 }
+        }
+        cents = Array.tabulate(cents.length) { c =>
+          if (counts(c) == 0) cents(c)
+          else Array.tabulate(dsub)(i => (sums(c)(i) / counts(c)).toFloat)
+        }
+        it += 1
+      }
+      cents
+    }
+  }
+
+  /** Map-only PQ encoding of the normalized corpus: per vector, per
+    * subspace, the nearest codebook entry (L2). d*4 bytes → m codes.
+    */
+  def pqEncode(embeddings: DataFrame,
+      books: Array[Array[Array[Float]]]): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(books)
+    normalized(embeddings).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val bks = bc.value
+        val m = bks.length
+        it.map { case (id, v) =>
+          val dsub = v.length / m
+          val codes = new Array[Int](m)
+          var j = 0
+          while (j < m) {
+            val cs = bks(j)
+            var best = 0; var bd = Double.MaxValue; var c = 0
+            while (c < cs.length) {
+              val dist = l2(v, j * dsub, cs(c))
+              if (dist < bd) { bd = dist; best = c }
+              c += 1
+            }
+            codes(j) = best
+            j += 1
+          }
+          (id, codes)
+        }
+      }
+      .toDF("vec_id", "codes")
+  }
+
+  /** PQ top-k with asymmetric distance computation + exact rerank: per
+    * query, subspace inner-product lookup tables (m×k floats, broadcast);
+    * the code scan costs m table adds per candidate instead of d
+    * multiplies; per-partition bounded top-(refine·k) heaps keep the
+    * shuffle at O(queries · refine · k · partitions); the survivors are
+    * reranked with exact cosine. Output schema matches the other ANN
+    * queries: (query_id, neighbor_id, rk, cosine_r).
+    */
+  def pqTopK(embeddings: DataFrame, queryMaxId: Long, m: Int = 8,
+      k: Int = 16, topK: Int = 5, refine: Int = 4): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val books = pqTrain(embeddings, m, k)
+    val codes = pqEncode(embeddings, books).persist()
+    val queries = normalized(embeddings)
+      .filter(col("vec_id") < queryMaxId)
+      .as[(Long, Array[Float])].collect()
+    // per-query ADC tables: ip[j][c] = <q_subspace_j, codebook[j][c]>
+    val tables = queries.map { case (qid, q) =>
+      val dsub = q.length / m
+      (qid, Array.tabulate(m) { j =>
+        books(j).map { cent =>
+          var s = 0.0; var i = 0
+          while (i < cent.length) { s += q(j * dsub + i) * cent(i); i += 1 }
+          s
+        }
+      })
+    }
+    val bcT = spark.sparkContext.broadcast(tables)
+    val keep = refine * topK
+    val cands = codes.as[(Long, Array[Int])]
+      .mapPartitions { it =>
+        val ts = bcT.value
+        // per-query bounded top-`keep` within the partition
+        val heaps = ts.map { case (qid, _) =>
+          qid -> new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
+            Ordering.by[(Double, Long), Double](_._1).reverse)
+        }.toMap
+        it.foreach { case (id, cs) =>
+          ts.foreach { case (qid, tab) =>
+            if (id != qid) {
+              var s = 0.0; var j = 0
+              while (j < cs.length) { s += tab(j)(cs(j)); j += 1 }
+              val h = heaps(qid)
+              if (h.size < keep) h.enqueue((s, id))
+              else if (s > h.head._1) { h.dequeue(); h.enqueue((s, id)) }
+            }
+          }
+        }
+        heaps.iterator.flatMap { case (qid, h) =>
+          h.iterator.map { case (s, id) => (qid, id, s) }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "approx_ip")
+    // global top-`keep` per query (tiny: queries × keep × partitions rows)
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("approx_ip").desc, col("neighbor_id"))
+    val shortlist = cands
+      .withColumn("ark", row_number().over(wA))
+      .filter(col("ark") <= keep)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact-cosine rerank of the shortlist
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val wE = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val out = shortlist
+      .join(e.select(col("vec_id").as("query_id"), col("embedding").as("q")),
+        Seq("query_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("v")),
+        Seq("neighbor_id"))
+      .withColumn("cos", graft.functions.CosineSim(col("q"), col("v")))
+      .withColumn("rk", row_number().over(wE).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("rk"),
+        round(col("cos"), 4).as("cosine_r"))
+      .localCheckpoint(true)
+    codes.unpersist()
+    out
+  }
+
   /** Deterministic centroid seeds: the nlist lowest vec_ids. */
   def centroids(embeddings: DataFrame, nlist: Int): Array[(Long, Array[Float])] = {
     val spark = embeddings.sparkSession

@@ -164,6 +164,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, f"recall $recall too low")
   }
 
+  test("PQ ANN: m-byte codes, deterministic codebooks, ADC+rerank keeps recall") {
+    // uniform random vectors are PQ's WORST case (no cluster structure to
+    // quantize onto); measured here: 0.54/0.73/0.93 recall at refine
+    // 4/8/16 — the driver query ships refine=16
+    val pq = Similarity.pqTopK(emb, queryMaxId = 20, m = 8, k = 16, topK = 5,
+        refine = 16)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)]
+      .collect().groupBy(_._1).map { case (q, r) => q -> r.map(_._2).toSet }
+    val brute = bruteTopK(5, 20).map { case (q, r) => q -> r.toSet }
+    val recall = brute.map { case (q, truth) =>
+      pq.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }.sum / brute.size
+    info(f"PQ recall@5 (m=8, k=16, refine 16x): $recall%.3f")
+    assert(recall >= 0.8, f"PQ recall $recall too low")
+    // codes really are m ints per vector; codebooks deterministic
+    val books = Similarity.pqTrain(emb, 8, 16)
+    assert(books.length == 8)
+    books.foreach(b => assert(b.length <= 16))
+    val codes = Similarity.pqEncode(emb, books)
+    assert(codes.select(size($"codes")).as[Int].collect().forall(_ == 8))
+    val again = Similarity.pqTrain(emb, 8, 16)
+    assert(books.map(_.map(_.toSeq).toSeq).toSeq ==
+      again.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
   test("int8 quantization: codes span the range, dequantized ANN keeps recall") {
     val (codes, stats) = Similarity.quantize(emb)
     val dim = emb.select(size($"embedding")).as[Int].head()
