@@ -69,6 +69,13 @@ object BenchMultiProc {
   }
 
   def main(args: Array[String]): Unit = {
+    // fail fast with the fix instead of 2x "Cannot find any build
+    // directories" executor crashes: the release-layout SPARK_HOME has no
+    // launcher/target, so the worker's command builder needs the version
+    // pinned in the environment
+    require(sys.env.contains("SPARK_HOME") && sys.env.contains("SPARK_SCALA_VERSION"),
+      "run with SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 " +
+      "(local-cluster executors are launched via the Spark distribution)")
     val nBases = args.headOption.map(_.toLong).getOrElse(10000L)
     val rounds = args.lift(1).map(_.toInt).getOrElse(2)
     val warm = math.max(nBases / 10, 1000)

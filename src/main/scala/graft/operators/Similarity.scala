@@ -255,7 +255,9 @@ object Similarity {
   }
 
   /** PQ top-k with asymmetric distance computation + exact rerank: per
-    * query, subspace inner-product lookup tables (m×k floats, broadcast);
+    * query, subspace inner-product lookup tables (m×k floats, broadcast —
+    * the query set is collected to the driver, so queryMaxId bounds it;
+    * batch larger query sets through multiple calls);
     * the code scan costs m table adds per candidate instead of d
     * multiplies; per-partition bounded top-(refine·k) heaps keep the
     * shuffle at O(queries · refine · k · partitions); the survivors are

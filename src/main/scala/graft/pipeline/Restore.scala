@@ -105,7 +105,11 @@ object Restore {
         val rows = it.toArray.sortBy(_._5)
         val repo = rows.head._2; val path = rows.head._3
         val commit = rows.head._4
+        val rootP = java.nio.file.Paths.get(outDir).toAbsolutePath.normalize()
         val target = java.nio.file.Paths.get(outDir, repo, commit, path)
+          .toAbsolutePath.normalize()
+        require(target.startsWith(rootP),
+          s"materialize: path escapes outDir: $repo/$commit/$path")
         java.nio.file.Files.createDirectories(target.getParent)
         val out = new java.io.BufferedOutputStream(
           java.nio.file.Files.newOutputStream(target))
