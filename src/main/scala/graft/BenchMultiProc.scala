@@ -54,12 +54,27 @@ object BenchMultiProc {
       override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
         if (e.taskMetrics != null) cpuNs.addAndGet(e.taskMetrics.executorCpuTime)
     })
+    // listener events arrive on the async bus AFTER the action returns —
+    // read the counter only once it has settled, or trailing onTaskEnd
+    // events from one run leak into the next run's window
+    def settled(): Long = {
+      var prev = -1L
+      var v = cpuNs.get
+      var spins = 0
+      while (v != prev && spins < 50) {
+        prev = v
+        Thread.sleep(100)
+        v = cpuNs.get
+        spins += 1
+      }
+      v
+    }
     Bench.runPipeline(spark, warm) // JIT/codegen warm-up in every executor
-    val c0 = cpuNs.get
+    val c0 = settled()
     val a = Bench.runPipeline(spark, nBases)
-    val c1 = cpuNs.get
+    val c1 = settled()
     val b = Bench.runPipeline(spark, nBases)
-    val c2 = cpuNs.get
+    val c2 = settled()
     val res = if (a._2 <= b._2) (a._1, a._2, (c1 - c0) / 1e9)
       else (b._1, b._2, (c2 - c1) / 1e9)
     spark.stop()

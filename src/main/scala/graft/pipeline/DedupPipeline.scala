@@ -263,13 +263,27 @@ object DedupPipeline {
       .sortWithinPartitions(sortCols: _*).persist()
     val sIdx = ordered.schema.fieldIndex(streamCol)
     val vIdx = ordered.schema.fieldIndex(valueCol)
+    // Streams are CONTIGUOUS under the range partitioning, so only a
+    // partition's FIRST and LAST stream can cross a partition boundary —
+    // emitting just those two keeps the driver exchange and the broadcast
+    // at O(partitions) even with millions of single-partition streams
+    // (whose base offset is 0 and needs no entry).
     val counts = ordered.mapPartitions { it =>
-      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      var firstStream: String = null; var firstSum = 0L
+      var curStream: String = null; var curSum = 0L
       it.foreach { r =>
-        val k = r.getString(sIdx); m(k) = m.getOrElse(k, 0L) + r.getLong(vIdx)
+        val k = r.getString(sIdx); val v = r.getLong(vIdx)
+        if (curStream == null) { curStream = k; curSum = v }
+        else if (k == curStream) curSum += v
+        else {
+          if (firstStream == null) { firstStream = curStream; firstSum = curSum }
+          curStream = k; curSum = v
+        }
       }
       val pid = TaskContext.getPartitionId()
-      m.iterator.map { case (s, n) => (pid, s, n) }
+      if (curStream == null) Iterator.empty
+      else if (firstStream == null) Iterator((pid, curStream, curSum))
+      else Iterator((pid, firstStream, firstSum), (pid, curStream, curSum))
     }(org.apache.spark.sql.Encoders.tuple(
       org.apache.spark.sql.Encoders.scalaInt,
       org.apache.spark.sql.Encoders.STRING,
@@ -280,7 +294,8 @@ object DedupPipeline {
       counts.groupBy(_._2).foreach { case (stream, rows) =>
         var cum = 0L
         rows.sortBy(_._1).foreach { case (pid, _, n) =>
-          m.getOrElseUpdate(pid, scala.collection.mutable.Map.empty)(stream) = cum
+          if (cum > 0) // zero offsets are the getOrElse default
+            m.getOrElseUpdate(pid, scala.collection.mutable.Map.empty)(stream) = cum
           cum += n
         }
       }

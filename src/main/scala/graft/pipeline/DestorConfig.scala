@@ -93,41 +93,67 @@ final case class DestorSettings(
   */
 object DestorConfig {
 
-  /** sdssplitargs-style tokenizer (reference sds.c): whitespace-split,
-    * double quotes honor \\ \" \n \r \t escapes, single quotes are
-    * literal; unbalanced quotes are an error (null return upstream).
+  /** Faithful sdssplitargs tokenizer (reference src/utils/sds.c):
+    * whitespace-split; double quotes decode \\xHH hex escapes and
+    * \\n \\r \\t \\b \\a (any other backslashed char is itself); single
+    * quotes are literal except \\'; a CLOSING quote of either kind must
+    * be followed by whitespace or end of line (a token like `a"b c"d` is
+    * an error, exactly as upstream); quotes opened mid-token extend the
+    * same token; unterminated quotes are an error (the upstream NULL
+    * return).
     */
   private[pipeline] def splitArgs(line: String): Option[Seq[String]] = {
+    val n = line.length
+    def isSp(c: Char) = c == ' ' || c == '\n' || c == '\r' || c == '\t'
+    def isHex(c: Char) =
+      (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+    def hv(c: Char): Int =
+      if (c <= '9') c - '0' else (c.toLower - 'a') + 10
     val out = Seq.newBuilder[String]
     var i = 0
-    val n = line.length
     while (i < n) {
-      while (i < n && line(i).isWhitespace) i += 1
+      while (i < n && isSp(line(i))) i += 1
       if (i < n) {
         val sb = new StringBuilder
-        var inQ = false // double quotes
-        var inSq = false // single quotes
+        var inq = false
+        var insq = false
         var done = false
-        while (i < n && !done) {
-          val c = line(i)
-          if (inQ) {
-            if (c == '\\' && i + 1 < n) {
+        while (!done) {
+          if (inq) {
+            if (i >= n) return None // unterminated quotes
+            else if (line(i) == '\\' && i + 3 < n && line(i + 1) == 'x' &&
+                isHex(line(i + 2)) && isHex(line(i + 3))) {
+              sb += (hv(line(i + 2)) * 16 + hv(line(i + 3))).toChar
+              i += 3
+            } else if (line(i) == '\\' && i + 1 < n) {
               i += 1
               sb += (line(i) match {
                 case 'n' => '\n'; case 'r' => '\r'; case 't' => '\t'
-                case x => x
+                case 'b' => '\b'; case 'a' => '\u0007'; case c => c
               })
-            } else if (c == '"') inQ = false
-            else sb += c
-          } else if (inSq) {
-            if (c == '\'') inSq = false else sb += c
-          } else if (c == '"') inQ = true
-          else if (c == '\'') inSq = true
-          else if (c.isWhitespace) done = true
-          else sb += c
-          if (!done) i += 1
+            } else if (line(i) == '"') {
+              if (i + 1 < n && !isSp(line(i + 1))) return None
+              done = true
+            } else sb += line(i)
+          } else if (insq) {
+            if (i >= n) return None // unterminated quotes
+            else if (line(i) == '\\' && i + 1 < n && line(i + 1) == '\'') {
+              sb += '\''; i += 1
+            } else if (line(i) == '\'') {
+              if (i + 1 < n && !isSp(line(i + 1))) return None
+              done = true
+            } else sb += line(i)
+          } else {
+            if (i >= n) done = true
+            else line(i) match {
+              case c if isSp(c) => done = true
+              case '"' => inq = true
+              case '\'' => insq = true
+              case c => sb += c
+            }
+          }
+          if (i < n) i += 1
         }
-        if (inQ || inSq) return None // unbalanced quotes
         out += sb.result()
       }
     }
@@ -268,8 +294,10 @@ object DestorConfig {
                 case "capping" | "cap" => "cap"
                 case _ => err(linenum, line, "Invalid rewriting algorithm")
               }
-              if (n > 1 && algo == "no")
-                err(linenum, line, "rewrite-algorithm no takes no buffer size")
+              // NOTE: upstream's guard `assert(destor.rewrite_algorithm
+              // != REWRITE_NO)` compares the ARRAY pointer (always
+              // non-null), so `rewrite-algorithm no 1024` is accepted and
+              // the size stored — mirror that, don't reject it
               s = s.copy(rewrite = s.rewrite.copy(algorithm = algo,
                 bufferSize = if (n > 1) int(a(1)) else 1024))
             case ("rewrite-enable-cfl-switch", 1) =>
@@ -308,16 +336,12 @@ object DestorConfig {
         }
       }
     }
-    // init_index forcing: a named preset wins over individual sampling /
-    // segmenting directives (reference applies it after config load,
-    // src/index/index.c:34-110); user-specified segment sizes are kept.
-    s.indexPreset.foreach { p =>
-      val forced = IndexPresets.preset(p)
-      s = s.copy(index = forced.copy(
-        segmentSize = s.index.segmentSize,
-        segmentMin = s.index.segmentMin,
-        segmentMax = s.index.segmentMax))
-    }
+    // init_index forcing, applied after config load exactly like the
+    // reference (src/index/index.c:34-110): the named specific pins its
+    // published combination while preserving user rates/prefetch where
+    // index.c does, then the unconditional EXACT/PHYSICAL post-switch
+    // rules run for EVERY config — see IndexPresets.force.
+    s = s.copy(index = IndexPresets.force(s.index, s.indexPreset))
     s.copy(raw = raw)
   }
 }

@@ -42,52 +42,71 @@ object IndexPresets {
   val names: Seq[String] =
     Seq("ddfs", "extreme_binning", "silo", "sparse", "sampled", "blc")
 
-  def preset(name: String): IndexConfig = name.toLowerCase match {
-    // DDFS: exact + physical locality (index.c:37-41); post-forcing gives
-    // fixed segmenting and uniform/1 sampling (index.c:103-109)
-    case "ddfs" =>
-      IndexConfig(exact = true, logicalLocality = false,
-        samplingMethod = "uniform", sampleRate = 1,
-        segmentMethod = "fixed", keyBytes = 20)
-    // Block Locality Caching: exact + logical, uniform/1, prefetch 16
-    // (index.c:43-52)
-    case "blc" =>
-      IndexConfig(exact = true, logicalLocality = true,
-        samplingMethod = "uniform", sampleRate = 1,
-        segmentMethod = "fixed", segmentPrefetch = 16, keyBytes = 20)
-    // Sampled Index: near-exact + physical, uniform/128 (index.c:54-62);
-    // post-forcing gives fixed segmenting (index.c:103-104)
-    case "sampled" =>
-      IndexConfig(exact = false, logicalLocality = false,
-        samplingMethod = "uniform", sampleRate = 128,
-        segmentMethod = "fixed", keyBytes = 20)
-    // Sparse Index: near-exact + logical, content-defined segmenting,
-    // top selection, random/128 sampling, prefetch 1 (index.c:64-77)
-    case "sparse" =>
-      IndexConfig(exact = false, logicalLocality = true,
-        samplingMethod = "random", sampleRate = 128,
-        segmentMethod = "content", selectionTopK = 1,
-        segmentPrefetch = 1, keyBytes = 20)
-    // SiLo: near-exact + logical, fixed segmenting, top-1 selection,
-    // min/0 sampling, prefetch 16 (index.c:79-93)
-    case "silo" =>
-      IndexConfig(exact = false, logicalLocality = true,
-        samplingMethod = "min", sampleRate = 0,
-        segmentMethod = "fixed", selectionTopK = 1,
-        segmentPrefetch = 16, keyBytes = 20)
-    // Extreme Binning: the reference's config parser accepts the name
-    // (config.c:142-145, asserting near-exact + logical) but init_index
-    // has no forcing case for it and would abort — an unfinished path in
-    // the reference. We force the published system instead (Bhagwat et
-    // al.): whole-file segments, the minimum fp as the representative
-    // feature, top-1 bin selection. Documented deviation.
-    case "extreme_binning" =>
-      IndexConfig(exact = false, logicalLocality = true,
-        samplingMethod = "min", sampleRate = 0,
-        segmentMethod = "file", selectionTopK = 1, keyBytes = 20)
-    case other =>
-      throw new IllegalArgumentException(s"unknown index preset: $other")
+  /** The full init_index forcing pass over an already-parsed config
+    * (reference src/index/index.c:34-110), applied AFTER config loading
+    * exactly like the reference: a named specific first pins the key
+    * size and its published combination — preserving user sampling rates
+    * and prefetch distances exactly where index.c does
+    * (`rate > 1 ? rate : 128` for sampled/sparse,
+    * `prefetch > 1 ? prefetch : 16` for BLC/SiLo; BLC notably does NOT
+    * force a segmenting algorithm) — then the unconditional post-switch
+    * rules run for EVERY config: EXACT ⇒ full key, PHYSICAL ⇒ fixed
+    * segmenting, EXACT+PHYSICAL ⇒ uniform/1 sampling (index.c:99-109).
+    *
+    * Extreme Binning: the reference's config parser accepts the name
+    * (config.c:142-145) but init_index has no forcing case and would
+    * abort — an unfinished path upstream. We force the published system
+    * instead (Bhagwat et al.): whole-file segments, min-fp features,
+    * top-1 bin selection. Documented deviation.
+    */
+  def force(base: IndexConfig, specific: Option[String]): IndexConfig = {
+    var c = base
+    specific.map(_.toLowerCase).foreach { s =>
+      c = c.copy(keyBytes = 20) // index.c:35 pins sizeof(fingerprint)
+      c = s match {
+        case "ddfs" =>
+          c.copy(exact = true, logicalLocality = false)
+        case "blc" =>
+          c.copy(exact = true, logicalLocality = true,
+            samplingMethod = "uniform", sampleRate = 1,
+            segmentPrefetch = if (c.segmentPrefetch > 1) c.segmentPrefetch else 16)
+        case "sampled" =>
+          c.copy(exact = false, logicalLocality = false,
+            samplingMethod = "uniform",
+            sampleRate = if (c.sampleRate > 1) c.sampleRate else 128)
+        case "sparse" =>
+          c.copy(exact = false, logicalLocality = true,
+            segmentMethod = "content", samplingMethod = "random",
+            sampleRate = if (c.sampleRate > 1) c.sampleRate else 128,
+            segmentPrefetch = 1)
+        case "silo" =>
+          c.copy(exact = false, logicalLocality = true,
+            segmentMethod = "fixed", selectionTopK = 1,
+            samplingMethod = "min", sampleRate = 0,
+            segmentPrefetch = if (c.segmentPrefetch > 1) c.segmentPrefetch else 16)
+        case "extreme_binning" =>
+          c.copy(exact = false, logicalLocality = true,
+            segmentMethod = "file", selectionTopK = 1,
+            samplingMethod = "min", sampleRate = 0)
+        case other =>
+          throw new IllegalArgumentException(s"unknown index preset: $other")
+      }
+    }
+    if (c.exact) c = c.copy(keyBytes = 20)
+    if (!c.logicalLocality) {
+      c = c.copy(segmentMethod = "fixed")
+      if (c.exact) c = c.copy(samplingMethod = "uniform", sampleRate = 1)
+    }
+    c
   }
+
+  /** A preset from reference defaults — [[force]] applied to the default
+    * config, i.e. what `fingerprint-index ... <specific>` gives with no
+    * other directives.
+    */
+  def preset(name: String): IndexConfig =
+    force(IndexConfig(samplingMethod = "uniform", sampleRate = 1,
+      segmentMethod = "fixed", selectionTopK = 1), Some(name))
 
   /** index_key_size truncation: keep the first keyBytes bytes of the hex
     * SHA-1 (2 hex chars per byte). Hex prefix order == memcmp prefix

@@ -105,29 +105,68 @@ object Restore {
         val rows = it.toArray.sortBy(_._5)
         val repo = rows.head._2; val path = rows.head._3
         val commit = rows.head._4
-        val rootP = java.nio.file.Paths.get(outDir).toAbsolutePath.normalize()
-        val target = java.nio.file.Paths.get(outDir, repo, commit, path)
-          .toAbsolutePath.normalize()
-        require(target.startsWith(rootP),
-          s"materialize: path escapes outDir: $repo/$commit/$path")
-        java.nio.file.Files.createDirectories(target.getParent)
-        val out = new java.io.BufferedOutputStream(
-          java.nio.file.Files.newOutputStream(target))
         val sha = java.security.MessageDigest.getInstance("SHA-256")
         var bytes = 0L
-        rows.foreach { r =>
-          out.write(r._6); sha.update(r._6); bytes += r._6.length
+        writeFile(outDir, repo, commit, path) { out =>
+          rows.foreach { r =>
+            out.write(r._6); sha.update(r._6); bytes += r._6.length
+          }
         }
-        out.close()
         (fileId, s"$repo/$commit/$path", bytes, DedupPipeline.toHex(sha.digest()))
       }
       .toDF("fileId", "restoredPath", "bytes", "restoredSha")
+    // zero-chunk (empty) files never reach the chunk writer but the
+    // reference restores them too (do_restore.c writes every recipe
+    // entry) — write them as empty files
+    val emptyWritten = features
+      .filter(size($"chunks") === 0)
+      .select($"fileId", $"repo", $"path", $"commit")
+      .as[(Long, String, String, String)]
+      .map { case (fileId, repo, path, commit) =>
+        writeFile(outDir, repo, commit, path)(_ => ())
+        val sha = java.security.MessageDigest.getInstance("SHA-256")
+        (fileId, s"$repo/$commit/$path", 0L, DedupPipeline.toHex(sha.digest()))
+      }
+      .toDF("fileId", "restoredPath", "bytes", "restoredSha")
     val res = features.select($"fileId", $"sha256")
-      .join(written, Seq("fileId"))
-      .select($"fileId", $"restoredPath", $"bytes",
-        ($"sha256" === $"restoredSha").as("ok"))
+      .join(written.union(emptyWritten), Seq("fileId"), "left")
+      .select($"fileId", coalesce($"restoredPath", lit("(not restored)")).as("restoredPath"),
+        coalesce($"bytes", lit(-1L)).as("bytes"),
+        coalesce($"sha256" === $"restoredSha", lit(false)).as("ok"))
       .localCheckpoint(true) // the writes have happened; free the cache
     features.unpersist()
     res
+  }
+
+  /** Executor-side file write under outDir/<repo>/<commit>/<path> with
+    * the hygiene a shared filesystem needs: escape-proof target path,
+    * try/finally stream close, and write-to-temp + atomic move so a
+    * failed/retried task never leaves a partial file at the final name.
+    */
+  private def writeFile(outDir: String, repo: String, commit: String,
+      path: String)(body: java.io.OutputStream => Unit): Unit = {
+    val rootP = java.nio.file.Paths.get(outDir).toAbsolutePath.normalize()
+    val target = java.nio.file.Paths.get(outDir, repo, commit, path)
+      .toAbsolutePath.normalize()
+    require(target.startsWith(rootP),
+      s"materialize: path escapes outDir: $repo/$commit/$path")
+    java.nio.file.Files.createDirectories(target.getParent)
+    val tmp = java.nio.file.Files.createTempFile(target.getParent,
+      "." + target.getFileName.toString, ".part")
+    try {
+      val out = new java.io.BufferedOutputStream(
+        java.nio.file.Files.newOutputStream(tmp))
+      try body(out) finally out.close()
+      try java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      catch {
+        case _: java.nio.file.AtomicMoveNotSupportedException =>
+          java.nio.file.Files.move(tmp, target,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    } finally {
+      java.nio.file.Files.deleteIfExists(tmp)
+    }
   }
 }

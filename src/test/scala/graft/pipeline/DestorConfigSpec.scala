@@ -14,13 +14,14 @@ class DestorConfigSpec extends AnyFunSuite {
       s.chunker.maxSize == 65536)
     // "block locality caching" (quoted, with its leading-space line):
     // categories assert exact+logical like config.c:138-141, then the
-    // init_index forcing wins over the individual sampling/segmenting
-    // directives (uniform/1, fixed segmenting, prefetch 16) while the
-    // user's segment size/boundary survive
+    // init_index forcing (index.c:43-52) pins uniform/1 sampling and
+    // prefetch 16 (user prefetch 1 is not > 1) — but BLC does NOT force
+    // a segmenting algorithm, so the user's content-defined 1024 and
+    // segment boundaries survive, exactly as in the reference
     assert(s.indexPreset.contains("blc"))
     assert(s.index.exact && s.index.logicalLocality)
     assert(s.index.samplingMethod == "uniform" && s.index.sampleRate == 1)
-    assert(s.index.segmentMethod == "fixed")
+    assert(s.index.segmentMethod == "content")
     assert(s.index.segmentSize == 1024)
     assert(s.index.segmentMin == 128 && s.index.segmentMax == 10240)
     assert(s.index.segmentPrefetch == 16)
@@ -40,12 +41,54 @@ class DestorConfigSpec extends AnyFunSuite {
     assert(s.raw("working-directory") == Seq("/mnt/sda/destor/"))
   }
 
-  test("sdssplitargs-style tokenization: quotes, escapes, unbalanced") {
+  test("sdssplitargs-faithful tokenization: quotes, escapes, closing-quote rule") {
     assert(DestorConfig.splitArgs("""a "b c" d""").contains(Seq("a", "b c", "d")))
     assert(DestorConfig.splitArgs("""a "x\ty" 'q w'""").contains(Seq("a", "x\ty", "q w")))
     assert(DestorConfig.splitArgs("""a "unbalanced""").isEmpty)
     assert(DestorConfig.splitArgs("""a 'unbalanced""").isEmpty)
     assert(DestorConfig.splitArgs("").contains(Seq.empty))
+    // \xHH hex escapes decode inside double quotes (sds.c)
+    assert(DestorConfig.splitArgs(""""\x41\x62"""").contains(Seq("Ab")))
+    // a quote opened mid-token extends the SAME token, ending at the
+    // closing quote
+    assert(DestorConfig.splitArgs("""a"b c"""").contains(Seq("ab c")))
+    // a closing quote followed by a non-space is an error upstream
+    assert(DestorConfig.splitArgs("""a"b c"d""").isEmpty)
+    assert(DestorConfig.splitArgs("""'q'x""").isEmpty)
+  }
+
+  test("init_index forcing matches index.c exactly (rates/prefetch preserved, post-switch rules unconditional)") {
+    // sparse preserves a user rate > 1 (index.c:70-71 `rate > 1 ? rate : 128`)
+    val sp = DestorConfig.parse(
+      "fingerprint-index near-exact logical \"sparse index\"\n" +
+      "fingerprint-index-sampling-method random 256")
+    assert(sp.index.samplingMethod == "random" && sp.index.sampleRate == 256)
+    // blc preserves user prefetch > 1 (index.c:47-48)
+    val blc = DestorConfig.parse(
+      "fingerprint-index exact logical \"block locality caching\"\n" +
+      "fingerprint-index-segment-prefetching 32")
+    assert(blc.index.segmentPrefetch == 32)
+    // the unconditional post-switch rules apply even with NO preset:
+    // exact+physical forces fixed segmenting, uniform/1, full key
+    // (index.c:99-109)
+    val ep = DestorConfig.parse(
+      "fingerprint-index exact physical\n" +
+      "fingerprint-index-segment-algorithm content-defined 512\n" +
+      "fingerprint-index-sampling-method min 8\n" +
+      "fingerprint-index-key-size 8")
+    assert(ep.index.segmentMethod == "fixed")
+    assert(ep.index.samplingMethod == "uniform" && ep.index.sampleRate == 1)
+    assert(ep.index.keyBytes == 20)
+    // near-exact + physical: fixed segmenting forced, sampling kept
+    val np = DestorConfig.parse(
+      "fingerprint-index near-exact physical\n" +
+      "fingerprint-index-segment-algorithm content-defined 512\n" +
+      "fingerprint-index-sampling-method min 8")
+    assert(np.index.segmentMethod == "fixed")
+    assert(np.index.samplingMethod == "min" && np.index.sampleRate == 8)
+    // upstream's no-op assert: `rewrite-algorithm no 1024` is accepted
+    assert(DestorConfig.parse("rewrite-algorithm no 1024")
+      .rewrite.algorithm == "no")
   }
 
   test("errors mirror the reference's loaderr cases") {

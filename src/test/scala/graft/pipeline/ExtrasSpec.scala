@@ -57,7 +57,10 @@ class ExtrasSpec extends AnyFunSuite {
   }
 
   test("materializing restore rebuilds the directory tree byte-identically on disk") {
-    val files = CorpusGen.generateLocal(nBases = 25).map(_._1)
+    // include an empty file: zero-chunk entries must still be restored
+    // (do_restore writes every recipe entry)
+    val files = CorpusGen.generateLocal(nBases = 25).map(_._1) :+
+      graft.corpus.CorpusFile("r-empty", "empty.txt", "c0", "md", "")
     val corpus = spark.createDataset(files)(
       org.apache.spark.sql.Encoders.product[graft.corpus.CorpusFile])
     val outDir = java.nio.file.Files.createTempDirectory("graft_restore_").toString
