@@ -66,6 +66,28 @@ final case class DestorSettings(
   def restoreSim(recipe: DataFrame): DataFrame =
     RestoreSim.simulate(recipe, restoreCacheSize, restoreCache,
       restoreOptWindow).toDF()
+
+  /** The reference's whole similarity loop under THIS config — chunking
+    * per the chunk-* directives, segment/sample/index/prefetch per the
+    * forced fingerprint-index directives (incl. `indexValueLength` as
+    * the FIFO kvstore value length), Jaccard verification, connected
+    * components. `destor.config in → clusters out`, one call.
+    */
+  def presetClusters(corpus: org.apache.spark.sql.Dataset[graft.corpus.CorpusFile]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cfg = dedupConfig
+    val features = DedupPipeline.featurize(corpus, cfg).persist()
+    val cand = DedupPipeline.presetCandidates(features, index, indexValueLength)
+    val verified = DedupPipeline
+      .verifiedPairs(cand, DedupPipeline.sigs(features), cfg)
+      .select($"a", $"b")
+    val out = ConnectedComponents.run(
+        features.select($"fileId").toDF("fileId"), verified, cfg.ccMaxIter)
+      .localCheckpoint(true)
+    features.unpersist()
+    out
+  }
 }
 
 /** destor's config-string surface (reference src/config.c:19-325, the

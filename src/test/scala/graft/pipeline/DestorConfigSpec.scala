@@ -117,6 +117,26 @@ class DestorConfigSpec extends AnyFunSuite {
     assert(cfl.rewrite.algorithm == "cfl" && cfl.rewrite.bufferSize == 1024)
   }
 
+  test("destor.config in, clusters out: presetClusters runs the configured similarity loop") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val files = graft.corpus.CorpusGen.generateLocal(nBases = 40).map(_._1)
+    val corpus = spark.createDataset(files)(
+      org.apache.spark.sql.Encoders.product[graft.corpus.CorpusFile])
+    val s = DestorConfig.parse(
+      "chunk-algorithm rabin\nchunk-min-size 64\nchunk-avg-size 256\nchunk-max-size 2048\n" +
+      "fingerprint-index near-exact logical \"sparse index\"\n" +
+      "fingerprint-index-segment-algorithm content-defined 4\n" +
+      "fingerprint-index-segment-boundary 2 16\n" +
+      "fingerprint-index-sampling-method random 2\n" +
+      "fingerprint-index-value-length 4")
+    val clusters = s.presetClusters(corpus).as[(Long, Long)].collect()
+    assert(clusters.length == files.length)
+    // the config-driven loop finds real near-dup structure: at least one
+    // multi-member cluster on the Zipf corpus
+    assert(clusters.groupBy(_._2).values.exists(_.length > 1))
+  }
+
   test("parsed settings are executable: rewritePass and restoreSim dispatch") {
     val spark = graft.SparkTestSession.spark
     import spark.implicits._
