@@ -58,16 +58,21 @@ object BenchMultiProc {
     // read the counter only once it has settled, or trailing onTaskEnd
     // events from one run leak into the next run's window
     def settled(): Long = {
-      var prev = -1L
-      var v = cpuNs.get
+      // require THREE consecutive quiet 150 ms intervals: one quiet
+      // sample can coincide with a driver GC pause mid-drain
+      var quiet = 0
+      var prev = cpuNs.get
       var spins = 0
-      while (v != prev && spins < 50) {
-        prev = v
-        Thread.sleep(100)
-        v = cpuNs.get
+      while (quiet < 3 && spins < 100) {
+        Thread.sleep(150)
+        val v = cpuNs.get
+        if (v == prev) quiet += 1 else { quiet = 0; prev = v }
         spins += 1
       }
-      v
+      if (quiet < 3)
+        System.err.println("[multiproc] WARNING: listener bus still " +
+          "draining after 15s; CPU attribution may bleed between runs")
+      prev
     }
     Bench.runPipeline(spark, warm) // JIT/codegen warm-up in every executor
     val c0 = settled()

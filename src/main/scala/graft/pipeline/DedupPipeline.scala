@@ -253,7 +253,9 @@ object DedupPipeline {
     * partitioning, so each partition carries only a handful of distinct
     * stream offsets and the driver exchange is O(partitions). The result
     * is localCheckpoint-materialized so the sampled range boundaries the
-    * offsets were computed against can be freed safely.
+    * offsets were computed against can be freed safely. Stream keys must
+    * be non-null (enforced loudly); values may be any sign — only
+    * exactly-zero offsets are elided (they are the lookup default).
     */
   private[graft] def streamPrefix(df: DataFrame, streamCol: String,
       orderCols: Seq[String], valueCol: String, out: String): DataFrame = {
@@ -273,6 +275,7 @@ object DedupPipeline {
       var curStream: String = null; var curSum = 0L
       it.foreach { r =>
         val k = r.getString(sIdx); val v = r.getLong(vIdx)
+        require(k != null, s"streamPrefix: null $streamCol key unsupported")
         if (curStream == null) { curStream = k; curSum = v }
         else if (k == curStream) curSum += v
         else {
@@ -294,7 +297,7 @@ object DedupPipeline {
       counts.groupBy(_._2).foreach { case (stream, rows) =>
         var cum = 0L
         rows.sortBy(_._1).foreach { case (pid, _, n) =>
-          if (cum > 0) // zero offsets are the getOrElse default
+          if (cum != 0) // zero offsets are the getOrElse default
             m.getOrElseUpdate(pid, scala.collection.mutable.Map.empty)(stream) = cum
           cum += n
         }

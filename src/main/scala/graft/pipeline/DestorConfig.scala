@@ -97,10 +97,13 @@ final case class DestorSettings(
   *
   *  - chunk-* → [[ChunkerConfig]]
   *  - fingerprint-index <exact|near-exact> <physical|logical> [specific]
-  *    → [[IndexConfig]]; a specific preset asserts its category pair
-  *    exactly like config.c:130-157 and then applies the init_index
-  *    forcing via [[IndexPresets.preset]] (user segment sizes are kept —
-  *    index.c forces algorithms/sampling, not sizes)
+  *    → [[IndexConfig]]; a named specific asserts its category pair
+  *    exactly like config.c:130-157. After the whole config is parsed,
+  *    [[IndexPresets.force]] runs UNCONDITIONALLY (init_index semantics):
+  *    the specific's published combination is pinned — preserving user
+  *    sampling rates / prefetch where index.c does — and the
+  *    EXACT/PHYSICAL post-switch rules apply to every config, preset or
+  *    not (e.g. `exact physical` forces fixed segmenting + uniform/1)
   *  - fingerprint-index-* → sampling/segmenting/selection/prefetch knobs
   *  - rewrite-* → [[RewriteSettings]] (executable via
   *    [[DestorSettings.rewritePass]])
@@ -126,7 +129,9 @@ object DestorConfig {
     */
   private[pipeline] def splitArgs(line: String): Option[Seq[String]] = {
     val n = line.length
-    def isSp(c: Char) = c == ' ' || c == '\n' || c == '\r' || c == '\t'
+    // C isspace(): space \t \n \v \f \r
+    def isSp(c: Char) = c == ' ' || c == '\n' || c == '\r' || c == '\t' ||
+      c == '\u000b' || c == '\u000c'
     def isHex(c: Char) =
       (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
     def hv(c: Char): Int =

@@ -97,6 +97,11 @@ object IndexPresets {
       c = c.copy(segmentMethod = "fixed")
       if (c.exact) c = c.copy(samplingMethod = "uniform", sampleRate = 1)
     }
+    // index.c:111 assert(index_key_size > 0 && <= sizeof(fingerprint)):
+    // a 0/negative key size would make every truncated key "" and merge
+    // the whole corpus into one cluster with no error
+    require(c.keyBytes > 0 && c.keyBytes <= 20,
+      s"fingerprint-index-key-size ${c.keyBytes} out of range (1..20)")
     c
   }
 

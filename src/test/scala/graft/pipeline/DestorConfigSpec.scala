@@ -89,6 +89,14 @@ class DestorConfigSpec extends AnyFunSuite {
     // upstream's no-op assert: `rewrite-algorithm no 1024` is accepted
     assert(DestorConfig.parse("rewrite-algorithm no 1024")
       .rewrite.algorithm == "no")
+    // index.c:111's REAL assert fires: key size must be in 1..20
+    intercept[IllegalArgumentException](
+      DestorConfig.parse("fingerprint-index near-exact physical\n" +
+        "fingerprint-index-key-size 0"))
+    intercept[IllegalArgumentException](
+      DestorConfig.parse("fingerprint-index-key-size 21"))
+    // C isspace() includes \f and \v: a closing quote before them is legal
+    assert(DestorConfig.splitArgs("\"a b\"\fc").contains(Seq("a b", "c")))
   }
 
   test("errors mirror the reference's loaderr cases") {
