@@ -1189,59 +1189,64 @@ object Queries {
       .select(col("doc_id"), (pmod(col("doc_id"), lit(2)) + 1).cast("long").as("b"),
         col("idx"), col("size"), col("zero"), col("sha"))
       .persist()
-    // global first-writer across (backup, doc, chunk) stream order —
-    // groupBy-min + join, never a per-sha window (q_first_writer pattern)
-    val first = chunks.groupBy(col("sha"))
-      .agg(min(struct(col("b"), col("doc_id"), col("idx"))).as("first"))
-    val inst = chunks.join(first, Seq("sha"))
-      .withColumn("is_first",
-        struct(col("b"), col("doc_id"), col("idx")) === col("first"))
-      .drop("first")
+    // ONE backup-keyed pass over the chunk stream: file/chunk/byte/zero
+    val core0 = chunks.groupBy(col("b")).agg(
+      countDistinct(col("doc_id")).as("files"),
+      count(lit(1)).as("chunks"),
+      sum(col("size")).as("data_size"),
+      sum(when(col("zero"), 1L).otherwise(0L)).as("zero_chunks"))
+    // ONE sha-keyed aggregation replaces round-3's first-writer groupBy
+    // PLUS the join of every instance back to it: equal shas mean equal
+    // content (crypto hash), hence equal size, so per-sha instance counts
+    // per backup carry every downstream quantity — the chunk table is
+    // never re-shuffled or re-joined at instance granularity
+    val perSha = chunks.groupBy(col("sha")).agg(
+        min(struct(col("b"), col("doc_id"), col("idx"))).as("first"),
+        sum(when(col("b") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("b") === 2, 1L).otherwise(0L)).as("n2"),
+        min(col("size")).as("size")) // all equal per sha (equal content)
+      .select(col("sha"), col("first.b").as("fb"),
+        col("first.doc_id").as("fdoc"), col("first.idx").as("fidx"),
+        col("n1"), col("n2"), col("size"))
       .persist()
+    // per-backup unique counts = shas whose first writer is in that backup
+    val uniq = perSha.groupBy(col("fb").as("b")).agg(
+      count(lit(1)).as("unique_chunks"),
+      sum(col("size")).as("unique_size"))
     // backup-1 containers: cumulative-size packing of its unique chunks
-    val u1 = inst.filter(col("b") === 1 && col("is_first"))
-      .select(col("sha"), col("doc_id"), col("idx"), col("size"),
-        lit("1").as("s"))
+    // in first-writer stream order
     val u1c = DedupPipeline.streamPrefix(
-        u1, "s", Seq("doc_id", "idx"), "size", "pre")
+        perSha.filter(col("fb") === 1)
+          .select(col("sha"), col("fdoc"), col("fidx"), col("size"),
+            col("n2"), lit("1").as("s")),
+        "s", Seq("fdoc", "fidx"), "size", "pre")
       .withColumn("cid",
         floor((col("pre") + col("size") - 1) / payload).cast("long"))
-      .select(col("sha"), col("size"), col("cid"))
+      .select(col("size"), col("n2"), col("cid"))
       .persist()
     val cbytes = u1c.groupBy(col("cid")).agg(sum(col("size")).as("cb"))
-    // backup-2 duplicate instances referencing backup-1-owned chunks
-    val b2ref = inst.filter(col("b") === 2 && !col("is_first"))
-      .join(u1c.select(col("sha"), col("cid")), Seq("sha"))
-      .select(col("sha"), col("size"), col("cid"))
-      .persist()
+    // backup-1-owned shas referenced by backup 2 (n2 dup instances each)
+    val refs = u1c.filter(col("n2") > 0)
     // one-shot HAR: utilization of each backup-1 container under backup
     // 2's references (distinct chunks), sparse iff < 0.5 of actual bytes
-    val util = u1c
-      .join(b2ref.select(col("sha")).distinct(), Seq("sha"))
-      .groupBy(col("cid")).agg(sum(col("size")).as("refb"))
+    val util = refs.groupBy(col("cid")).agg(sum(col("size")).as("refb"))
     val sparse = cbytes.join(util, Seq("cid"), "left")
       .filter(coalesce(col("refb"), lit(0L)) < lit(0.5) * col("cb"))
       .select(col("cid"))
       .persist()
-    val rw = b2ref.join(broadcast(sparse), Seq("cid"))
-    val core = inst.groupBy(col("b")).agg(
-      countDistinct(col("doc_id")).as("files"),
-      count(lit(1)).as("chunks"),
-      sum(col("size")).as("data_size"),
-      sum(when(col("zero"), 1L).otherwise(0L)).as("zero_chunks"),
-      sum(when(col("is_first"), 1L).otherwise(0L)).as("unique_chunks"),
-      sum(when(col("is_first"), col("size")).otherwise(0L)).as("unique_size"))
+    val rw = refs.join(broadcast(sparse), Seq("cid"))
     val rwAgg = rw.agg(
-        count(lit(1)).as("rewritten_chunks"),
-        coalesce(sum(col("size")), lit(0L)).as("rewritten_size"))
+        coalesce(sum(col("n2")), lit(0L)).as("rewritten_chunks"),
+        coalesce(sum(col("n2") * col("size")), lit(0L)).as("rewritten_size"))
       .withColumn("b", lit(2L))
     val extras = sparse.agg(count(lit(1)).as("sparse_containers"))
       .crossJoin(rw.agg(
         countDistinct(col("cid")).as("inherited_sparse")))
-      .crossJoin(b2ref.join(broadcast(sparse), Seq("cid"), "left_anti")
+      .crossJoin(refs.join(broadcast(sparse), Seq("cid"), "left_anti")
         .agg(countDistinct(col("cid")).as("prefetch_units")))
       .withColumn("b", lit(2L))
-    val out = core
+    val out = core0
+      .join(uniq, Seq("b"))
       .join(rwAgg, Seq("b"), "left")
       .join(extras, Seq("b"), "left")
       .na.fill(0L, Seq("rewritten_chunks", "rewritten_size",
@@ -1268,8 +1273,8 @@ object Queries {
         col("inherited_sparse"), col("prefetch_units"),
         col("lookup_requests"), col("update_requests"))
       .localCheckpoint(true)
-    sparse.unpersist(); b2ref.unpersist(); u1c.unpersist()
-    inst.unpersist(); chunks.unpersist()
+    sparse.unpersist(); u1c.unpersist()
+    perSha.unpersist(); chunks.unpersist()
     out
   }
 
