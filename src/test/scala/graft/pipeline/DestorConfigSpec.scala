@@ -99,6 +99,23 @@ class DestorConfigSpec extends AnyFunSuite {
     assert(DestorConfig.splitArgs("\"a b\"\fc").contains(Seq("a b", "c")))
   }
 
+  test("splitArgs total on arbitrary input: tokens or a clean error, never a throw") {
+    var seed = org.scalacheck.rng.Seed(7L)
+    val gen = org.scalacheck.Gen.listOf(org.scalacheck.Gen.frequency(
+      6 -> org.scalacheck.Gen.asciiPrintableChar,
+      1 -> org.scalacheck.Gen.oneOf('"', '\'', '\\'),
+      1 -> org.scalacheck.Gen.oneOf('\t', '\u000b', '\u000c', ' ')))
+      .map(_.mkString)
+    (0 until 300).foreach { _ =>
+      val s = gen.pureApply(org.scalacheck.Gen.Parameters.default, seed)
+      seed = seed.next
+      DestorConfig.splitArgs(s) match {
+        case Some(toks) => toks.foreach(t => assert(t != null))
+        case None => // clean upstream-style error
+      }
+    }
+  }
+
   test("errors mirror the reference's loaderr cases") {
     intercept[IllegalArgumentException](DestorConfig.parse("no-such-directive 1"))
     intercept[IllegalArgumentException](DestorConfig.parse("chunk-algorithm lzw"))
