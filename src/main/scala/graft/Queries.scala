@@ -280,15 +280,27 @@ object Queries {
   // ====================================================================
 
   private def recipeFromLineitem(spark: SparkSession, dir: String): DataFrame = {
+    // per-stream seq via the two-phase distributed rank (streamPrefix of
+    // ones), NOT row_number over Window.partitionBy(stream): the derived
+    // recipe feeds the rewrite/restore analytics whose whole point is that
+    // no stage funnels a mega-stream through one window-sort task. The
+    // ordering (shipdate, orderkey, linenumber, partkey) is unique within
+    // every stream at all shipped SFs, so the rank matches the oracle's
+    // row_number exactly.
     val li = t(spark, dir, "lineitem")
-    val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
-    li.select(
-      col("l_suppkey").as("stream"),
-      row_number().over(w).cast("long").as("seq"),
-      col("l_quantity").cast("int").as("size"),
-      pmod(col("l_partkey"), lit(50)).cast("long").as("containerId"),
-      (pmod(col("l_partkey"), lit(3)) =!= 0).as("dup"))
+    DedupPipeline.streamPrefix(
+        li.select(col("l_suppkey").as("stream"), col("l_shipdate"),
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity"), lit(1L).as("one")),
+        "stream",
+        Seq("l_shipdate", "l_orderkey", "l_linenumber", "l_partkey"),
+        "one", "pre")
+      .select(
+        col("stream"),
+        (col("pre") + 1L).as("seq"),
+        col("l_quantity").cast("int").as("size"),
+        pmod(col("l_partkey"), lit(50)).cast("long").as("containerId"),
+        (pmod(col("l_partkey"), lit(3)) =!= 0).as("dup"))
   }
 
   private val recipeSql =
@@ -1245,16 +1257,22 @@ object Queries {
       .crossJoin(refs.join(broadcast(sparse), Seq("cid"), "left_anti")
         .agg(countDistinct(col("cid")).as("prefetch_units")))
       .withColumn("b", lit(2L))
-    val out = core0
+    val base = core0
       .join(uniq, Seq("b"))
       .join(rwAgg, Seq("b"), "left")
       .join(extras, Seq("b"), "left")
       .na.fill(0L, Seq("rewritten_chunks", "rewritten_size",
         "sparse_containers", "inherited_sparse", "prefetch_units"))
       .withColumn("stored_size", col("unique_size") + col("rewritten_size"))
-      .withColumn("stored_cum", sum(col("stored_size")).over(
-        Window.orderBy(col("b"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // cumulative stored size WITHOUT an unpartitioned window (which would
+    // WindowExec-funnel and litter warnings): the backup table is one row
+    // per backup id, so the running sum is a broadcast non-equi self-join
+    // of the 2-row aggregate — no global sort, no single-partition exchange
+    val cums = base.select(col("b").as("b2"), col("stored_size").as("ss2"))
+    val out = base
+      .join(broadcast(cums), col("b2") <= col("b"))
+      .groupBy(base.columns.map(col): _*)
+      .agg(sum(col("ss2")).as("stored_cum"))
       .withColumn("dedup_rate", round(
         (col("data_size") - col("unique_size") - col("rewritten_size"))
           / col("data_size"), 6))
@@ -1490,7 +1508,9 @@ object Queries {
     val queries = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
     val cands = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("v"))
-    val joined = queries.crossJoin(cands)
+    // the 20-row query side is the build side: broadcast it and stream the
+    // corpus past it — the reverse (corpus broadcast) OOMs at any real size
+    val joined = broadcast(queries).crossJoin(cands)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", graft.functions.CosineSim(col("q"), col("v")))
     val w = Window.partitionBy(col("query_id"))

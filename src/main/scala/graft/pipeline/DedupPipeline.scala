@@ -58,6 +58,13 @@ final case class UniqueChunk(fp: String, size: Int, repo: String,
 
 final case class PackedChunk(fp: String, size: Int, containerId: Long)
 
+/** Per-partition boundary summary of [[DedupPipeline.streamRuns]] —
+  * top-level (not nested/private) so the encoder stays codegen-friendly.
+  */
+final case class RunsPart(pid: Int, firstStream: String,
+    firstChain: Long, runsFirst: Long, lastStream: String,
+    lastChain: Long, runsLast: Long)
+
 /** Spark-native dedup + near-dup clustering pipeline (SURVEY.md §7.1).
   *
   * Stage graph (every arrow that shuffles is noted):
@@ -253,13 +260,19 @@ object DedupPipeline {
     * partitioning, so each partition carries only a handful of distinct
     * stream offsets and the driver exchange is O(partitions). The result
     * is localCheckpoint-materialized so the sampled range boundaries the
-    * offsets were computed against can be freed safely. Stream keys must
-    * be non-null (enforced loudly); values may be any sign — only
+    * offsets were computed against can be freed safely. Stream keys may be
+    * any atomic type (grouped by their string rendering, injective within
+    * one column type) but must be non-null (enforced loudly); `valueCol`
+    * must be LongType (validated up front); values may be any sign — only
     * exactly-zero offsets are elided (they are the lookup default).
     */
   private[graft] def streamPrefix(df: DataFrame, streamCol: String,
       orderCols: Seq[String], valueCol: String, out: String): DataFrame = {
     val spark = df.sparkSession
+    require(df.schema(valueCol).dataType ==
+        org.apache.spark.sql.types.LongType,
+      s"streamPrefix: $valueCol must be LongType, " +
+        s"got ${df.schema(valueCol).dataType}")
     val sortCols = (streamCol +: orderCols).map(col)
     val ordered = df.repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*).persist()
@@ -274,8 +287,9 @@ object DedupPipeline {
       var firstStream: String = null; var firstSum = 0L
       var curStream: String = null; var curSum = 0L
       it.foreach { r =>
-        val k = r.getString(sIdx); val v = r.getLong(vIdx)
-        require(k != null, s"streamPrefix: null $streamCol key unsupported")
+        val k0 = r.get(sIdx); val v = r.getLong(vIdx)
+        require(k0 != null, s"streamPrefix: null $streamCol key unsupported")
+        val k = k0.toString
         if (curStream == null) { curStream = k; curSum = v }
         else if (k == curStream) curSum += v
         else {
@@ -312,10 +326,111 @@ object DedupPipeline {
         TaskContext.getPartitionId(), Map.empty[String, Long])
       val running = scala.collection.mutable.Map.empty[String, Long]
       it.map { r =>
-        val k = r.getString(sIdx)
+        val k = String.valueOf(r.get(sIdx))
         val before = running.getOrElse(k, base.getOrElse(k, 0L))
         running(k) = before + r.getLong(vIdx)
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ before)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema)).localCheckpoint(true)
+    ordered.unpersist()
+    res
+  }
+
+  /** Per-stream consecutive-run detection over rows ordered by
+    * `orderCols` within `streamCol`: adds `newRunOut` (boolean — the
+    * row's `chainCol` differs from the previous row's within the stream,
+    * or the row opens the stream) and `runIdOut` (1-based dense run
+    * counter per stream). This is the distributed replacement for
+    * `lag(chain)` + `sum(newRun)` over `Window.partitionBy(stream)`:
+    * range-partition on the full ordering, ONE per-partition boundary
+    * summary (first/last stream, boundary chain values, run counts —
+    * O(partitions) rows to the driver), a driver fold chaining boundary
+    * streams in partition order, one broadcast of per-partition
+    * (baseRuns, continuesRun) pairs, one running map. A mega-stream with
+    * 10^9 rows never funnels one window-sort task. Streams are contiguous
+    * under the range partitioning, so only a partition's FIRST stream can
+    * continue a run from the previous partition. `chainCol` must be
+    * LongType (validated); stream keys non-null, any atomic type. The
+    * result is localCheckpoint-materialized like [[streamPrefix]].
+    */
+  private[graft] def streamRuns(df: DataFrame, streamCol: String,
+      orderCols: Seq[String], chainCol: String, newRunOut: String,
+      runIdOut: String): DataFrame = {
+    val spark = df.sparkSession
+    require(df.schema(chainCol).dataType ==
+        org.apache.spark.sql.types.LongType,
+      s"streamRuns: $chainCol must be LongType, " +
+        s"got ${df.schema(chainCol).dataType}")
+    val sortCols = (streamCol +: orderCols).map(col)
+    val ordered = df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*).persist()
+    val sIdx = ordered.schema.fieldIndex(streamCol)
+    val cIdx = ordered.schema.fieldIndex(chainCol)
+    val summaries = ordered.mapPartitions { it =>
+      var firstStream: String = null; var firstChain = 0L; var runsFirst = 0L
+      var curStream: String = null; var prevChain = 0L; var runs = 0L
+      var inFirst = true
+      it.foreach { r =>
+        val k0 = r.get(sIdx)
+        require(k0 != null, s"streamRuns: null $streamCol key unsupported")
+        val k = k0.toString
+        val c = r.getLong(cIdx)
+        if (curStream == null) {
+          firstStream = k; firstChain = c; curStream = k; runs = 1
+        } else if (k != curStream) {
+          if (inFirst) { runsFirst = runs; inFirst = false }
+          curStream = k; runs = 1
+        } else if (c != prevChain) runs += 1
+        prevChain = c
+      }
+      if (curStream == null) Iterator.empty
+      else {
+        if (inFirst) runsFirst = runs
+        Iterator.single(RunsPart(TaskContext.getPartitionId(), firstStream,
+          firstChain, runsFirst, curStream, prevChain, runs))
+      }
+    }(org.apache.spark.sql.Encoders.product[RunsPart]).collect().sortBy(_.pid)
+    // driver fold: chain the boundary stream across partitions in pid
+    // order — state is (stream, its last chain value, its runs so far)
+    val inherited = scala.collection.mutable.Map.empty[Int, (Long, Boolean)]
+    var stStream: String = null; var stChain = 0L; var stRuns = 0L
+    summaries.foreach { p =>
+      val (base, cont) =
+        if (stStream != null && stStream == p.firstStream)
+          (stRuns, stChain == p.firstChain)
+        else (0L, false)
+      if (base != 0L || cont) inherited(p.pid) = (base, cont)
+      if (p.lastStream == p.firstStream)
+        stRuns = base + p.runsFirst - (if (cont) 1L else 0L)
+      else stRuns = p.runsLast
+      stStream = p.lastStream; stChain = p.lastChain
+    }
+    val inhB = spark.sparkContext.broadcast(inherited.toMap)
+    val outSchema = ordered.schema
+      .add(newRunOut, org.apache.spark.sql.types.BooleanType,
+        nullable = false)
+      .add(runIdOut, org.apache.spark.sql.types.LongType, nullable = false)
+    val res = ordered.mapPartitions { it =>
+      val (base, cont) = inhB.value.getOrElse(
+        TaskContext.getPartitionId(), (0L, false))
+      var curStream: String = null; var prevChain = 0L; var runId = 0L
+      var firstRow = true
+      it.map { r =>
+        val k = String.valueOf(r.get(sIdx))
+        val c = r.getLong(cIdx)
+        val isNew =
+          if (firstRow) {
+            // `cont` already encodes the chain comparison against the
+            // previous partition's LAST row (decided in the driver fold)
+            firstRow = false; curStream = k
+            if (cont) { runId = base; false }
+            else { runId = base + 1; true }
+          } else if (k != curStream) {
+            curStream = k; runId = 1; true
+          } else if (c != prevChain) { runId += 1; true }
+          else false
+        prevChain = c
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ isNew :+ runId)
       }
     }(org.apache.spark.sql.Encoders.row(outSchema)).localCheckpoint(true)
     ordered.unpersist()

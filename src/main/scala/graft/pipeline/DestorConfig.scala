@@ -92,8 +92,13 @@ final case class DestorSettings(
 
 /** destor's config-string surface (reference src/config.c:19-325, the
   * `destor.config` file and the `-p "<config line>"` CLI override): the
-  * same directive names, arities, keyword sets, quoting rules and error
-  * behavior, parsed into this repo's typed configs. Directive semantics:
+  * same directive names, arities, keyword sets and quoting rules, parsed
+  * into this repo's typed configs. Error handling is DELIBERATELY STRICTER
+  * than config.c in two spots: upstream yesnotoi() silently stores -1 for
+  * an invalid yes/no value and atoi() silently truncates non-numeric input
+  * ('12abc' → 12); this parser rejects both with a line-numbered error —
+  * a config the reference would silently misread fails loudly here.
+  * Directive semantics:
   *
   *  - chunk-* → [[ChunkerConfig]]
   *  - fingerprint-index <exact|near-exact> <physical|logical> [specific]

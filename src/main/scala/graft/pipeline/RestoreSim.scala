@@ -186,14 +186,14 @@ object RestoreSim {
 
   /** Run-length container access records (reference S7: consecutive-dedup
     * of recipe container ids, src/recipe/recipestore.c:372-399) — the OPT
-    * cache's lookahead input.
+    * cache's lookahead input. The per-stream lag is the two-phase
+    * boundary-row exchange of [[DedupPipeline.streamRuns]] (a record
+    * starts exactly where a container run starts), never a per-stream
+    * window sort.
     */
-  def accessRecords(recipe: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("stream")).orderBy(col("seq"))
-    recipe
-      .withColumn("prev", lag(col("containerId"), 1).over(w))
-      .filter(col("prev").isNull || col("prev") =!= col("containerId"))
+  def accessRecords(recipe: DataFrame): DataFrame =
+    DedupPipeline.streamRuns(recipe,
+        "stream", Seq("seq"), "containerId", "newRun", "runId")
+      .filter(col("newRun"))
       .select(col("stream"), col("seq"), col("containerId"))
-  }
 }

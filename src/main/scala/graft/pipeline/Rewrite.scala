@@ -70,10 +70,14 @@ object Rewrite {
     val wCtx = Window.partitionBy(col("stream"), col("containerId"))
       .orderBy(col("seq"))
       .rangeBetween(0, bufferSize)
-    val wStream = Window.partitionBy(col("stream"))
+    // per-stream max is a map-side-combinable groupBy + join, NOT an
+    // unframed per-stream window (which sort-funnels the whole stream
+    // through one WindowExec task); the aggregate is one row per stream
+    val maxSeqs = recipe.groupBy(col("stream"))
+      .agg(max(col("seq")).as("maxSeq"))
     val withUtil = recipe
       .withColumn("ctxBytes", sum(col("size")).over(wCtx))
-      .withColumn("maxSeq", max(col("seq")).over(wStream))
+      .join(maxSeqs, Seq("stream"))
       .withColumn("coverage", col("ctxBytes") / lit(ContainerPayload.toDouble))
       .withColumn("utility",
         when(!col("dup"), lit(0.0))
@@ -135,15 +139,16 @@ object Rewrite {
   /** W2 CFL-style selective dedup runs (reference: src/cfl_rewrite.c):
     * consecutive same-container duplicates form a run; a run whose total
     * bytes are below usageThreshold × payload is rewritten whole.
+    *
+    * Run detection (the lag + running sum the reference folds
+    * sequentially) is TWO-PHASE DISTRIBUTED via
+    * [[DedupPipeline.streamRuns]] — never a per-stream window: one backup
+    * stream with 10^9 chunks would funnel its whole sort through a single
+    * WindowExec task at 100× scale.
     */
   def cflRuns(recipe: DataFrame, usageThreshold: Double = 0.03): DataFrame = {
-    val wSeq = Window.partitionBy(col("stream")).orderBy(col("seq"))
-    val withRun = recipe
-      .withColumn("newRun",
-        when(col("containerId") === lag(col("containerId"), 1).over(wSeq), 0L)
-          .otherwise(1L))
-      .withColumn("runId",
-        sum(col("newRun")).over(wSeq.rowsBetween(Window.unboundedPreceding, 0)))
+    val withRun = DedupPipeline.streamRuns(recipe,
+      "stream", Seq("seq"), "containerId", "newRun", "runId")
     val runBytes = withRun.groupBy(col("stream"), col("runId"))
       .agg(sum(col("size")).as("runBytes"))
     withRun.join(runBytes, Seq("stream", "runId"))

@@ -210,4 +210,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(mismatches === 0L)
     rec.unpersist()
   }
+
+  test("streamRuns: two-phase run detection matches the window formulation across partition boundaries") {
+    // adversarial shape: few streams × long runs so container runs and
+    // streams both straddle the range-partition boundaries; many
+    // partitions so nearly every partition starts mid-run
+    val rows = for {
+      s <- 0 until 3
+      i <- 0 until 500
+    } yield (s.toLong, i.toLong + 1, (i / 7).toLong % 5) // 7-long runs
+    val df = spark.createDataset(rows)(
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong))
+      .toDF("stream", "seq", "containerId")
+      .repartition(32) // force many small partitions pre-sort
+    val got = DedupPipeline.streamRuns(df,
+      "stream", Seq("seq"), "containerId", "newRun", "runId")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"stream").orderBy($"seq")
+    val expect = df
+      .withColumn("newRunW",
+        coalesce(lag($"containerId", 1).over(w) =!= $"containerId", lit(true)))
+      .withColumn("runIdW", sum(when($"newRunW", 1L).otherwise(0L))
+        .over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val bad = got.join(expect.select($"stream", $"seq", $"newRunW", $"runIdW"),
+        Seq("stream", "seq"))
+      .filter($"newRun" =!= $"newRunW" || $"runId" =!= $"runIdW")
+      .count()
+    assert(bad === 0L)
+    // run ids are dense 1..K per stream
+    val dense = got.groupBy($"stream")
+      .agg(max($"runId").as("mx"), countDistinct($"runId").as("k"))
+      .filter($"mx" =!= $"k").count()
+    assert(dense === 0L)
+  }
 }

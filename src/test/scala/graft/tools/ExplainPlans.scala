@@ -17,7 +17,11 @@ object ExplainPlans {
     for (name <- Seq("q1_agg", "q_broadcast_join", "q_semi_join",
         "q_first_writer", "d_token_count", "e_ann_topk",
         "e_lsh_dedup", "d_ngram_jaccard_pairs", "q_quantile",
-        "d_winnow", "e_lsh_buckets", "d_backup_stats")) {
+        "d_winnow", "e_lsh_buckets", "d_backup_stats",
+        // round-4 audit: no Window.partitionBy(stream) may appear here —
+        // run detection/lag/max are two-phase distributed (streamRuns);
+        // cbr's remaining window partitions by (stream, containerId)
+        "r_cfl_runs", "r_cbr_rewrite", "r_access_records")) {
       println(s"\n===== $name =====")
       println(graft.Queries.all(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
