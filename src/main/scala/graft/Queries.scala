@@ -1327,6 +1327,21 @@ object Queries {
   def gCompactionPlan(spark: SparkSession, dir: String): DataFrame =
     GC.compactionPlan(versionedRecipe(spark, dir), "F")
 
+  /** EXECUTED compaction after deleting version F: survivors of every
+    * container holding dead chunks migrate into fresh densely-packed
+    * containers (payload 4096 so the packing actually wraps at sf0.01);
+    * output is the per-new-container migration summary, DuckDB-replayed
+    * with the q_cum_packing cumulative-packing pattern. Idempotence
+    * (re-running on the rewritten recipe is a no-op) is gated in
+    * ExtrasSpec.
+    */
+  def gCompactExec(spark: SparkSession, dir: String): DataFrame = {
+    val c = GC.compactExec(versionedRecipe(spark, dir), "F", payload = 4096)
+    c.migration.groupBy(col("new_cid"))
+      .agg(count(lit(1)).as("migrated_chunks"),
+        sum(col("size")).as("migrated_bytes"))
+  }
+
   /** J5 restore reconstruction over the documents corpus: every file
     * rebuilt from deduplicated first-writer chunk slices must reproduce
     * its sha256 (rows-only; the per-row invariant check).
@@ -1739,6 +1754,7 @@ object Queries {
     "d_fixed_chunks" -> (dFixedChunks _),
     "g_dead_chunks" -> (gDeadChunks _),
     "g_compaction_plan" -> (gCompactionPlan _),
+    "g_compact_exec" -> (gCompactExec _),
     "d_restore_verify" -> (dRestoreVerify _),
     "d_trace_roundtrip" -> (dTraceRoundtrip _),
     "d_fsl_roundtrip" -> (dFslRoundtrip _),
@@ -2218,6 +2234,31 @@ object Queries {
         |  FROM chunks c LEFT JOIN dead d ON c.fp = d.fp
         |  GROUP BY 1)
         |SELECT * FROM agg WHERE dead_chunks > 0""".stripMargin,
+    // executed compaction replayed stage by stage: dead set, canonical
+    // store (fp -> min container), survivors of affected containers,
+    // cumulative-size re-pack in (cid, fp) order (the q_cum_packing
+    // window pattern; greatest(cum-1,0) clamps zero-size chunks at pos 0)
+    "g_compact_exec" ->
+      s"""WITH r AS ($versionedRecipeSql),
+        |dead AS (SELECT DISTINCT fp FROM r x WHERE version = 'F'
+        |  AND NOT EXISTS (SELECT 1 FROM r y WHERE y.version <> 'F' AND y.fp = x.fp)),
+        |store AS (SELECT fp, min(containerId) AS cid, min(size) AS size
+        |          FROM r GROUP BY 1),
+        |affected AS (SELECT DISTINCT cid FROM store JOIN dead USING (fp)),
+        |surv AS (SELECT s.fp, s.cid, s.size FROM store s
+        |         JOIN affected a USING (cid)
+        |         WHERE s.fp NOT IN (SELECT fp FROM dead)),
+        |base AS (SELECT max(containerId) + 1 AS b FROM r),
+        |packed AS (
+        |  SELECT fp, size,
+        |    CAST(b + floor(greatest(cum - 1, 0) / 4096.0) AS BIGINT) AS new_cid
+        |  FROM (SELECT fp, size,
+        |          sum(size) OVER (ORDER BY cid, fp
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |        FROM surv), base)
+        |SELECT new_cid, count(*) AS migrated_chunks,
+        |  CAST(sum(size) AS BIGINT) AS migrated_bytes
+        |FROM packed GROUP BY 1""".stripMargin,
     "d_exact_dedup" ->
       """SELECT sha256(text) AS h, count(*) AS cnt, min(doc_id) AS canonical
         |FROM documents GROUP BY 1""".stripMargin,

@@ -43,6 +43,68 @@ object GC {
     perContainer.filter(col("dead_chunks") > 0)
   }
 
+  /** The executed compaction: the migration work table plus the recipe
+    * rewritten to the post-compaction container ids.
+    */
+  final case class Compaction(migration: DataFrame, recipe: DataFrame)
+
+  /** EXECUTABLE container compaction (reference: the delete pipeline
+    * actually migrates survivors into fresh containers and rewrites
+    * pointers — src/do_delete.c:130-164 chunk_filter → filter-phase-style
+    * re-pack; CMA truncation src/cma.c:83-139). [[compactionPlan]] is the
+    * work list; this runs it:
+    *
+    *  1. canonical chunk store: one row per fp (dedup-store semantics —
+    *     an fp lives in exactly one container; min(containerId) is the
+    *     first-writer home when the synthetic fixture aliases);
+    *  2. containers holding ≥1 dead chunk are compacted: their SURVIVORS
+    *     migrate into fresh densely-packed containers whose ids continue
+    *     past the current max — cumulative-size packing in deterministic
+    *     (oldCid, fp) order via the two-phase distributed prefix sum
+    *     ([[DedupPipeline.streamPrefix]], the packContainers pattern —
+    *     never a global window sort);
+    *  3. the surviving versions' recipe rows are rewritten to the new
+    *     container ids (deleted-version rows drop out).
+    *
+    * Zero-size chunks ride along at their packing position (the
+    * `greatest(…, 0)` clamp keeps the first container id exact).
+    * Re-running on the rewritten recipe with the same deleted version is
+    * a NO-OP: its dead set is empty, so no container is affected.
+    */
+  def compactExec(recipe: DataFrame, deletedVersion: String,
+      payload: Long = Rewrite.ContainerPayload): Compaction = {
+    val store = recipe.groupBy(col("fp"))
+      .agg(min(col("containerId")).as("cid"), min(col("size")).as("size"))
+      .persist()
+    val dead = deadChunks(recipe, deletedVersion).select(col("fp")).distinct()
+    val affected = store.join(dead, Seq("fp")).select(col("cid")).distinct()
+    val survivors = store
+      .join(dead, Seq("fp"), "left_anti")
+      .join(affected, Seq("cid"), "left_semi")
+    val base = recipe.agg(max(col("containerId"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0) + 1L
+    }
+    val migration = DedupPipeline.streamPrefix(
+        survivors.select(col("fp"), col("cid"),
+          col("size").cast("long").as("sz"), lit("all").as("s")),
+        "s", Seq("cid", "fp"), "sz", "pre")
+      .withColumn("new_cid",
+        (lit(base) +
+          floor(greatest(col("pre") + col("sz") - 1, lit(0L)) / payload))
+          .cast("long"))
+      .select(col("fp"), col("cid").as("old_cid"),
+        col("sz").as("size"), col("new_cid"))
+      .localCheckpoint(true)
+    store.unpersist()
+    val rewritten = recipe.filter(col("version") =!= deletedVersion)
+      .join(migration.select(col("fp"), col("new_cid")), Seq("fp"), "left")
+      .withColumn("containerId",
+        coalesce(col("new_cid"), col("containerId")))
+      .drop("new_cid")
+    Compaction(migration, rewritten)
+  }
+
   /** J8 CMA manifest merge: container → last-referencing version,
     * full-outer-merged with this run's usage
     * (reference: src/cma.c:17-75).

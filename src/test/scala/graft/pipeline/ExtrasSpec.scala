@@ -115,6 +115,35 @@ class ExtrasSpec extends AnyFunSuite {
     assert(cid === 1L && surv === 20L && deadB === 10L && deadC === 1L)
   }
 
+  test("GC: compactExec migrates survivors, rewrites the recipe, and is idempotent") {
+    // container 1 has a dead chunk (fpA only in v1) -> fpB must migrate;
+    // container 2 is clean -> fpC stays; fpZ is zero-size in an affected
+    // container (packing-position clamp)
+    val recipe = Seq(
+      ("v1", "fpA", 1L, 10), ("v1", "fpB", 1L, 20), ("v1", "fpZ", 1L, 0),
+      ("v2", "fpB", 1L, 20), ("v2", "fpC", 2L, 30), ("v2", "fpZ", 1L, 0))
+      .toDF("version", "fp", "containerId", "size")
+    val c = GC.compactExec(recipe, "v1", payload = 1024)
+    val mig = c.migration.as[(String, Long, Long, Long)].collect().toSeq.sorted
+    // survivors of container 1 (fpB, fpZ) migrate into new container 3
+    assert(mig === Seq(("fpB", 1L, 20L, 3L), ("fpZ", 1L, 0L, 3L)))
+    val rw = c.recipe.select($"version", $"fp", $"containerId")
+      .as[(String, String, Long)].collect().toSet
+    assert(rw === Set(("v2", "fpB", 3L), ("v2", "fpC", 2L), ("v2", "fpZ", 3L)))
+    // no dead fp survives in the rewritten recipe
+    assert(!rw.exists(_._2 == "fpA"))
+    // idempotence: the same deletion on the rewritten recipe is a no-op
+    val again = GC.compactExec(c.recipe, "v1", payload = 1024)
+    assert(again.migration.count() === 0L)
+    assert(again.recipe.select($"version", $"fp", $"containerId")
+      .as[(String, String, Long)].collect().toSet === rw)
+    // packing bound: a fresh container never exceeds payload + one chunk
+    val over = c.migration.groupBy($"new_cid")
+      .agg(sum($"size").as("b"), max($"size").as("mx"))
+      .filter($"b" > lit(1024L) + $"mx").count()
+    assert(over === 0L)
+  }
+
   test("GC: manifest merge keeps the newest reference; truncation reclaims") {
     val manifest = Seq((1L, "v1"), (2L, "v2")).toDF("containerId", "lastRef")
     val usage = Seq((2L, "v3"), (3L, "v3")).toDF("containerId", "lastRef")
