@@ -1390,6 +1390,64 @@ object Queries {
     out
   }
 
+  /** The trace-driven pipeline end to end (reference `simulation-level
+    * all`, src/destor.c:263-366 + src/trace_phase.c:146-207): a
+    * lineitem-derived chunk stream is WRITTEN as THREE reference-format
+    * `.trace` backups (fp = 40-hex from md5, so DuckDB recomputes it),
+    * read back through [[graft.sources.TraceSource]], and replayed
+    * through [[graft.pipeline.TracePipeline]] under the SHIPPED
+    * destor.config (fastcdc/HAR/LRU-30; only `simulation-level all`
+    * overridden the way the reference CLI would with -p) — dedup against
+    * the cumulative index, per-occurrence packing at payload 512, HAR
+    * sparse rewriting, LRU-30 restore simulation. Three backups because
+    * that is the first length at which HAR can fire at all: backup-1
+    * containers are fully utilized by construction, so sparsity is first
+    * OBSERVED during backup 2 and first REWRITTEN at backup 3 — exactly
+    * the reference's cadence. The fp key mixes orderkey bits so each
+    * backup covers a partial, overlapping slice of the chunk space (real
+    * cross-backup dedup + genuinely sparse containers). FULLY
+    * value-oracled: the trace fps are hex strings DuckDB derives from the
+    * same lineitem columns, so the oracle replays every stage (packing
+    * cumsum, HAR trim, index upsert, LRU stack distance).
+    */
+  def dTracePipeline(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val key = col("l_partkey") * 8 + pmod(col("l_orderkey"), lit(8))
+    val md5c = md5(key.cast("string"))
+    val stream0 = DedupPipeline.streamPrefix(
+        li.select(
+          (pmod(col("l_suppkey"), lit(3)) + 1).as("b"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("path"),
+          col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), lit(1L).as("one")),
+        "path",
+        Seq("l_shipdate", "l_orderkey", "l_linenumber", "l_partkey"),
+        "one", "pre")
+      .withColumn("chunkIdx", col("pre").cast("int"))
+      .withColumn("fp", concat(md5c, substring(md5c, 1, 8)))
+      .withColumn("size", (pmod(key, lit(97)) + 1).cast("int"))
+      .select(col("b"), col("path"), col("chunkIdx"), col("fp"), col("size"))
+      .persist()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_trace_pipe")
+    val jobs = Seq(1, 2, 3).map { b =>
+      val f = tmp.resolve(s"backup$b.trace").toString
+      graft.sources.TraceSource.write(
+        stream0.filter(col("b") === b).drop("b"), f)
+      graft.sources.TraceSource.read(spark, f).toDF()
+    }
+    val shipped = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/root/reference/destor.config")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val settings = pipeline.DestorConfig.parse(
+      shipped + "\nsimulation-level all\n")
+    val out = settings.tracePipeline(jobs, payload = 512)
+      .withColumn("speed_factor", round(col("speed_factor"), 6))
+      .withColumn("cfl", round(col("cfl"), 6))
+      .localCheckpoint(true)
+    stream0.unpersist()
+    out
+  }
+
   /** S4 FSL hashfile round trip: the documents chunk stream is written as
     * a v7 VARIABLE/SHA-1 hashfile (the binary SNIA/FSL trace format the
     * reference replays via libhashfile) and read back; output is the
@@ -1757,6 +1815,7 @@ object Queries {
     "g_compact_exec" -> (gCompactExec _),
     "d_restore_verify" -> (dRestoreVerify _),
     "d_trace_roundtrip" -> (dTraceRoundtrip _),
+    "d_trace_pipeline" -> (dTracePipeline _),
     "d_fsl_roundtrip" -> (dFslRoundtrip _),
     "d_simhash_pairs" -> (dSimhashPairs _),
     "d_lcs_pairs" -> (dLcsPairs _),
@@ -2259,6 +2318,162 @@ object Queries {
         |SELECT new_cid, count(*) AS migrated_chunks,
         |  CAST(sum(size) AS BIGINT) AS migrated_bytes
         |FROM packed GROUP BY 1""".stripMargin,
+    // the whole trace-replay pipeline (simulation-level all) stage by
+    // stage for THREE backups: per-job dedup against the cumulative
+    // index, packing cumsum (payload 512), HAR monitor + trim (the
+    // r_har_sparse pattern), index upsert, sparse rewriting at backup 3,
+    // LRU-30 restore replay via the stack-distance equivalence (the
+    // r_restore_lru pattern)
+    "d_trace_pipeline" ->
+      """WITH li AS (
+        |  SELECT l_suppkey % 3 + 1 AS b,
+        |    's' || CAST(l_suppkey AS VARCHAR) AS path,
+        |    md5(CAST(l_partkey * 8 + l_orderkey % 8 AS VARCHAR)) AS h,
+        |    CAST((l_partkey * 8 + l_orderkey % 8) % 97 + 1 AS BIGINT) AS size,
+        |    l_shipdate, l_orderkey, l_linenumber, l_partkey
+        |  FROM lineitem),
+        |tr AS (
+        |  SELECT b, path, h || substr(h, 1, 8) AS fp, size,
+        |    CAST(row_number() OVER (PARTITION BY b
+        |      ORDER BY path, l_shipdate, l_orderkey, l_linenumber, l_partkey) AS BIGINT) AS seq
+        |  FROM li),
+        |f1 AS (SELECT fp, min(seq) AS firstSeq FROM tr WHERE b = 1 GROUP BY 1),
+        |j1 AS (SELECT tr.*, tr.seq = f1.firstSeq AS uniq
+        |       FROM tr JOIN f1 USING (fp) WHERE b = 1),
+        |p1 AS (
+        |  SELECT fp, seq, CAST(floor(greatest(cum - 1, 0) / 512.0) AS BIGINT) AS cid
+        |  FROM (SELECT fp, seq, sum(size) OVER (ORDER BY seq
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |        FROM j1 WHERE uniq)),
+        |idx1 AS (SELECT fp, cid FROM p1),
+        |r1 AS MATERIALIZED (
+        |  SELECT j1.seq, j1.path, j1.fp, j1.size, NOT j1.uniq AS dup, idx1.cid
+        |  FROM j1 JOIN idx1 USING (fp)),
+        |x1 AS (SELECT seq, cid, lag(seq) OVER (PARTITION BY cid ORDER BY seq) AS prevSeq FROM r1),
+        |m1 AS (SELECT CASE WHEN prevSeq IS NULL THEN 1
+        |         WHEN (SELECT count(DISTINCT y.cid) FROM r1 y
+        |               WHERE y.seq > x1.prevSeq AND y.seq < x1.seq) >= 30 THEN 1
+        |         ELSE 0 END AS miss FROM x1),
+        |u1 AS (SELECT cid, CAST(sum(size) AS BIGINT) AS refB FROM r1 GROUP BY 1),
+        |t1 AS (SELECT CAST(sum(refB) AS BIGINT) AS total FROM u1),
+        |har1 AS (SELECT cid FROM (
+        |    SELECT cid, CAST(sum(refB) OVER (ORDER BY refB, cid
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |    FROM u1 WHERE refB / 512.0 < 0.5), t1
+        |  WHERE cum <= CAST(floor(0.05 * total) AS BIGINT)),
+        |f2 AS (SELECT fp, min(seq) AS firstSeq FROM tr WHERE b = 2 GROUP BY 1),
+        |j2 AS (SELECT tr.*, f2.firstSeq, idx1.cid AS idxCid
+        |       FROM tr JOIN f2 USING (fp) LEFT JOIN idx1 USING (fp) WHERE b = 2),
+        |d2 AS (SELECT *, (idxCid IS NOT NULL OR seq > firstSeq) AS dup FROM j2),
+        |w2 AS (SELECT *, (NOT dup) OR (idxCid IS NOT NULL
+        |         AND idxCid IN (SELECT cid FROM har1)) AS w FROM d2),
+        |base2 AS (SELECT coalesce(max(cid) + 1, 0) AS nc FROM p1),
+        |p2 AS (
+        |  SELECT fp, seq, CAST(nc + floor(greatest(cum - 1, 0) / 512.0) AS BIGINT) AS cid
+        |  FROM (SELECT fp, seq, sum(size) OVER (ORDER BY seq
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |        FROM w2 WHERE w), base2),
+        |fc2 AS (SELECT fp, min_by(cid, seq) AS firstCid FROM p2 GROUP BY 1),
+        |r2 AS MATERIALIZED (
+        |  SELECT w2.seq, w2.path, w2.fp, w2.size, w2.dup, w2.w,
+        |    coalesce(p2.cid,
+        |      CASE WHEN w2.idxCid IS NOT NULL THEN w2.idxCid ELSE fc2.firstCid END) AS cid
+        |  FROM w2 LEFT JOIN p2 ON p2.seq = w2.seq LEFT JOIN fc2 ON fc2.fp = w2.fp),
+        |x2 AS (SELECT seq, cid, lag(seq) OVER (PARTITION BY cid ORDER BY seq) AS prevSeq FROM r2),
+        |m2 AS (SELECT CASE WHEN prevSeq IS NULL THEN 1
+        |         WHEN (SELECT count(DISTINCT y.cid) FROM r2 y
+        |               WHERE y.seq > x2.prevSeq AND y.seq < x2.seq) >= 30 THEN 1
+        |         ELSE 0 END AS miss FROM x2),
+        |u2 AS (SELECT cid, CAST(sum(size) AS BIGINT) AS refB FROM r2 GROUP BY 1),
+        |t2 AS (SELECT CAST(sum(refB) AS BIGINT) AS total FROM u2),
+        |har2 AS (SELECT cid FROM (
+        |    SELECT cid, CAST(sum(refB) OVER (ORDER BY refB, cid
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |    FROM u2 WHERE refB / 512.0 < 0.5), t2
+        |  WHERE cum <= CAST(floor(0.05 * total) AS BIGINT)),
+        |l2 AS (SELECT fp, max_by(cid, seq) AS cid FROM p2 GROUP BY 1),
+        |idx2 AS (SELECT fp, coalesce(l2.cid, idx1.cid) AS cid
+        |         FROM idx1 FULL JOIN l2 USING (fp)),
+        |f3 AS (SELECT fp, min(seq) AS firstSeq FROM tr WHERE b = 3 GROUP BY 1),
+        |j3 AS (SELECT tr.*, f3.firstSeq, idx2.cid AS idxCid
+        |       FROM tr JOIN f3 USING (fp) LEFT JOIN idx2 USING (fp) WHERE b = 3),
+        |d3 AS (SELECT *, (idxCid IS NOT NULL OR seq > firstSeq) AS dup FROM j3),
+        |w3 AS (SELECT *, (NOT dup) OR (idxCid IS NOT NULL
+        |         AND idxCid IN (SELECT cid FROM har2)) AS w FROM d3),
+        |base3 AS (SELECT coalesce((SELECT max(cid) + 1 FROM p2),
+        |                          (SELECT nc FROM base2)) AS nc),
+        |p3 AS (
+        |  SELECT fp, seq, CAST(nc + floor(greatest(cum - 1, 0) / 512.0) AS BIGINT) AS cid
+        |  FROM (SELECT fp, seq, sum(size) OVER (ORDER BY seq
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |        FROM w3 WHERE w), base3),
+        |fc3 AS (SELECT fp, min_by(cid, seq) AS firstCid FROM p3 GROUP BY 1),
+        |r3 AS MATERIALIZED (
+        |  SELECT w3.seq, w3.path, w3.fp, w3.size, w3.dup, w3.w,
+        |    coalesce(p3.cid,
+        |      CASE WHEN w3.idxCid IS NOT NULL THEN w3.idxCid ELSE fc3.firstCid END) AS cid
+        |  FROM w3 LEFT JOIN p3 ON p3.seq = w3.seq LEFT JOIN fc3 ON fc3.fp = w3.fp),
+        |x3 AS (SELECT seq, cid, lag(seq) OVER (PARTITION BY cid ORDER BY seq) AS prevSeq FROM r3),
+        |m3 AS (SELECT CASE WHEN prevSeq IS NULL THEN 1
+        |         WHEN (SELECT count(DISTINCT y.cid) FROM r3 y
+        |               WHERE y.seq > x3.prevSeq AND y.seq < x3.seq) >= 30 THEN 1
+        |         ELSE 0 END AS miss FROM x3),
+        |u3 AS (SELECT cid, CAST(sum(size) AS BIGINT) AS refB FROM r3 GROUP BY 1),
+        |t3 AS (SELECT CAST(sum(refB) AS BIGINT) AS total FROM u3),
+        |har3 AS (SELECT cid FROM (
+        |    SELECT cid, CAST(sum(refB) OVER (ORDER BY refB, cid
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |    FROM u3 WHERE refB / 512.0 < 0.5), t3
+        |  WHERE cum <= CAST(floor(0.05 * total) AS BIGINT)),
+        |s1 AS (SELECT CAST(1 AS BIGINT) AS backup_id,
+        |  count(DISTINCT path) AS files, count(*) AS chunks,
+        |  CAST(sum(size) AS BIGINT) AS data_size,
+        |  CAST(sum(CASE WHEN NOT dup THEN 1 ELSE 0 END) AS BIGINT) AS unique_chunks,
+        |  CAST(sum(CASE WHEN NOT dup THEN size ELSE 0 END) AS BIGINT) AS unique_size,
+        |  CAST(0 AS BIGINT) AS rewritten_chunks, CAST(0 AS BIGINT) AS rewritten_size
+        |  FROM r1),
+        |s2 AS (SELECT CAST(2 AS BIGINT) AS backup_id,
+        |  count(DISTINCT path) AS files, count(*) AS chunks,
+        |  CAST(sum(size) AS BIGINT) AS data_size,
+        |  CAST(sum(CASE WHEN NOT dup THEN 1 ELSE 0 END) AS BIGINT) AS unique_chunks,
+        |  CAST(sum(CASE WHEN NOT dup THEN size ELSE 0 END) AS BIGINT) AS unique_size,
+        |  CAST(sum(CASE WHEN dup AND w THEN 1 ELSE 0 END) AS BIGINT) AS rewritten_chunks,
+        |  CAST(sum(CASE WHEN dup AND w THEN size ELSE 0 END) AS BIGINT) AS rewritten_size
+        |  FROM r2),
+        |s3 AS (SELECT CAST(3 AS BIGINT) AS backup_id,
+        |  count(DISTINCT path) AS files, count(*) AS chunks,
+        |  CAST(sum(size) AS BIGINT) AS data_size,
+        |  CAST(sum(CASE WHEN NOT dup THEN 1 ELSE 0 END) AS BIGINT) AS unique_chunks,
+        |  CAST(sum(CASE WHEN NOT dup THEN size ELSE 0 END) AS BIGINT) AS unique_size,
+        |  CAST(sum(CASE WHEN dup AND w THEN 1 ELSE 0 END) AS BIGINT) AS rewritten_chunks,
+        |  CAST(sum(CASE WHEN dup AND w THEN size ELSE 0 END) AS BIGINT) AS rewritten_size
+        |  FROM r3)
+        |SELECT s1.*,
+        |  s1.unique_size + s1.rewritten_size AS stored_size,
+        |  (SELECT CAST(coalesce(max(cid) + 1, 0) AS BIGINT) FROM p1) AS containers_written,
+        |  (SELECT count(*) FROM har1) AS sparse_containers,
+        |  (SELECT CAST(sum(miss) AS BIGINT) FROM m1) AS container_reads,
+        |  round(s1.data_size / 1048576.0 / (SELECT sum(miss) FROM m1), 6) AS speed_factor,
+        |  round(ceil(s1.data_size / 4194304.0) / (SELECT sum(miss) FROM m1), 6) AS cfl
+        |FROM s1
+        |UNION ALL
+        |SELECT s2.*,
+        |  s2.unique_size + s2.rewritten_size,
+        |  CAST(coalesce((SELECT max(cid) FROM p2) - (SELECT nc FROM base2) + 1, 0) AS BIGINT),
+        |  (SELECT count(*) FROM har2),
+        |  (SELECT CAST(sum(miss) AS BIGINT) FROM m2),
+        |  round(s2.data_size / 1048576.0 / (SELECT sum(miss) FROM m2), 6),
+        |  round(ceil(s2.data_size / 4194304.0) / (SELECT sum(miss) FROM m2), 6)
+        |FROM s2
+        |UNION ALL
+        |SELECT s3.*,
+        |  s3.unique_size + s3.rewritten_size,
+        |  CAST(coalesce((SELECT max(cid) FROM p3) - (SELECT nc FROM base3) + 1, 0) AS BIGINT),
+        |  (SELECT count(*) FROM har3),
+        |  (SELECT CAST(sum(miss) AS BIGINT) FROM m3),
+        |  round(s3.data_size / 1048576.0 / (SELECT sum(miss) FROM m3), 6),
+        |  round(ceil(s3.data_size / 4194304.0) / (SELECT sum(miss) FROM m3), 6)
+        |FROM s3""".stripMargin,
     "d_exact_dedup" ->
       """SELECT sha256(text) AS h, count(*) AS cnt, min(doc_id) AS canonical
         |FROM documents GROUP BY 1""".stripMargin,

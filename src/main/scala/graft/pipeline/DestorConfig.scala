@@ -67,6 +67,22 @@ final case class DestorSettings(
     RestoreSim.simulate(recipe, restoreCacheSize, restoreCache,
       restoreOptWindow).toDF()
 
+  /** The `simulation-level` dispatch (reference src/destor.c:263-366):
+    * under `all`/`append`/`restore`, pre-hashed trace chunk streams (one
+    * DataFrame per backup job, the TraceSource/FslSource read schema:
+    * path, chunkIdx, fp, size) replace read+chunk+hash and replay through
+    * first-writer dedup → container packing → THIS config's rewrite pass
+    * (+ HAR) → THIS config's restore cache — [[TracePipeline.run]].
+    * Rejects `simulation-level no` loudly (the reference likewise refuses
+    * a trace job without a simulation level, src/destor.c:345-350).
+    */
+  def tracePipeline(jobs: Seq[DataFrame],
+      payload: Long = Rewrite.ContainerPayload): DataFrame = {
+    require(simulationLevel != "no",
+      s"simulation-level is 'no' — trace replay needs all/append/restore")
+    TracePipeline.run(jobs, this, payload)
+  }
+
   /** The reference's whole similarity loop under THIS config — chunking
     * per the chunk-* directives, segment/sample/index/prefetch per the
     * forced fingerprint-index directives (incl. `indexValueLength` as

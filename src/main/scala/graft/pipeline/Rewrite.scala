@@ -164,12 +164,13 @@ object Rewrite {
     */
   def harSparseContainers(recipe: DataFrame,
       utilizationThreshold: Double = 0.5,
-      rewriteLimit: Double = 0.05): DataFrame = {
+      rewriteLimit: Double = 0.05,
+      payload: Long = ContainerPayload): DataFrame = {
     val spark = recipe.sparkSession
     import spark.implicits._
     val util = recipe.groupBy(col("containerId"))
       .agg(sum(col("size")).as("refBytes"))
-      .withColumn("utilization", col("refBytes") / lit(ContainerPayload.toDouble))
+      .withColumn("utilization", col("refBytes") / lit(payload.toDouble))
       .persist()
     val total = util.agg(sum(col("refBytes"))).head().getLong(0)
     // Keep the ascending-size prefix with cumulative bytes ≤ limit × total
@@ -196,12 +197,12 @@ object Rewrite {
     while (i < prefix.length) { prefix(i) += prefix(i - 1); i += 1 }
     val prefixB = spark.sparkContext.broadcast(prefix)
     val cap = (rewriteLimit * total).toLong
-    val payload = ContainerPayload.toDouble
+    val payloadD = payload.toDouble
     val out = sorted.mapPartitions { it =>
       var cum = prefixB.value(TaskContext.getPartitionId())
       it.flatMap { case (cid, bytes) =>
         cum += bytes
-        if (cum <= cap) Iterator.single((cid, bytes, bytes / payload))
+        if (cum <= cap) Iterator.single((cid, bytes, bytes / payloadD))
         else Iterator.empty
       }
     }.toDF("containerId", "refBytes", "utilization")

@@ -184,4 +184,27 @@ class DestorConfigSpec extends AnyFunSuite {
     val lru = DestorConfig.parse("restore-cache lru 8").restoreSim(recipe)
     assert(lru.count() == 1L)
   }
+
+  test("simulation-level dispatch: trace replay refuses 'no', dedups across jobs under 'all'") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    // job 1: fp1 twice (within-job dup) + fp2; job 2: fp1 (cross-job
+    // dup against the cumulative index) + new fp3
+    val j1 = Seq(("a", 0, "fp1", 60), ("a", 1, "fp2", 60), ("a", 2, "fp1", 60))
+      .toDF("path", "chunkIdx", "fp", "size")
+    val j2 = Seq(("a", 0, "fp1", 60), ("a", 1, "fp3", 60))
+      .toDF("path", "chunkIdx", "fp", "size")
+    val none = DestorConfig.parse("")
+    assertThrows[IllegalArgumentException](none.tracePipeline(Seq(j1)))
+    val s = DestorConfig.parse(
+      "simulation-level all\nrewrite-enable-har yes\nrestore-cache lru 4")
+    val out = s.tracePipeline(Seq(j1, j2), payload = 100)
+      .orderBy($"backup_id")
+      .select($"backup_id", $"chunks", $"unique_chunks", $"unique_size",
+        $"containers_written", $"container_reads")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // job 1: 3 chunks, 2 unique (120 B) -> packs into containers 0,1;
+    // job 2: fp1 deduped against job 1's index, fp3 new -> container 2
+    assert(out === Seq((1L, 3L, 2L, 120L, 2L, 2L), (2L, 2L, 1L, 60L, 1L, 2L)))
+  }
 }
