@@ -255,61 +255,73 @@ object Similarity {
   }
 
   /** PQ top-k with asymmetric distance computation + exact rerank: per
-    * query, subspace inner-product lookup tables (m×k floats, broadcast —
-    * the query set is collected to the driver, so queryMaxId bounds it;
-    * batch larger query sets through multiple calls);
-    * the code scan costs m table adds per candidate instead of d
-    * multiplies; per-partition bounded top-(refine·k) heaps keep the
-    * shuffle at O(queries · refine · k · partitions); the survivors are
-    * reranked with exact cosine. Output schema matches the other ANN
-    * queries: (query_id, neighbor_id, rk, cosine_r).
+    * query, subspace inner-product lookup tables (m×k floats); the code
+    * scan costs m table adds per candidate instead of d multiplies;
+    * per-partition bounded top-(refine·k) heaps keep the shuffle at
+    * O(queries · refine · k · partitions); the survivors are reranked
+    * with exact cosine. The query set is processed in BOUNDED BATCHES of
+    * `queryBatch` (each its own broadcast + code-scan pass), so no query
+    * set can inflate a single pass to O(corpus × all-queries) work or an
+    * unbounded broadcast — the result is batch-size invariant (gated in
+    * SimilaritySpec). Output schema matches the other ANN queries:
+    * (query_id, neighbor_id, rk, cosine_r).
     */
   def pqTopK(embeddings: DataFrame, queryMaxId: Long, m: Int = 8,
-      k: Int = 16, topK: Int = 5, refine: Int = 4): DataFrame = {
+      k: Int = 16, topK: Int = 5, refine: Int = 4,
+      queryBatch: Int = 128): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    require(queryBatch > 0, s"pqTopK: queryBatch must be positive")
     val books = pqTrain(embeddings, m, k)
     val codes = pqEncode(embeddings, books).persist()
     val queries = normalized(embeddings)
       .filter(col("vec_id") < queryMaxId)
       .as[(Long, Array[Float])].collect()
-    // per-query ADC tables: ip[j][c] = <q_subspace_j, codebook[j][c]>
-    val tables = queries.map { case (qid, q) =>
-      val dsub = q.length / m
-      (qid, Array.tabulate(m) { j =>
-        books(j).map { cent =>
-          var s = 0.0; var i = 0
-          while (i < cent.length) { s += q(j * dsub + i) * cent(i); i += 1 }
-          s
-        }
-      })
-    }
-    val bcT = spark.sparkContext.broadcast(tables)
     val keep = refine * topK
-    val cands = codes.as[(Long, Array[Int])]
-      .mapPartitions { it =>
-        val ts = bcT.value
-        // per-query bounded top-`keep` within the partition
-        val heaps = ts.map { case (qid, _) =>
-          qid -> new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
-            Ordering.by[(Double, Long), Double](_._1).reverse)
-        }.toMap
-        it.foreach { case (id, cs) =>
-          ts.foreach { case (qid, tab) =>
-            if (id != qid) {
-              var s = 0.0; var j = 0
-              while (j < cs.length) { s += tab(j)(cs(j)); j += 1 }
-              val h = heaps(qid)
-              if (h.size < keep) h.enqueue((s, id))
-              else if (s > h.head._1) { h.dequeue(); h.enqueue((s, id)) }
+    // one scan pass per query batch: per-query ADC tables
+    // ip[j][c] = <q_subspace_j, codebook[j][c]>, broadcast per batch
+    val candParts = queries.grouped(queryBatch).map { qbatch =>
+      val tables = qbatch.map { case (qid, q) =>
+        val dsub = q.length / m
+        (qid, Array.tabulate(m) { j =>
+          books(j).map { cent =>
+            var s = 0.0; var i = 0
+            while (i < cent.length) { s += q(j * dsub + i) * cent(i); i += 1 }
+            s
+          }
+        })
+      }
+      val bcT = spark.sparkContext.broadcast(tables)
+      codes.as[(Long, Array[Int])]
+        .mapPartitions { it =>
+          val ts = bcT.value
+          // per-query bounded top-`keep` within the partition
+          val heaps = ts.map { case (qid, _) =>
+            qid -> new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
+              Ordering.by[(Double, Long), Double](_._1).reverse)
+          }.toMap
+          it.foreach { case (id, cs) =>
+            ts.foreach { case (qid, tab) =>
+              if (id != qid) {
+                var s = 0.0; var j = 0
+                while (j < cs.length) { s += tab(j)(cs(j)); j += 1 }
+                val h = heaps(qid)
+                if (h.size < keep) h.enqueue((s, id))
+                else if (s > h.head._1) { h.dequeue(); h.enqueue((s, id)) }
+              }
             }
           }
+          heaps.iterator.flatMap { case (qid, h) =>
+            h.iterator.map { case (s, id) => (qid, id, s) }
+          }
         }
-        heaps.iterator.flatMap { case (qid, h) =>
-          h.iterator.map { case (s, id) => (qid, id, s) }
-        }
-      }
-      .toDF("query_id", "neighbor_id", "approx_ip")
+        .toDF("query_id", "neighbor_id", "approx_ip")
+    }.toSeq
+    val cands =
+      if (candParts.isEmpty)
+        Seq.empty[(Long, Long, Double)]
+          .toDF("query_id", "neighbor_id", "approx_ip")
+      else candParts.reduce(_.union(_))
     // global top-`keep` per query (tiny: queries × keep × partitions rows)
     val wA = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))

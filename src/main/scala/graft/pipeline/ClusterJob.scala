@@ -21,8 +21,24 @@ object ClusterJob {
     val spark = corpus.sparkSession
     import spark.implicits._
 
-    def stage(name: String)(f: => DataFrame): DataFrame =
-      TableIO.stage(spark, root, name, runId)(f)
+    // per-phase wall + process-CPU metrics rows (reference: the per-phase
+    // throughput block of backup.log, src/do_backup.c:112-131). Only a
+    // FRESHLY COMPUTED stage appends its row — a resumed (read-back)
+    // stage must not pollute the run log with near-zero phantom phases.
+    val osBean = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def stage(name: String)(f: => DataFrame): DataFrame = {
+      val fresh = !TableIO.committed(s"$root/$name")
+      val c0 = osBean.getProcessCpuTime
+      val t0 = System.nanoTime()
+      val df = TableIO.stage(spark, root, name, runId)(f)
+      if (fresh)
+        TableIO.appendMetrics(spark, root, runId, name, Seq(
+          "wall_sec" -> (System.nanoTime() - t0) / 1e9,
+          "cpu_sec" -> (osBean.getProcessCpuTime - c0) / 1e9))
+      df
+    }
 
     // 1. featurize → signatures + chunk tables (content dropped here)
     lazy val featurized = DedupPipeline.featurize(corpus, cfg).toDF().persist()

@@ -189,6 +189,19 @@ class SimilaritySpec extends AnyFunSuite {
       again.map(_.map(_.toSeq).toSeq).toSeq)
   }
 
+  test("PQ ANN: query batching is result-invariant (queryMaxId >> batch size)") {
+    // 200 queries at queryBatch=16 -> 13 scan passes; results must equal
+    // the single-pass formulation exactly (no caller can hit an
+    // O(corpus x all-queries) pass, and batching costs no recall)
+    def res(batch: Int) = Similarity.pqTopK(emb, queryMaxId = 200,
+        m = 8, k = 16, topK = 5, refine = 4, queryBatch = batch)
+      .select($"query_id", $"neighbor_id", $"rk").as[(Long, Long, Long)]
+      .collect().toSet
+    val batched = res(16)
+    assert(batched.size == 200 * 5)
+    assert(batched === res(100000))
+  }
+
   test("int8 quantization: codes span the range, dequantized ANN keeps recall") {
     val (codes, stats) = Similarity.quantize(emb)
     val dim = emb.select(size($"embedding")).as[Int].head()

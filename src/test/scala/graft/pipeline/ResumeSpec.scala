@@ -42,6 +42,14 @@ class ResumeSpec extends AnyFunSuite {
     assert(lin.toSeq === Seq(("chunks", "run-a")))
     val metrics = spark.read.parquet(s"$root/metrics")
     assert(metrics.filter($"metric" === "dedup_ratio").count() === 1)
+    // per-phase throughput block: one wall+cpu row pair per stage
+    for (t <- Seq("signatures", "chunks", "unique_chunks", "containers",
+        "recipe", "candidate_pairs", "verified_pairs", "clusters")) {
+      assert(metrics.filter($"stage" === t && $"metric" === "wall_sec")
+        .count() === 1, s"wall_sec for $t")
+      assert(metrics.filter($"stage" === t && $"metric" === "cpu_sec")
+        .count() === 1, s"cpu_sec for $t")
+    }
   }
 
   test("mid-run kill + resume yields identical outputs without recompute") {
@@ -81,5 +89,11 @@ class ResumeSpec extends AnyFunSuite {
     val lin = spark.read.parquet(s"$root/clusters")
       .select($"_lineage.runId").distinct().as[String].collect()
     assert(lin.toSeq === Seq("run-x"))
+    // resumed stages append NO phantom per-phase rows — every wall_sec
+    // row still belongs to the original computing run
+    val phases = spark.read.parquet(s"$root/metrics")
+      .filter($"metric" === "wall_sec")
+      .select($"runId").distinct().as[String].collect()
+    assert(phases.toSeq === Seq("run-x"))
   }
 }
