@@ -1678,10 +1678,10 @@ object Queries {
     * route a near-dup mega-group as pure jitter noise while k-means pulls
     * the lists onto the real structure (recall gate kmeans > seeds on the
     * clustered corpus, plus full-probe losslessness, in SimilaritySpec).
-    * Rows-only — and necessarily so: the Lloyd means are distributed
-    * float sums whose accumulation order is partition-dependent; a
-    * cross-engine value oracle would be chasing ulps (contrast
-    * e_ivf_probe, whose seed-centroid path is exactly replayable).
+    * FULLY value-oracled since round 4: the Lloyd accumulators are
+    * integer micro-units (round(x·1e6) bigint sums — no partition-order
+    * float drift), so DuckDB replays all five refinement rounds, the
+    * probe and the rerank exactly ([[ivfKmeansSql]]).
     */
   def eIvfKmeans(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.ivfTopK(
@@ -1896,6 +1896,67 @@ object Queries {
       |  SELECT query_id, neighbor_id, cos,
       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
       |  FROM cand) WHERE rk <= 5""".stripMargin
+
+  /** Full IVF k-means replay — oracle for e_ivf_kmeans: the Lloyd
+    * accumulators are integer micro-units (round(x·1e6) bigint sums), so
+    * every refinement round is engine-exact; this SQL unrolls all 5
+    * rounds (assign → per-(list,dim) micro-sum → mean-as-float, empty
+    * lists keep their centroid), then replays the nProbe=4 probe + exact
+    * rerank like [[ivfProbeSql]].
+    */
+  private val ivfKmeansSql: String = {
+    val rounds = 5
+    val roundCtes = (1 to rounds).map { i =>
+      s"""asg$i AS (
+        |  SELECT vec_id, embedding, listId FROM (
+        |    SELECT e.vec_id, e.embedding, cents${i - 1}.listId,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.embedding", s"cents${i - 1}.c")} DESC, cents${i - 1}.listId) AS rk
+        |    FROM e CROSS JOIN cents${i - 1})
+        |  WHERE rk = 1),
+        |st$i AS (
+        |  SELECT listId, CAST(ord - 1 AS INTEGER) AS dim,
+        |    CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT) AS s,
+        |    count(*) AS n
+        |  FROM (SELECT listId, unnest(embedding) AS x,
+        |               unnest(generate_series(1, len(embedding))) AS ord
+        |        FROM asg$i)
+        |  GROUP BY 1, 2),
+        |nc$i AS (
+        |  SELECT listId, list(CAST(s / 1e6 / n AS FLOAT) ORDER BY dim) AS c
+        |  FROM st$i GROUP BY 1),
+        |cents$i AS (
+        |  SELECT p.listId, coalesce(nc$i.c, p.c) AS c
+        |  FROM cents${i - 1} p LEFT JOIN nc$i USING (listId))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |cents0 AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS listId, embedding AS c
+      |  FROM e ORDER BY vec_id LIMIT 16),
+      |$roundCtes,
+      |asgF AS (
+      |  SELECT vec_id, embedding, listId FROM (
+      |    SELECT e.vec_id, e.embedding, cents$rounds.listId,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.embedding", s"cents$rounds.c")} DESC, cents$rounds.listId) AS rk
+      |    FROM e CROSS JOIN cents$rounds)
+      |  WHERE rk = 1),
+      |probe AS (
+      |  SELECT query_id, listId FROM (
+      |    SELECT e.vec_id AS query_id, cents$rounds.listId,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.embedding", s"cents$rounds.c")} DESC, cents$rounds.listId) AS rk
+      |    FROM e CROSS JOIN cents$rounds WHERE e.vec_id < 20)
+      |  WHERE rk <= 4),
+      |cand AS (
+      |  SELECT p.query_id, a.vec_id AS neighbor_id,
+      |    ${cosSql("qe.embedding", "a.embedding")} AS cos
+      |  FROM probe p
+      |  JOIN asgF a USING (listId)
+      |  JOIN e qe ON qe.vec_id = p.query_id
+      |  WHERE a.vec_id <> p.query_id)
+      |SELECT query_id, neighbor_id, rk, round(cos, 4) AS cosine_r FROM (
+      |  SELECT query_id, neighbor_id, cos,
+      |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
+      |  FROM cand) WHERE rk <= 5""".stripMargin
+  }
 
   /** Brute-force cosine top-k in DuckDB — oracle for e_ann_topk AND for
     * e_ivf_topk at full probe (nProbe = nlist ⇒ IVF ≡ brute force).
@@ -2888,6 +2949,9 @@ object Queries {
     "e_ivf_topk" -> annBruteSql,
     // partial-probe IVF replayed stage by stage (probe-path proof)
     "e_ivf_probe" -> ivfProbeSql,
+    // Lloyd-refined IVF fully replayed: integer micro-unit accumulators
+    // make all 5 k-means rounds engine-exact
+    "e_ivf_kmeans" -> ivfKmeansSql,
     "r_cbr_rewrite" ->
       s"""WITH r AS ($recipeSql),
         |w AS (SELECT *,

@@ -366,6 +366,15 @@ object Similarity {
     * vector ever collects to the driver except the nlist×dim result, so
     * the round cost is a scan regardless of corpus size. Empty lists keep
     * their previous centroid (deterministic; no resampling).
+    *
+    * The per-dimension accumulator is INTEGER MICRO-UNITS
+    * (round(x·1e6) summed as bigint, the e_lsh_buckets trick): an
+    * associative integer sum has no partition-order float drift, so the
+    * refined centroids — and therefore the whole refine→assign→probe
+    * path — are exactly reproducible across engines (the e_ivf_kmeans
+    * DuckDB oracle replays all rounds). The 1e-6 quantization is far
+    * below any embedding's noise floor; the mean is then one
+    * deterministic double division per (list, dim).
     */
   def kmeansCentroids(embeddings: DataFrame, nlist: Int,
       iters: Int = 5): Array[(Long, Array[Float])] = {
@@ -378,13 +387,16 @@ object Similarity {
       val stats = assign(embeddings, cents)
         .select(col("listId"), posexplode(col("embedding")).as(Seq("dim", "x")))
         .groupBy(col("listId"), col("dim"))
-        .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
-        .as[(Int, Int, Double, Long)]
+        .agg(sum(round(col("x").cast("double") * 1e6).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .as[(Int, Int, Long, Long)]
         .collect()
       val next = cents.map(_._2.clone())
       stats.groupBy(_._1).foreach { case (listId, rows) =>
         val v = new Array[Float](dim)
-        rows.foreach { case (_, d, s, n) => v(d) = (s / n).toFloat }
+        rows.foreach { case (_, d, s, n) =>
+          v(d) = (s.toDouble / 1e6 / n).toFloat
+        }
         next(listId) = v
       }
       cents = cents.zip(next).map { case ((id, _), v) => (id, v) }
