@@ -74,10 +74,12 @@ object Restore {
     * every written file's sha256 is compared against the original
     * content hash, the same check `destor -r` offers via its md5 mode.
     *
-    * Bounded state: one file's chunk rows are gathered per group (the
-    * file is being rebuilt — its own size is the floor), never a stream
-    * or corpus aggregate. Returns one row per file:
-    * (fileId, restoredPath, bytes, ok).
+    * STREAMING writer: chunk rows arrive in (fileId, chunkIdx) order off
+    * Spark's external sorter (repartition by fileId + secondary sort) and
+    * each task streams them straight into the output file — O(1) chunk
+    * memory per task, so a single multi-GB file can never OOM a task
+    * (the reference's restore writer streams the same way). Returns one
+    * row per file: (fileId, restoredPath, bytes, ok).
     */
   def materialize(corpus: Dataset[CorpusFile], cfg: DedupConfig,
       outDir: String): DataFrame = {
@@ -99,20 +101,30 @@ object Restore {
       .select($"fileId", $"repo", $"path", $"commit", $"chunkIdx", $"fp")
       .join(ownerSlices, Seq("fp"))
       .select($"fileId", $"repo", $"path", $"commit", $"chunkIdx", $"bytes")
+      .repartition(col("fileId"))
+      .sortWithinPartitions(col("fileId"), col("chunkIdx"))
       .as[(Long, String, String, String, Int, Array[Byte])]
-      .groupByKey(_._1)
-      .mapGroups { (fileId: Long, it: Iterator[(Long, String, String, String, Int, Array[Byte])]) =>
-        val rows = it.toArray.sortBy(_._5)
-        val repo = rows.head._2; val path = rows.head._3
-        val commit = rows.head._4
-        val sha = java.security.MessageDigest.getInstance("SHA-256")
-        var bytes = 0L
-        writeFile(outDir, repo, commit, path) { out =>
-          rows.foreach { r =>
-            out.write(r._6); sha.update(r._6); bytes += r._6.length
+      .mapPartitions { it =>
+        val peek = it.buffered
+        new Iterator[(Long, String, Long, String)] {
+          def hasNext: Boolean = peek.hasNext
+          def next(): (Long, String, Long, String) = {
+            val head = peek.head
+            val fileId = head._1
+            val repo = head._2; val path = head._3; val commit = head._4
+            val sha = java.security.MessageDigest.getInstance("SHA-256")
+            var bytes = 0L
+            writeFile(outDir, repo, commit, path) { out =>
+              // stream this file's contiguous pre-sorted chunk run
+              while (peek.hasNext && peek.head._1 == fileId) {
+                val r = peek.next()
+                out.write(r._6); sha.update(r._6); bytes += r._6.length
+              }
+            }
+            (fileId, s"$repo/$commit/$path", bytes,
+              DedupPipeline.toHex(sha.digest()))
           }
         }
-        (fileId, s"$repo/$commit/$path", bytes, DedupPipeline.toHex(sha.digest()))
       }
       .toDF("fileId", "restoredPath", "bytes", "restoredSha")
     // zero-chunk (empty) files never reach the chunk writer but the
