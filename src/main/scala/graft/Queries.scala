@@ -1257,6 +1257,9 @@ object Queries {
       .crossJoin(refs.join(broadcast(sparse), Seq("cid"), "left_anti")
         .agg(countDistinct(col("cid")).as("prefetch_units")))
       .withColumn("b", lit(2L))
+    // the 2-row per-backup aggregate is MATERIALIZED once (localCheckpoint)
+    // before the cumulative step so the whole upstream replay never runs
+    // twice
     val base = core0
       .join(uniq, Seq("b"))
       .join(rwAgg, Seq("b"), "left")
@@ -1264,15 +1267,20 @@ object Queries {
       .na.fill(0L, Seq("rewritten_chunks", "rewritten_size",
         "sparse_containers", "inherited_sparse", "prefetch_units"))
       .withColumn("stored_size", col("unique_size") + col("rewritten_size"))
+      .localCheckpoint(true)
     // cumulative stored size WITHOUT an unpartitioned window (which would
-    // WindowExec-funnel and litter warnings): the backup table is one row
-    // per backup id, so the running sum is a broadcast non-equi self-join
-    // of the 2-row aggregate — no global sort, no single-partition exchange
-    val cums = base.select(col("b").as("b2"), col("stored_size").as("ss2"))
+    // WindowExec-funnel and litter warnings): b is {1,2} by construction,
+    // so the running sum is stored_size plus backup 1's stored size when
+    // b = 2 — one broadcast scalar crossJoin over the 2-row checkpoint,
+    // no sort, no extra shuffle
+    val s1agg = base.agg(
+      sum(when(col("b") === 1, col("stored_size")).otherwise(0L)).as("ss1"))
     val out = base
-      .join(broadcast(cums), col("b2") <= col("b"))
-      .groupBy(base.columns.map(col): _*)
-      .agg(sum(col("ss2")).as("stored_cum"))
+      .crossJoin(broadcast(s1agg))
+      .withColumn("stored_cum",
+        when(col("b") === 1, col("stored_size"))
+          .otherwise(col("stored_size") + col("ss1")))
+      .drop("ss1")
       .withColumn("dedup_rate", round(
         (col("data_size") - col("unique_size") - col("rewritten_size"))
           / col("data_size"), 6))
