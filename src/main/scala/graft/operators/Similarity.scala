@@ -292,7 +292,7 @@ object Similarity {
         })
       }
       val bcT = spark.sparkContext.broadcast(tables)
-      codes.as[(Long, Array[Int])]
+      val batchCands = codes.as[(Long, Array[Int])]
         .mapPartitions { it =>
           val ts = bcT.value
           // per-query bounded top-`keep` within the partition
@@ -316,6 +316,13 @@ object Similarity {
           }
         }
         .toDF("query_id", "neighbor_id", "approx_ip")
+        // materialize the (small: batch × keep × partitions) batch result
+        // so the batch's broadcast can be destroyed NOW instead of riding
+        // the union plan until ContextCleaner gets to it — a 100k-query
+        // run would otherwise hold hundreds of live broadcasts
+        .localCheckpoint(true)
+      bcT.destroy()
+      batchCands
     }.toSeq
     val cands =
       if (candParts.isEmpty)

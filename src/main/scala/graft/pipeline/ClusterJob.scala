@@ -25,6 +25,11 @@ object ClusterJob {
     // throughput block of backup.log, src/do_backup.c:112-131). Only a
     // FRESHLY COMPUTED stage appends its row — a resumed (read-back)
     // stage must not pollute the run log with near-zero phantom phases.
+    // Known (accepted) window: a crash BETWEEN a stage's _SUCCESS commit
+    // and its metrics append loses that stage's throughput row — the
+    // resume never recomputes, so the timing is genuinely gone; metrics
+    // are a run log, not part of the resumability contract, and the same
+    // property holds for the pre-existing summary row.
     val osBean = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]

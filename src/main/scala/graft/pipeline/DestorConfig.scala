@@ -49,15 +49,24 @@ final case class DestorSettings(
   /** The configured rewrite pass over a stream recipe — `-p
     * "rewrite-algorithm cap 64"` as one call. Output carries the pass's
     * own marking column (outOfOrder for cap/cfl, rewrite for cbr).
+    * `payload` is the container payload the byte-threshold algorithms
+    * (cfl run bytes, cbr coverage) measure against — callers running at a
+    * non-default container size (TracePipeline) MUST thread theirs
+    * through or every duplicate run looks tiny next to 4 MiB.
     */
-  def rewritePass(recipe: DataFrame): DataFrame = rewrite.algorithm match {
-    case "no" => recipe
-    case "cap" => Rewrite.cap(recipe, rewrite.bufferSize, rewrite.cappingLevel)
-    case "cbr" => Rewrite.cbr(recipe, rewrite.bufferSize,
-      rewrite.cbrLimit, rewrite.cbrMinimalUtility)
-    case "cfl" => Rewrite.cflRuns(recipe, rewrite.cflUsageThreshold)
-    case other => throw new IllegalArgumentException(s"unknown rewrite: $other")
-  }
+  def rewritePass(recipe: DataFrame,
+      payload: Long = Rewrite.ContainerPayload): DataFrame =
+    rewrite.algorithm match {
+      case "no" => recipe
+      case "cap" =>
+        Rewrite.cap(recipe, rewrite.bufferSize, rewrite.cappingLevel)
+      case "cbr" => Rewrite.cbr(recipe, rewrite.bufferSize,
+        rewrite.cbrLimit, rewrite.cbrMinimalUtility, payload)
+      case "cfl" =>
+        Rewrite.cflRuns(recipe, rewrite.cflUsageThreshold, payload)
+      case other =>
+        throw new IllegalArgumentException(s"unknown rewrite: $other")
+    }
 
   /** The configured restore-cache simulation — `restore-cache opt 1024`
     * as one call (window size only applies to OPT,

@@ -33,7 +33,8 @@ object Rewrite {
     * desc; duplicate chunks of containers ranked below cappingLevel are
     * OUT_OF_ORDER.
     */
-  def cap(recipe: DataFrame, bufferSize: Int = 1024, cappingLevel: Int = 14): DataFrame = {
+  def cap(recipe: DataFrame, bufferSize: Int = 1024,
+      cappingLevel: Int = 14): DataFrame = {
     val withBuf = recipe.withColumn("bufferId", floor(col("seq") / bufferSize))
     val contBytes = withBuf
       .filter(col("dup")) // uniques carry TEMPORARY_ID in the reference
@@ -66,7 +67,8 @@ object Rewrite {
     * all later rewrites.
     */
   def cbr(recipe: DataFrame, bufferSize: Int = 1024, limit: Double = 0.05,
-      minUtility: Double = 0.5): DataFrame = {
+      minUtility: Double = 0.5,
+      payload: Long = ContainerPayload): DataFrame = {
     val wCtx = Window.partitionBy(col("stream"), col("containerId"))
       .orderBy(col("seq"))
       .rangeBetween(0, bufferSize)
@@ -78,7 +80,7 @@ object Rewrite {
     val withUtil = recipe
       .withColumn("ctxBytes", sum(col("size")).over(wCtx))
       .join(maxSeqs, Seq("stream"))
-      .withColumn("coverage", col("ctxBytes") / lit(ContainerPayload.toDouble))
+      .withColumn("coverage", col("ctxBytes") / lit(payload.toDouble))
       .withColumn("utility",
         when(!col("dup"), lit(0.0))
           .otherwise(when(col("coverage") >= 1, 0.0)
@@ -146,14 +148,15 @@ object Rewrite {
     * stream with 10^9 chunks would funnel its whole sort through a single
     * WindowExec task at 100× scale.
     */
-  def cflRuns(recipe: DataFrame, usageThreshold: Double = 0.03): DataFrame = {
+  def cflRuns(recipe: DataFrame, usageThreshold: Double = 0.03,
+      payload: Long = ContainerPayload): DataFrame = {
     val withRun = DedupPipeline.streamRuns(recipe,
       "stream", Seq("seq"), "containerId", "newRun", "runId")
     val runBytes = withRun.groupBy(col("stream"), col("runId"))
       .agg(sum(col("size")).as("runBytes"))
     withRun.join(runBytes, Seq("stream", "runId"))
       .withColumn("outOfOrder",
-        col("dup") && col("runBytes") < usageThreshold * ContainerPayload)
+        col("dup") && col("runBytes") < usageThreshold * payload)
       .drop("newRun")
   }
 

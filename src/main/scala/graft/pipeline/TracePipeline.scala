@@ -86,6 +86,16 @@ object TracePipeline {
           "stream", Seq("path", "chunkIdx"), "one", "pre")
         .withColumn("seq", col("pre") + 1L).drop("one", "pre")
         .persist()
+      if (seqd.isEmpty) {
+        // an empty trace job (a trace of just `stream end`) is a valid
+        // no-op backup: emit a zero-stats row; the index/cid state carries
+        // unchanged and the HAR monitor of an empty recipe is empty
+        stats += TraceJobStats(b, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L,
+          0L, 0L, 0.0, 0.0)
+        if (settings.rewrite.enableHar)
+          prevSparse = Seq.empty[Long].toDF("containerId")
+        seqd.unpersist()
+      } else {
       val first = seqd.groupBy(col("fp")).agg(min(col("seq")).as("firstSeq"))
       val marked = seqd
         .join(index, Seq("fp"), "left")
@@ -93,7 +103,7 @@ object TracePipeline {
         .withColumn("dup",
           col("idxCid").isNotNull || col("seq") > col("firstSeq"))
         .withColumn("containerId", coalesce(col("idxCid"), lit(-1L)))
-      val passed = settings.rewritePass(marked)
+      val passed = settings.rewritePass(marked, payload)
       val hared =
         if (settings.rewrite.enableHar) Rewrite.harMark(passed, prevSparse)
         else passed
@@ -162,6 +172,7 @@ object TracePipeline {
       nextCid += containersWritten
       prevSparse = sparseList
       seqd.unpersist(); written.unpersist(); packed.unpersist()
+      }
     }
     spark.createDataset(stats.toSeq).toDF()
   }

@@ -207,4 +207,37 @@ class DestorConfigSpec extends AnyFunSuite {
     // job 2: fp1 deduped against job 1's index, fp3 new -> container 2
     assert(out === Seq((1L, 3L, 2L, 120L, 2L, 2L), (2L, 2L, 1L, 60L, 1L, 2L)))
   }
+
+  test("rewritePass measures cfl run bytes against the caller's payload, not the 4 MiB default") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    // run 1 (cid 1): 100 B; run 2 (cid 2): 1 B — at payload 100 the
+    // threshold is 0.03*100 = 3 B, so only run 2 rewrites; at the 4 MiB
+    // default both runs are far below threshold and both rewrite
+    val recipe = Seq(
+      ("s", 1L, 50, 1L, true), ("s", 2L, 50, 1L, true), ("s", 3L, 1, 2L, true))
+      .toDF("stream", "seq", "size", "containerId", "dup")
+    val s = DestorConfig.parse("rewrite-algorithm cfl 64")
+    val small = s.rewritePass(recipe, payload = 100)
+      .select($"seq", $"outOfOrder").as[(Long, Boolean)].collect().toMap
+    assert(small === Map(1L -> false, 2L -> false, 3L -> true))
+    val big = s.rewritePass(recipe)
+      .select($"seq", $"outOfOrder").as[(Long, Boolean)].collect().toMap
+    assert(big === Map(1L -> true, 2L -> true, 3L -> true))
+  }
+
+  test("trace replay tolerates an empty backup job (zero-stats row, state carried)") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val empty = Seq.empty[(String, Int, String, Int)]
+      .toDF("path", "chunkIdx", "fp", "size")
+    val j = Seq(("a", 0, "fpA", 60)).toDF("path", "chunkIdx", "fp", "size")
+    val s = DestorConfig.parse(
+      "simulation-level all\nrewrite-enable-har yes\nrestore-cache lru 4")
+    val out = s.tracePipeline(Seq(empty, j), payload = 100)
+      .orderBy($"backup_id")
+      .select($"backup_id", $"chunks", $"unique_chunks", $"container_reads")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 0L, 0L, 0L), (2L, 1L, 1L, 1L)))
+  }
 }
