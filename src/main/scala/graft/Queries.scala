@@ -77,7 +77,13 @@ object Queries {
       .agg(sum(col("isNew")).as("n_runs"), count(lit(1)).as("n_events"))
   }
 
-  /** A12 container packing analog: running sum → capacity bins. */
+  /** A12 container packing analog: running sum → capacity bins.
+    * Deliberately the WINDOW formulation — it is the oracle-shaped demo
+    * of the packing arithmetic over bounded per-supplier groups; the
+    * engine's actual packing ([[pipeline.DedupPipeline.packContainers]])
+    * and every stream-scale running sum use the two-phase distributed
+    * prefix ([[pipeline.DedupPipeline.streamPrefix]]) instead.
+    */
   def qCumPacking(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
     val w = Window.partitionBy(col("l_suppkey"))

@@ -208,6 +208,35 @@ class DestorConfigSpec extends AnyFunSuite {
     assert(out === Seq((1L, 3L, 2L, 120L, 2L, 2L), (2L, 2L, 1L, 60L, 1L, 2L)))
   }
 
+  test("trace replay is source-agnostic: FSL hashfile jobs produce identical stats to direct jobs") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    // same 2-job fixture as the TraceSource dispatch test, but round-
+    // tripped through binary FSL v7 hashfiles (trace-format fsl)
+    val fpA = "a" * 40; val fpB = "b" * 40; val fpC = "c" * 40
+    val j1 = Seq(("a", 0, fpA, 60), ("a", 1, fpB, 60), ("a", 2, fpA, 60))
+      .toDF("path", "chunkIdx", "fp", "size")
+    val j2 = Seq(("a", 0, fpA, 60), ("a", 1, fpC, 60))
+      .toDF("path", "chunkIdx", "fp", "size")
+    val s = DestorConfig.parse(
+      "simulation-level all\ntrace-format fsl\nrewrite-enable-har yes\nrestore-cache lru 4")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fsl_pipe")
+    val jobs = Seq(j1, j2).zipWithIndex.map { case (j, i) =>
+      val d = tmp.resolve(s"b$i"); java.nio.file.Files.createDirectories(d)
+      val f = d.resolve(s"backup$i.hashfile").toString
+      graft.sources.FslSource.write(j, f)
+      graft.sources.FslSource.read(spark, d.toString)
+        .select($"path", $"chunkIdx".cast("int").as("chunkIdx"),
+          $"fp", $"size".cast("int").as("size"))
+    }
+    def stats(js: Seq[org.apache.spark.sql.DataFrame]) =
+      s.tracePipeline(js, payload = 100).orderBy($"backup_id")
+        .select($"backup_id", $"chunks", $"unique_chunks",
+          $"containers_written", $"container_reads")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(stats(jobs) === stats(Seq(j1, j2)))
+  }
+
   test("rewritePass measures cfl run bytes against the caller's payload, not the 4 MiB default") {
     val spark = graft.SparkTestSession.spark
     import spark.implicits._
