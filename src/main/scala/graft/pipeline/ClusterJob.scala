@@ -113,6 +113,70 @@ object ClusterJob {
     summary
   }
 
+  /** The config-driven job: the base clustering run under the config's
+    * chunker, PLUS the directive-driven analytics stages the reference's
+    * backup/restore pipeline reports (north rule: "reproducing destor's
+    * dedup-ratio and restore-locality style benchmarks as Spark
+    * aggregation reports"):
+    *
+    *  - `rewrite-algorithm`/`rewrite-enable-har` ⇒ a checkpointed
+    *    `rewrite` stage: the configured fragmentation pass (+ HAR
+    *    marking against an empty first-backup sparse list) + the P14
+    *    write predicate over the stream recipe, with
+    *    rewritten-chunk/byte metrics rows; plus a `har_sparse` stage —
+    *    the trimmed sparse-container list a FOLLOW-UP backup would
+    *    inherit (the reference persists it the same way between jobs);
+    *  - `restore-cache` + `simulation-level restore|all` ⇒ a
+    *    checkpointed `restore_sim` stage: per-stream
+    *    chunks/bytes/containerReads/speedFactor/cfl under the configured
+    *    cache.
+    *
+    * Every stage resumes by skip like the core stages.
+    */
+  def run(corpus: Dataset[CorpusFile], root: String, runId: String,
+      settings: DestorSettings): Summary = {
+    val spark = corpus.sparkSession
+    val summary = run(corpus, root, runId, settings.dedupConfig)
+    def stage(name: String)(f: => DataFrame): DataFrame =
+      TableIO.stage(spark, root, name, runId)(f)
+    lazy val streamRec = DedupPipeline.streamRecipe(
+      spark.read.format(TableIO.Format).load(s"$root/recipe")
+        .drop("_lineage"))
+    if (settings.rewrite.algorithm != "no" || settings.rewrite.enableHar) {
+      val fresh = !TableIO.committed(s"$root/rewrite")
+      val marked = stage("rewrite") {
+        val passed = settings.rewritePass(streamRec)
+        val hared =
+          if (settings.rewrite.enableHar)
+            // first backup of this root: no previous sparse list
+            Rewrite.harMark(passed,
+              spark.emptyDataFrame.select(lit(0L).as("containerId")).limit(0))
+          else passed
+        Rewrite.writePredicate(hared)
+          .select(col("stream"), col("seq"), col("size"), col("containerId"),
+            col("dup"), col("write"))
+      }
+      stage("har_sparse")(Rewrite.harSparseContainers(streamRec,
+        settings.rewrite.harUtilizationThreshold,
+        settings.rewrite.harRewriteLimit))
+      if (fresh) {
+        val rw = marked.agg(
+          sum(when(col("dup") && col("write"), 1L).otherwise(0L)),
+          sum(when(col("dup") && col("write"), col("size")).otherwise(0L)))
+          .head()
+        TableIO.appendMetrics(spark, root, runId, "rewrite", Seq(
+          "rewritten_chunks" ->
+            (if (rw.isNullAt(0)) 0.0 else rw.getLong(0).toDouble),
+          "rewritten_bytes" ->
+            (if (rw.isNullAt(1)) 0.0 else rw.getLong(1).toDouble)))
+      }
+    }
+    if (settings.simulationLevel == "restore" ||
+        settings.simulationLevel == "all")
+      stage("restore_sim")(settings.restoreSim(streamRec))
+    summary
+  }
+
   /** spark-submit entry:
     * ClusterJob <corpusParquet> <checkpointRoot> [runId] [destor.config]
     *
@@ -124,13 +188,11 @@ object ClusterJob {
   def main(args: Array[String]): Unit = {
     val Array(corpusPath, root) = args.take(2)
     val runId = args.lift(2).getOrElse(s"run-${java.util.UUID.randomUUID()}")
-    val cfg = args.lift(3) match {
-      case Some(cfgPath) =>
-        val text = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(cfgPath)),
-          java.nio.charset.StandardCharsets.UTF_8)
-        DestorConfig.parse(text).dedupConfig
-      case None => DedupConfig()
+    val settings = args.lift(3).map { cfgPath =>
+      val text = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(cfgPath)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      DestorConfig.parse(text)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -143,7 +205,10 @@ object ClusterJob {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     val corpus = spark.read.parquet(corpusPath).as[CorpusFile]
-    val s = run(corpus, root, runId, cfg)
+    val s = settings match {
+      case Some(st) => run(corpus, root, runId, st) // config-driven stages
+      case None => run(corpus, root, runId, DedupConfig())
+    }
     println(s"[clusterjob] $s")
     spark.stop()
   }

@@ -76,19 +76,23 @@ final case class DestorSettings(
     RestoreSim.simulate(recipe, restoreCacheSize, restoreCache,
       restoreOptWindow).toDF()
 
-  /** The `simulation-level` dispatch (reference src/destor.c:263-366):
-    * under `all`/`append`/`restore`, pre-hashed trace chunk streams (one
-    * DataFrame per backup job, the TraceSource/FslSource read schema:
-    * path, chunkIdx, fp, size) replace read+chunk+hash and replay through
-    * first-writer dedup → container packing → THIS config's rewrite pass
-    * (+ HAR) → THIS config's restore cache — [[TracePipeline.run]].
-    * Rejects `simulation-level no` loudly (the reference likewise refuses
-    * a trace job without a simulation level, src/destor.c:345-350).
+  /** The `simulation-level` dispatch (reference src/destor.c:263-366 +
+    * do_backup.c:31-37): ONLY `simulation-level all` routes backup input
+    * through the trace reader — at `no`/`append`/`restore` the reference
+    * runs the real read+chunk+hash phases and the simulation level
+    * governs container IO instead. Under `all`, pre-hashed trace chunk
+    * streams (one DataFrame per backup job, the TraceSource/FslSource
+    * read schema: path, chunkIdx, fp, size) replay through first-writer
+    * dedup → container packing → THIS config's rewrite pass (+ HAR) →
+    * THIS config's restore cache — [[TracePipeline.run]]. Any other
+    * level is rejected loudly, exactly as faithful dispatch demands.
     */
   def tracePipeline(jobs: Seq[DataFrame],
       payload: Long = Rewrite.ContainerPayload): DataFrame = {
-    require(simulationLevel != "no",
-      s"simulation-level is 'no' — trace replay needs all/append/restore")
+    require(simulationLevel == "all",
+      s"simulation-level is '$simulationLevel' — trace replay requires " +
+        "'all' (the reference reads traces only at SIMULATION_ALL, " +
+        "do_backup.c:31-37)")
     TracePipeline.run(jobs, this, payload)
   }
 

@@ -96,4 +96,36 @@ class ResumeSpec extends AnyFunSuite {
       .select($"runId").distinct().as[String].collect()
     assert(phases.toSeq === Seq("run-x"))
   }
+
+  test("config-driven run adds rewrite/har_sparse/restore_sim stages per the directives, resumable") {
+    val root = freshDir()
+    val settings = DestorConfig.parse(
+      """chunk-algorithm fastcdc
+        |rewrite-algorithm cfl 64
+        |rewrite-enable-har yes
+        |restore-cache lru 8
+        |simulation-level restore""".stripMargin)
+    val a = ClusterJob.run(corpus, root, "run-c1", settings)
+    for (t <- Seq("rewrite", "har_sparse", "restore_sim"))
+      assert(TableIO.committed(s"$root/$t"), t)
+    val rw = spark.read.parquet(s"$root/rewrite")
+    assert(rw.count() > 0)
+    assert(rw.columns.toSet ===
+      Set("stream", "seq", "size", "containerId", "dup", "write", "_lineage"))
+    // uniques always written; rewrite metrics rows recorded once
+    assert(rw.filter(!$"dup" && !$"write").count() === 0L)
+    val m = spark.read.parquet(s"$root/metrics")
+    assert(m.filter($"metric" === "rewritten_chunks").count() === 1)
+    val rs = spark.read.parquet(s"$root/restore_sim")
+    assert(rs.count() > 0 &&
+      rs.columns.contains("speedFactor") && rs.columns.contains("cfl"))
+    // resume: identical summary, no stage recompute, no duplicate metrics
+    val b = ClusterJob.run(corpus, root, "run-c2", settings)
+    assert(a === b)
+    assert(spark.read.parquet(s"$root/rewrite")
+      .select($"_lineage.runId").distinct().as[String].collect().toSeq
+      === Seq("run-c1"))
+    assert(spark.read.parquet(s"$root/metrics")
+      .filter($"metric" === "rewritten_chunks").count() === 1)
+  }
 }
