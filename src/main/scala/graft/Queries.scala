@@ -1560,6 +1560,30 @@ object Queries {
     }.toDF("a_id", "b_id", "lcs_len", "shingle_jaccard")
   }
 
+  /** The ORACLED twin of [[dLcsPairs]]'s span verification: the same
+    * suffix-automaton longest-common-substring code
+    * ([[graft.functions.Lcs]]) over ASCII-cleaned 80-char prefixes, so
+    * DuckDB can replay the quadratic DP exactly (a recursive CTE carries
+    * one DP row per pair as a LIST — the r_restore_asm running-state
+    * pattern; tiny by construction: 59 pairs × ≤80 steps × ≤80-long
+    * rows). Proves the automaton against an independent DP the same way
+    * the md5 twins prove the hash paths.
+    */
+  def dLcsTrunc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, dir, "documents")
+      .filter(col("doc_id") < 60)
+      .select(col("doc_id"),
+        substring(regexp_replace(col("text"), "[^ -~]", ""), 1, 80)
+          .as("text"))
+      .as[(Long, String)]
+    val paired = docs.toDF("a_id", "a_text").join(
+      docs.toDF("b_id", "b_text"), expr("b_id = a_id + 1"))
+    paired.as[(Long, String, Long, String)].map { case (a, at, b, bt) =>
+      (a, b, graft.functions.Lcs.longestCommonSubstring(at, bt).toLong)
+    }.toDF("a_id", "b_id", "lcs_len")
+  }
+
   /** Multimodal: batched REAL decode (pure-JVM PPM/WAV/PPM-stream codecs,
     * magic-byte sniffing) over synthetic media in genuine file formats —
     * rows-only (payloads aren't sf-table data).
@@ -1851,6 +1875,7 @@ object Queries {
     "d_fsl_roundtrip" -> (dFslRoundtrip _),
     "d_simhash_pairs" -> (dSimhashPairs _),
     "d_lcs_pairs" -> (dLcsPairs _),
+    "d_lcs_trunc" -> (dLcsTrunc _),
     "m_media_stats" -> (mMediaStats _),
     "m_frame_sample" -> (mFrameSample _),
     "d_exact_dedup" -> (dExactDedup _),
@@ -2570,6 +2595,39 @@ object Queries {
     "d_exact_dedup" ->
       """SELECT sha256(text) AS h, count(*) AS cnt, min(doc_id) AS canonical
         |FROM documents GROUP BY 1""".stripMargin,
+    // longest-common-SUBSTRING DP replayed row by row: the recursive CTE
+    // advances one character of A per step carrying the DP row
+    // (L[j] = A[i]==B[j] ? prev[j-1]+1 : 0) as a LIST per pair; best is
+    // the running max. AS MATERIALIZED per the repo's recursive-CTE rule.
+    "d_lcs_trunc" ->
+      """WITH RECURSIVE d AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 80) AS t
+        |  FROM documents WHERE doc_id < 60),
+        |p AS MATERIALIZED (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.t AS ta, b.t AS tb,
+        |    length(a.t) AS la, length(b.t) AS lb
+        |  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1),
+        |mx AS (SELECT max(la) AS m FROM p),
+        |step(a_id, b_id, i, row, best) AS (
+        |  SELECT a_id, b_id, 0,
+        |    list_transform(range(1, lb + 1), j -> 0), 0
+        |  FROM p
+        |  UNION ALL
+        |  SELECT a_id, b_id, i, row,
+        |    greatest(best, coalesce(list_aggregate(row, 'max'), 0)) AS best
+        |  FROM (
+        |    SELECT s.a_id, s.b_id, s.i + 1 AS i,
+        |      CASE WHEN s.i + 1 <= p.la THEN
+        |        list_transform(range(1, p.lb + 1), j ->
+        |          CASE WHEN substr(p.ta, s.i + 1, 1) = substr(p.tb, j, 1)
+        |               THEN coalesce(s.row[j - 1], 0) + 1 ELSE 0 END)
+        |      ELSE s.row END AS row,
+        |      s.best AS best
+        |    FROM step s JOIN p ON p.a_id = s.a_id AND p.b_id = s.b_id
+        |    WHERE s.i < (SELECT m FROM mx)))
+        |SELECT a_id, b_id, CAST(max(best) AS BIGINT) AS lcs_len
+        |FROM step GROUP BY 1, 2""".stripMargin,
     "d_token_count" ->
       """SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
         |  CAST(length(text) AS BIGINT) AS n_chars
