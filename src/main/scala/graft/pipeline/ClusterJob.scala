@@ -16,34 +16,39 @@ object ClusterJob {
       totalBytes: Long, uniqueBytes: Long,
       candidatePairs: Long, verifiedPairs: Long, clusters: Long)
 
+  /** Compute-or-load a stage table WITH the per-phase wall + process-CPU
+    * metrics rows (reference: the per-phase throughput block of
+    * backup.log, src/do_backup.c:112-131). Only a FRESHLY COMPUTED stage
+    * appends its rows — a resumed (read-back) stage must not pollute the
+    * run log with near-zero phantom phases. Known (accepted) window: a
+    * crash BETWEEN a stage's _SUCCESS commit and its metrics append loses
+    * that stage's throughput rows — the resume never recomputes, so the
+    * timing is genuinely gone; metrics are a run log, not part of the
+    * resumability contract.
+    */
+  private def instrumentedStage(spark: SparkSession, root: String,
+      name: String, runId: String)(f: => DataFrame): DataFrame = {
+    val osBean = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    val fresh = !TableIO.committed(s"$root/$name")
+    val c0 = osBean.getProcessCpuTime
+    val t0 = System.nanoTime()
+    val df = TableIO.stage(spark, root, name, runId)(f)
+    if (fresh)
+      TableIO.appendMetrics(spark, root, runId, name, Seq(
+        "wall_sec" -> (System.nanoTime() - t0) / 1e9,
+        "cpu_sec" -> (osBean.getProcessCpuTime - c0) / 1e9))
+    df
+  }
+
   def run(corpus: Dataset[CorpusFile], root: String, runId: String,
       cfg: DedupConfig = DedupConfig()): Summary = {
     val spark = corpus.sparkSession
     import spark.implicits._
 
-    // per-phase wall + process-CPU metrics rows (reference: the per-phase
-    // throughput block of backup.log, src/do_backup.c:112-131). Only a
-    // FRESHLY COMPUTED stage appends its row — a resumed (read-back)
-    // stage must not pollute the run log with near-zero phantom phases.
-    // Known (accepted) window: a crash BETWEEN a stage's _SUCCESS commit
-    // and its metrics append loses that stage's throughput row — the
-    // resume never recomputes, so the timing is genuinely gone; metrics
-    // are a run log, not part of the resumability contract, and the same
-    // property holds for the pre-existing summary row.
-    val osBean = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean
-      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
-    def stage(name: String)(f: => DataFrame): DataFrame = {
-      val fresh = !TableIO.committed(s"$root/$name")
-      val c0 = osBean.getProcessCpuTime
-      val t0 = System.nanoTime()
-      val df = TableIO.stage(spark, root, name, runId)(f)
-      if (fresh)
-        TableIO.appendMetrics(spark, root, runId, name, Seq(
-          "wall_sec" -> (System.nanoTime() - t0) / 1e9,
-          "cpu_sec" -> (osBean.getProcessCpuTime - c0) / 1e9))
-      df
-    }
+    def stage(name: String)(f: => DataFrame): DataFrame =
+      instrumentedStage(spark, root, name, runId)(f)
 
     // 1. featurize → signatures + chunk tables (content dropped here)
     lazy val featurized = DedupPipeline.featurize(corpus, cfg).toDF().persist()
@@ -136,30 +141,31 @@ object ClusterJob {
   def run(corpus: Dataset[CorpusFile], root: String, runId: String,
       settings: DestorSettings): Summary = {
     val spark = corpus.sparkSession
+    import spark.implicits._
     val summary = run(corpus, root, runId, settings.dedupConfig)
     def stage(name: String)(f: => DataFrame): DataFrame =
-      TableIO.stage(spark, root, name, runId)(f)
+      instrumentedStage(spark, root, name, runId)(f)
     lazy val streamRec = DedupPipeline.streamRecipe(
       spark.read.format(TableIO.Format).load(s"$root/recipe")
         .drop("_lineage"))
-    if (settings.rewrite.algorithm != "no" || settings.rewrite.enableHar) {
-      val fresh = !TableIO.committed(s"$root/rewrite")
+    val doRewrite =
+      settings.rewrite.algorithm != "no" || settings.rewrite.enableHar
+    if (doRewrite) {
+      val rewriteFresh = !TableIO.committed(s"$root/rewrite")
       val marked = stage("rewrite") {
         val passed = settings.rewritePass(streamRec)
         val hared =
           if (settings.rewrite.enableHar)
             // first backup of this root: no previous sparse list
-            Rewrite.harMark(passed,
-              spark.emptyDataFrame.select(lit(0L).as("containerId")).limit(0))
+            Rewrite.harMark(passed, Seq.empty[Long].toDF("containerId"))
           else passed
         Rewrite.writePredicate(hared)
           .select(col("stream"), col("seq"), col("size"), col("containerId"),
             col("dup"), col("write"))
       }
-      stage("har_sparse")(Rewrite.harSparseContainers(streamRec,
-        settings.rewrite.harUtilizationThreshold,
-        settings.rewrite.harRewriteLimit))
-      if (fresh) {
+      // metrics append directly after the stage commit (not after
+      // har_sparse) so the documented crash window stays minimal
+      if (rewriteFresh) {
         val rw = marked.agg(
           sum(when(col("dup") && col("write"), 1L).otherwise(0L)),
           sum(when(col("dup") && col("write"), col("size")).otherwise(0L)))
@@ -170,10 +176,42 @@ object ClusterJob {
           "rewritten_bytes" ->
             (if (rw.isNullAt(1)) 0.0 else rw.getLong(1).toDouble)))
       }
+      stage("har_sparse")(Rewrite.harSparseContainers(streamRec,
+        settings.rewrite.harUtilizationThreshold,
+        settings.rewrite.harRewriteLimit))
     }
+    // the recipe the restore simulation replays: AFTER the rewrite pass
+    // when one is configured — rewritten duplicates land in fresh packed
+    // containers past the current max, exactly like TracePipeline, so the
+    // locality report actually shows the rewrite's effect. Built LAZILY
+    // (only when the restore_sim stage actually computes) so a pure
+    // resume never runs the repack jobs.
+    def simRecipe(): DataFrame =
+      if (doRewrite) {
+        val marked = spark.read.format(TableIO.Format)
+          .load(s"$root/rewrite").drop("_lineage")
+        val base = marked.agg(max(col("containerId"))).head() match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0) + 1L
+        }
+        val repacked = DedupPipeline.streamPrefix(
+            marked.filter(col("dup") && col("write"))
+              .select(col("stream"), col("seq"),
+                col("size").cast("long").as("sz"), lit("all").as("s")),
+            "s", Seq("stream", "seq"), "sz", "pre")
+          .withColumn("newCid",
+            (lit(base) + floor(greatest(col("pre") + col("sz") - 1, lit(0L))
+              / Rewrite.ContainerPayload)).cast("long"))
+          .select(col("stream"), col("seq"), col("newCid"))
+        marked
+          .join(repacked, Seq("stream", "seq"), "left")
+          .withColumn("containerId",
+            coalesce(col("newCid"), col("containerId")))
+          .select(col("stream"), col("seq"), col("containerId"), col("size"))
+      } else streamRec
     if (settings.simulationLevel == "restore" ||
         settings.simulationLevel == "all")
-      stage("restore_sim")(settings.restoreSim(streamRec))
+      stage("restore_sim")(settings.restoreSim(simRecipe()))
     summary
   }
 

@@ -47,8 +47,8 @@ final case class DestorSettings(
   def dedupConfig: DedupConfig = DedupConfig(chunker = chunker)
 
   /** The configured rewrite pass over a stream recipe — `-p
-    * "rewrite-algorithm cap 64"` as one call. Output carries the pass's
-    * own marking column (outOfOrder for cap/cfl, rewrite for cbr).
+    * "rewrite-algorithm cap 64"` as one call. Every algorithm marks its
+    * rewrite decision in the same `outOfOrder` boolean column.
     * `payload` is the container payload the byte-threshold algorithms
     * (cfl run bytes, cbr coverage) measure against — callers running at a
     * non-default container size (TracePipeline) MUST thread theirs

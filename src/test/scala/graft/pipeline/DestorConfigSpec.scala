@@ -235,6 +235,10 @@ class DestorConfigSpec extends AnyFunSuite {
           $"containers_written", $"container_reads")
         .as[(Long, Long, Long, Long, Long)].collect().toSeq
     assert(stats(jobs) === stats(Seq(j1, j2)))
+    // no temp leak: the hashfiles are consumed once the stats materialize
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
   }
 
   test("rewritePass measures cfl run bytes against the caller's payload, not the 4 MiB default") {

@@ -116,6 +116,10 @@ class ResumeSpec extends AnyFunSuite {
     assert(rw.filter(!$"dup" && !$"write").count() === 0L)
     val m = spark.read.parquet(s"$root/metrics")
     assert(m.filter($"metric" === "rewritten_chunks").count() === 1)
+    // directive stages carry the same per-phase wall/cpu rows as the core
+    for (t <- Seq("rewrite", "har_sparse", "restore_sim"))
+      assert(m.filter($"stage" === t && $"metric" === "wall_sec")
+        .count() === 1, s"wall_sec for $t")
     val rs = spark.read.parquet(s"$root/restore_sim")
     assert(rs.count() > 0 &&
       rs.columns.contains("speedFactor") && rs.columns.contains("cfl"))
