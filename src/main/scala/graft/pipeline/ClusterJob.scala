@@ -215,13 +215,165 @@ object ClusterJob {
     summary
   }
 
+  /** ONE incremental backup job against a chained container store — the
+    * Spark analog of successive `destor /path` invocations sharing a
+    * working directory (reference src/do_backup.c: the jobs share the
+    * fingerprint index, the container pool and HAR's inter-job sparse
+    * list; src/har_rewrite.c:59-117 loads the previous job's monitor
+    * state from disk). Each backup gets its OWN checkpoint root; the
+    * chain link is `prevRoot` — the completed previous backup's root,
+    * whose committed `index` (fp → latest written container) and
+    * `har_sparse` stages are this job's inherited store state.
+    *
+    * The per-chunk semantics are EXACTLY [[TracePipeline.oneJob]] — the
+    * same dedup-against-cumulative-index → configured rewrite (+ HAR
+    * against the inherited sparse list) → per-occurrence packing →
+    * latest-wins index upsert that the trace replay runs in memory —
+    * with the read+chunk+hash phases real (the config's chunk-*
+    * directives) instead of trace-fed, and every handoff table a
+    * checkpointed resumable stage:
+    *
+    *   chunks       — the chunk table of this corpus snapshot
+    *   final_recipe — stream/seq/path/fp/size/dup/write/containerId
+    *   index        — cumulative fp → container (for the NEXT backup)
+    *   har_sparse   — trimmed sparse list (when HAR is on; NEXT backup)
+    *   restore_sim  — configured cache replay (simulation-level
+    *                  restore|all)
+    *
+    * plus a 14-field `backup` metrics block (the backup.log line).
+    * Resume-by-skip: re-submitting with the same root recomputes nothing
+    * and appends no duplicate metrics; the returned stats are rebuilt
+    * from the committed stage tables so fresh and resumed runs return
+    * identical values.
+    */
+  def backup(corpus: Dataset[CorpusFile], root: String, runId: String,
+      settings: DestorSettings, prevRoot: Option[String] = None,
+      payload: Long = Rewrite.ContainerPayload): TraceJobStats = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def stage(name: String)(f: => DataFrame): DataFrame =
+      instrumentedStage(spark, root, name, runId)(f)
+    val (prevIndex, prevSparse, nextCid, backupId) = prevRoot match {
+      case Some(p) =>
+        require(TableIO.committed(s"$p/index"),
+          s"prevRoot $p has no committed index stage — chain only from a " +
+            "completed backup() root")
+        val idx = spark.read.format(TableIO.Format).load(s"$p/index")
+          .select(col("fp"), col("idxCid"))
+        val sp =
+          if (TableIO.committed(s"$p/har_sparse"))
+            spark.read.format(TableIO.Format).load(s"$p/har_sparse")
+              .select(col("containerId"))
+          else Seq.empty[Long].toDF("containerId")
+        // every written container holds someone's latest copy, so the
+        // index max IS the store's high-water container id
+        val nc = idx.agg(max(col("idxCid"))).head() match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0) + 1L
+        }
+        val bid =
+          try spark.read.format(TableIO.Format).load(s"$p/metrics")
+            .filter(col("stage") === "backup" &&
+              col("metric") === "backup_id")
+            .agg(max(col("value"))).head() match {
+            case r if r.isNullAt(0) => 2L // metrics lost to a crash window
+            case r => r.getDouble(0).toLong + 1L
+          }
+          catch { case _: org.apache.spark.sql.AnalysisException => 2L }
+        (idx, sp, nc, bid)
+      case None =>
+        (Seq.empty[(String, Long)].toDF("fp", "idxCid"),
+          Seq.empty[Long].toDF("containerId"), 0L, 1L)
+    }
+    val label = s"b$backupId"
+    val chunks = stage("chunks") {
+      DedupPipeline.chunkTableDF(
+          DedupPipeline.featurize(corpus, settings.dedupConfig).toDF())
+        .select(col("repo"), col("path"), col("commit"), col("chunkIdx"),
+          col("size"), col("fp"), col("zero"))
+    }
+    // the whole store step computes lazily and AT MOST ONCE — a pure
+    // resume (all stages committed) never forces it
+    lazy val res = {
+      val stream = chunks.drop("_lineage")
+        .select(
+          concat_ws("@", col("repo"), col("path"), col("commit")).as("path"),
+          col("chunkIdx").cast("long").as("chunkIdx"), col("fp"),
+          col("size").cast("int").as("size"), lit(label).as("stream"),
+          lit(1L).as("one"))
+      val seqd = DedupPipeline.streamPrefix(stream, "stream",
+          Seq("path", "chunkIdx"), "one", "pre")
+        .withColumn("seq", col("pre") + 1L).drop("one", "pre")
+      TracePipeline.oneJob(seqd, prevIndex, prevSparse, nextCid, settings,
+        payload)
+    }
+    val freshFinal = !TableIO.committed(s"$root/final_recipe")
+    val finalRec = stage("final_recipe")(res.finalRec)
+    stage("index")(res.newIndex)
+    val sparseCount =
+      if (settings.rewrite.enableHar) stage("har_sparse")(res.sparse).count()
+      else 0L
+    val fr = finalRec.drop("_lineage")
+    val doSim = settings.simulationLevel == "restore" ||
+      settings.simulationLevel == "all"
+    val sim =
+      if (doSim) {
+        val s = stage("restore_sim")(settings.restoreSim(
+            fr.select(col("stream"), col("seq"), col("containerId"),
+              col("size"))))
+          .select(col("containerReads"), col("speedFactor"), col("cfl"))
+          .as[(Long, Double, Double)].head()
+        s
+      } else (0L, 0.0, 0.0)
+    // stats rebuilt from the committed stage tables — identical whether
+    // this run computed the stages or resumed them
+    val core = fr.agg(
+      countDistinct(col("path")), count(lit(1)),
+      sum(col("size")).cast("long"),
+      sum(when(!col("dup"), 1L).otherwise(0L)),
+      sum(when(!col("dup"), col("size")).otherwise(0L)).cast("long"),
+      sum(when(col("dup") && col("write"), 1L).otherwise(0L)),
+      sum(when(col("dup") && col("write"), col("size")).otherwise(0L))
+        .cast("long"))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    val (files, nChunks, dataSize, uniqC, uniqS, rwC, rwS) = core
+    val containersWritten =
+      fr.filter(col("write")).agg(max(col("containerId"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0) - nextCid + 1L
+      }
+    val stats = TraceJobStats(backupId, files, nChunks, dataSize,
+      uniqC, uniqS, rwC, rwS, uniqS + rwS, containersWritten, sparseCount,
+      sim._1, sim._2, sim._3)
+    if (freshFinal)
+      TableIO.appendMetrics(spark, root, runId, "backup", Seq(
+        "backup_id" -> stats.backup_id.toDouble,
+        "files" -> stats.files.toDouble,
+        "chunks" -> stats.chunks.toDouble,
+        "data_size" -> stats.data_size.toDouble,
+        "unique_chunks" -> stats.unique_chunks.toDouble,
+        "unique_size" -> stats.unique_size.toDouble,
+        "rewritten_chunks" -> stats.rewritten_chunks.toDouble,
+        "rewritten_size" -> stats.rewritten_size.toDouble,
+        "stored_size" -> stats.stored_size.toDouble,
+        "containers_written" -> stats.containers_written.toDouble,
+        "sparse_containers" -> stats.sparse_containers.toDouble,
+        "container_reads" -> stats.container_reads.toDouble,
+        "speed_factor" -> stats.speed_factor,
+        "cfl" -> stats.cfl))
+    stats
+  }
+
   /** spark-submit entry:
     * ClusterJob <corpusParquet> <checkpointRoot> [runId] [destor.config]
+    *   [prevRoot|-]
     *
     * The optional 4th argument is a destor-config file (the reference's
     * own directive language, [[DestorConfig]]) — its chunk-* directives
     * configure the pipeline, so `destor /path` invocations carry their
-    * config straight over.
+    * config straight over. When a 5th argument is present the job runs
+    * in incremental-backup mode ([[backup]]): `-` starts a fresh chain,
+    * a path chains from that completed backup root's store state.
     */
   def main(args: Array[String]): Unit = {
     val Array(corpusPath, root) = args.take(2)
@@ -243,9 +395,12 @@ object ClusterJob {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     val corpus = spark.read.parquet(corpusPath).as[CorpusFile]
-    val s = settings match {
-      case Some(st) => run(corpus, root, runId, st) // config-driven stages
-      case None => run(corpus, root, runId, DedupConfig())
+    val s: Any = (settings, args.lift(4)) match {
+      case (st, Some(prev)) => // incremental-backup mode
+        backup(corpus, root, runId, st.getOrElse(DestorSettings()),
+          Some(prev).filter(_ != "-"))
+      case (Some(st), None) => run(corpus, root, runId, st)
+      case (None, None) => run(corpus, root, runId, DedupConfig())
     }
     println(s"[clusterjob] $s")
     spark.stop()

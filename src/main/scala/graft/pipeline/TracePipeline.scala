@@ -14,6 +14,19 @@ final case class TraceJobStats(
     stored_size: Long, containers_written: Long, sparse_containers: Long,
     container_reads: Long, speed_factor: Double, cfl: Double)
 
+/** Everything ONE backup job against a cumulative store produces (the
+  * distributed state a follow-up job chains from plus the stats scalars):
+  * the job's final recipe, the upserted fingerprint index, the trimmed
+  * HAR sparse list for the NEXT job, and the backup.log counters.
+  * All three DataFrames are localCheckpoint-materialized — safe to use
+  * after the job's internal caches are freed.
+  */
+final case class TraceJobResult(
+    finalRec: DataFrame, newIndex: DataFrame, sparse: DataFrame,
+    containersWritten: Long, files: Long, chunks: Long, dataSize: Long,
+    uniqueChunks: Long, uniqueSize: Long,
+    rewrittenChunks: Long, rewrittenSize: Long)
+
 /** Trace-driven pipeline — the reference's `simulation-level all`
   * evaluation mode (src/destor.c:263-366 dispatch; src/trace_phase.c:
   * 146-207): a pre-hashed chunk stream (from [[graft.sources.TraceSource]]
@@ -61,8 +74,97 @@ final case class TraceJobStats(
   * Per-job aggregates are collected driver-side (a bounded handful of
   * scalars per backup, like the reference's backup.log line); all
   * per-chunk work stays distributed.
+  *
+  * [[oneJob]] is the single-backup core; [[graft.pipeline.ClusterJob
+  * .backup]] reuses it verbatim for REAL corpora (read+chunk+hash feeding
+  * the same dedup→rewrite→pack store semantics, checkpointed stages,
+  * roots chained exactly like successive trace jobs chain in memory).
   */
 object TracePipeline {
+
+  /** One backup job against the cumulative store. `seqd` is the job's
+    * chunk stream with a contiguous per-stream 1-based `seq` already
+    * assigned (columns stream:string, seq:long, path:string, fp:string,
+    * size:int) and must be non-empty; `index` is fp → idxCid (the latest
+    * written copy per fingerprint); `prevSparse` is the previous job's
+    * trimmed sparse-container list (containerId); `nextCid` is the first
+    * free container id. When HAR is off, `sparse` returns `prevSparse`
+    * unchanged (the reference only maintains the monitor when
+    * rewrite-enable-har is set).
+    */
+  private[graft] def oneJob(seqd: DataFrame, index: DataFrame,
+      prevSparse: DataFrame, nextCid: Long, settings: DestorSettings,
+      payload: Long): TraceJobResult = {
+    val spark = seqd.sparkSession
+    import spark.implicits._
+    val first = seqd.groupBy(col("fp")).agg(min(col("seq")).as("firstSeq"))
+    val marked = seqd
+      .join(index, Seq("fp"), "left")
+      .join(first, Seq("fp"))
+      .withColumn("dup",
+        col("idxCid").isNotNull || col("seq") > col("firstSeq"))
+      .withColumn("containerId", coalesce(col("idxCid"), lit(-1L)))
+    val passed = settings.rewritePass(marked, payload)
+    val hared =
+      if (settings.rewrite.enableHar) Rewrite.harMark(passed, prevSparse)
+      else passed
+    val written = Rewrite.writePredicate(hared).persist()
+    // pack every written occurrence in stream order; ids continue past
+    // the previous jobs' containers (stream is constant within one job,
+    // so grouping the prefix sum by it is the single-stream fold)
+    val packed = DedupPipeline.streamPrefix(
+        written.filter(col("write"))
+          .select(col("fp"), col("seq"),
+            col("size").cast("long").as("sz"), col("stream").as("s")),
+        "s", Seq("seq"), "sz", "pre")
+      .withColumn("packCid",
+        (lit(nextCid) +
+          floor(greatest(col("pre") + col("sz") - 1, lit(0L)) / payload))
+          .cast("long"))
+      .select(col("fp"), col("seq"), col("packCid"))
+      .persist()
+    val copies = packed.groupBy(col("fp")).agg(
+      min(struct(col("seq"), col("packCid"))).as("fc"),
+      max(struct(col("seq"), col("packCid"))).as("lc"))
+    val finalRec = written
+      .join(packed.select(col("seq"), col("packCid")), Seq("seq"), "left")
+      .join(copies.select(col("fp"), col("fc.packCid").as("firstCopyCid")),
+        Seq("fp"), "left")
+      .withColumn("containerId",
+        coalesce(col("packCid"),
+          when(col("idxCid").isNotNull, col("idxCid"))
+            .otherwise(col("firstCopyCid"))))
+      .select(col("stream"), col("seq"), col("path"), col("fp"),
+        col("size"), col("dup"), col("write"), col("containerId"))
+      .localCheckpoint(true)
+    val core = finalRec.agg(
+      countDistinct(col("path")), count(lit(1)),
+      sum(col("size")).cast("long"),
+      sum(when(!col("dup"), 1L).otherwise(0L)),
+      sum(when(!col("dup"), col("size")).otherwise(0L)).cast("long"),
+      sum(when(col("dup") && col("write"), 1L).otherwise(0L)),
+      sum(when(col("dup") && col("write"), col("size")).otherwise(0L))
+        .cast("long"))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    val (files, chunks, dataSize, uniqC, uniqS, rwC, rwS) = core
+    val containersWritten = packed.agg(max(col("packCid"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0) - nextCid + 1L
+    }
+    val sparseList =
+      if (settings.rewrite.enableHar)
+        Rewrite.harSparseContainers(finalRec,
+            settings.rewrite.harUtilizationThreshold,
+            settings.rewrite.harRewriteLimit, payload)
+          .select(col("containerId")).localCheckpoint(true)
+      else prevSparse
+    val newIndex = index.join(copies.select(col("fp")), Seq("fp"), "left_anti")
+      .union(copies.select(col("fp"), col("lc.packCid").as("idxCid")))
+      .localCheckpoint(true)
+    written.unpersist(); packed.unpersist()
+    TraceJobResult(finalRec, newIndex, sparseList, containersWritten,
+      files, chunks, dataSize, uniqC, uniqS, rwC, rwS)
+  }
 
   def run(jobs: Seq[DataFrame], settings: DestorSettings,
       payload: Long = Rewrite.ContainerPayload): DataFrame = {
@@ -96,82 +198,22 @@ object TracePipeline {
           prevSparse = Seq.empty[Long].toDF("containerId")
         seqd.unpersist()
       } else {
-      val first = seqd.groupBy(col("fp")).agg(min(col("seq")).as("firstSeq"))
-      val marked = seqd
-        .join(index, Seq("fp"), "left")
-        .join(first, Seq("fp"))
-        .withColumn("dup",
-          col("idxCid").isNotNull || col("seq") > col("firstSeq"))
-        .withColumn("containerId", coalesce(col("idxCid"), lit(-1L)))
-      val passed = settings.rewritePass(marked, payload)
-      val hared =
-        if (settings.rewrite.enableHar) Rewrite.harMark(passed, prevSparse)
-        else passed
-      val written = Rewrite.writePredicate(hared).persist()
-      // pack every written occurrence in stream order; ids continue past
-      // the previous jobs' containers
-      val packed = DedupPipeline.streamPrefix(
-          written.filter(col("write"))
-            .select(col("fp"), col("seq"),
-              col("size").cast("long").as("sz"), lit(label).as("s")),
-          "s", Seq("seq"), "sz", "pre")
-        .withColumn("packCid",
-          (lit(nextCid) +
-            floor(greatest(col("pre") + col("sz") - 1, lit(0L)) / payload))
-            .cast("long"))
-        .select(col("fp"), col("seq"), col("packCid"))
-        .persist()
-      val copies = packed.groupBy(col("fp")).agg(
-        min(struct(col("seq"), col("packCid"))).as("fc"),
-        max(struct(col("seq"), col("packCid"))).as("lc"))
-      val finalRec = written
-        .join(packed.select(col("seq"), col("packCid")), Seq("seq"), "left")
-        .join(copies.select(col("fp"), col("fc.packCid").as("firstCopyCid")),
-          Seq("fp"), "left")
-        .withColumn("containerId",
-          coalesce(col("packCid"),
-            when(col("idxCid").isNotNull, col("idxCid"))
-              .otherwise(col("firstCopyCid"))))
-        .select(col("stream"), col("seq"), col("path"), col("fp"),
-          col("size"), col("dup"), col("write"), col("containerId"))
-        .localCheckpoint(true)
-      val core = finalRec.agg(
-        countDistinct(col("path")), count(lit(1)),
-        sum(col("size")).cast("long"),
-        sum(when(!col("dup"), 1L).otherwise(0L)),
-        sum(when(!col("dup"), col("size")).otherwise(0L)).cast("long"),
-        sum(when(col("dup") && col("write"), 1L).otherwise(0L)),
-        sum(when(col("dup") && col("write"), col("size")).otherwise(0L))
-          .cast("long"))
-        .as[(Long, Long, Long, Long, Long, Long, Long)].head()
-      val (files, chunks, dataSize, uniqC, uniqS, rwC, rwS) = core
-      val containersWritten = packed.agg(max(col("packCid"))).head() match {
-        case r if r.isNullAt(0) => 0L
-        case r => r.getLong(0) - nextCid + 1L
-      }
-      val rs = settings.restoreSim(
-          finalRec.select(col("stream"), col("seq"), col("containerId"),
-            col("size")))
-        .select(col("containerReads"), col("speedFactor"), col("cfl"))
-        .as[(Long, Double, Double)].head()
-      val sparseList =
-        if (settings.rewrite.enableHar)
-          Rewrite.harSparseContainers(finalRec,
-              settings.rewrite.harUtilizationThreshold,
-              settings.rewrite.harRewriteLimit, payload)
-            .select(col("containerId")).localCheckpoint(true)
-        else prevSparse
-      val sparseCount =
-        if (settings.rewrite.enableHar) sparseList.count() else 0L
-      stats += TraceJobStats(b, files, chunks, dataSize, uniqC, uniqS,
-        rwC, rwS, uniqS + rwS, containersWritten, sparseCount,
-        rs._1, rs._2, rs._3)
-      index = index.join(copies.select(col("fp")), Seq("fp"), "left_anti")
-        .union(copies.select(col("fp"), col("lc.packCid").as("idxCid")))
-        .localCheckpoint(true)
-      nextCid += containersWritten
-      prevSparse = sparseList
-      seqd.unpersist(); written.unpersist(); packed.unpersist()
+        val r = oneJob(seqd, index, prevSparse, nextCid, settings, payload)
+        val rs = settings.restoreSim(
+            r.finalRec.select(col("stream"), col("seq"), col("containerId"),
+              col("size")))
+          .select(col("containerReads"), col("speedFactor"), col("cfl"))
+          .as[(Long, Double, Double)].head()
+        val sparseCount =
+          if (settings.rewrite.enableHar) r.sparse.count() else 0L
+        stats += TraceJobStats(b, r.files, r.chunks, r.dataSize,
+          r.uniqueChunks, r.uniqueSize, r.rewrittenChunks, r.rewrittenSize,
+          r.uniqueSize + r.rewrittenSize, r.containersWritten, sparseCount,
+          rs._1, rs._2, rs._3)
+        index = r.newIndex
+        nextCid += r.containersWritten
+        prevSparse = r.sparse
+        seqd.unpersist()
       }
     }
     spark.createDataset(stats.toSeq).toDF()

@@ -1,0 +1,108 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+import graft.corpus.CorpusGen
+
+/** Incremental multi-backup chaining ([[ClusterJob.backup]]): successive
+  * corpus snapshots against a shared container store, HAR's sparse list
+  * handed from root to root like the reference's inter-job monitor state
+  * (src/har_rewrite.c:59-117) — plus the resume-by-skip contract per
+  * root.
+  *
+  * Three overlapping snapshot windows give the HAR cadence its first
+  * possible firing: backup-1 containers are fully utilized by
+  * construction, sparsity is first OBSERVED by backup 2's recipe and
+  * first REWRITTEN during backup 3.
+  */
+class BackupChainSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_chain_").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  // three overlapping snapshot windows over a sorted file list — each
+  // backup shares ~2/3 of its files with the previous one
+  private lazy val slices: Seq[Seq[graft.corpus.CorpusFile]] = {
+    val all = CorpusGen.generateLocal(nBases = 60).map(_._1)
+      .sortBy(f => (f.repo, f.path, f.commit))
+    val n = all.size
+    Seq(
+      all.slice(0, (n * 6) / 10),
+      all.slice((n * 2) / 10, (n * 8) / 10),
+      all.slice((n * 4) / 10, n))
+  }
+
+  private def corpusOf(i: Int) = spark.createDataset(slices(i))(
+    org.apache.spark.sql.Encoders.product[graft.corpus.CorpusFile])
+
+  private val settings = DestorConfig.parse(
+    """chunk-algorithm fastcdc
+      |rewrite-enable-har yes
+      |rewrite-har-utilization-threshold 0.5
+      |rewrite-har-rewrite-limit 0.5
+      |restore-cache lru 8
+      |simulation-level restore""".stripMargin)
+
+  // small payload so each backup writes many containers and partial
+  // utilization is visible at this corpus size
+  private val Payload = 4096L
+
+  test("three chained backups: cross-run dedup, continued container ids, HAR firing at backup 3") {
+    val (r1, r2, r3) = (freshDir(), freshDir(), freshDir())
+    val b1 = ClusterJob.backup(corpusOf(0), r1, "j1", settings, None, Payload)
+    assert(b1.backup_id === 1L)
+    assert(b1.chunks > 0 && b1.unique_chunks > 0 && b1.containers_written > 0)
+    assert(b1.rewritten_chunks === 0L) // no inherited sparse list yet
+    assert(b1.container_reads > 0 && b1.speed_factor > 0)
+    for (t <- Seq("chunks", "final_recipe", "index", "har_sparse",
+        "restore_sim"))
+      assert(TableIO.committed(s"$r1/$t"), t)
+
+    val b2 = ClusterJob.backup(corpusOf(1), r2, "j2", settings, Some(r1),
+      Payload)
+    assert(b2.backup_id === 2L)
+    // cross-run dedup: shared files' chunks hit backup 1's index
+    assert(b2.unique_chunks < b2.chunks)
+    assert(b2.unique_size < b2.data_size)
+    // container ids continue past backup 1's store
+    val idx1Max = spark.read.parquet(s"$r1/index")
+      .agg(max($"idxCid")).as[Long].head()
+    val b2MinWritten = spark.read.parquet(s"$r2/final_recipe")
+      .filter($"write").agg(min($"containerId")).as[Long].head()
+    assert(b2MinWritten === idx1Max + 1)
+    // the cumulative index grows and stays latest-wins unique per fp
+    val idx2 = spark.read.parquet(s"$r2/index")
+    assert(idx2.count() > spark.read.parquet(s"$r1/index").count())
+    assert(idx2.count() === idx2.select($"fp").distinct().count())
+    // backup 2 OBSERVES sparsity (partial reuse of backup 1's containers)
+    assert(b2.sparse_containers > 0)
+
+    val b3 = ClusterJob.backup(corpusOf(2), r3, "j3", settings, Some(r2),
+      Payload)
+    assert(b3.backup_id === 3L)
+    // backup 3 inherits backup 2's sparse list and REWRITES against it
+    assert(b3.rewritten_chunks > 0)
+    assert(b3.stored_size === b3.unique_size + b3.rewritten_size)
+    // every recipe row resolved to a real container
+    assert(spark.read.parquet(s"$r3/final_recipe")
+      .filter($"containerId".isNull || $"containerId" < 0).count() === 0L)
+
+    // resume-by-skip: identical stats, no stage recompute, no duplicate
+    // backup metrics
+    val b3b = ClusterJob.backup(corpusOf(2), r3, "j3-resume", settings,
+      Some(r2), Payload)
+    assert(b3b === b3)
+    assert(spark.read.parquet(s"$r3/final_recipe")
+      .select($"_lineage.runId").distinct().as[String].collect().toSeq
+      === Seq("j3"))
+    assert(spark.read.parquet(s"$r3/metrics")
+      .filter($"stage" === "backup" && $"metric" === "backup_id")
+      .count() === 1)
+  }
+}
