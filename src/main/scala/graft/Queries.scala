@@ -1464,6 +1464,75 @@ object Queries {
     out
   }
 
+  /** Two-backup trace replay under a caller-supplied rewrite directive —
+    * the [[dTracePipeline]] fixture (same fp/size derivation, DuckDB
+    * recomputes both) split into TWO jobs (b = suppkey%2+1) and fed to
+    * [[graft.pipeline.TracePipeline]] directly as DataFrames (the
+    * trace-file round trip itself is d_trace_pipeline's job; these
+    * variants exercise the REWRITE algorithms under trace replay). Two
+    * backups suffice for cfl/cbr/cap: unlike HAR (which needs a
+    * previous job's sparse list), the fragmentation detectors fire on
+    * any job whose duplicates reference old containers — i.e. from
+    * backup 2 on. Payload 512, LRU-30 restore, fully value-oracled.
+    */
+  private def dTraceVariant(spark: SparkSession, dir: String,
+      rewriteDirectives: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val key = col("l_partkey") * 8 + pmod(col("l_orderkey"), lit(8))
+    val md5c = md5(key.cast("string"))
+    val stream0 = DedupPipeline.streamPrefix(
+        li.select(
+          (pmod(col("l_suppkey"), lit(2)) + 1).as("b"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("path"),
+          col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), lit(1L).as("one")),
+        "path",
+        Seq("l_shipdate", "l_orderkey", "l_linenumber", "l_partkey"),
+        "one", "pre")
+      .withColumn("chunkIdx", col("pre").cast("int"))
+      .withColumn("fp", concat(md5c, substring(md5c, 1, 8)))
+      .withColumn("size", (pmod(key, lit(97)) + 1).cast("int"))
+      .select(col("b"), col("path"), col("chunkIdx"), col("fp"), col("size"))
+      .persist()
+    val jobs = Seq(1, 2).map(b => stream0.filter(col("b") === b).drop("b"))
+    val settings = pipeline.DestorConfig.parse(
+      s"simulation-level all\n$rewriteDirectives\nrestore-cache lru 30\n")
+    val out = settings.tracePipeline(jobs, payload = 512)
+      .withColumn("speed_factor", round(col("speed_factor"), 6))
+      .withColumn("cfl", round(col("cfl"), 6))
+      .localCheckpoint(true)
+    stream0.unpersist()
+    out
+  }
+
+  /** Trace replay under `rewrite-algorithm cfl` (W2 selective dedup,
+    * reference src/cfl_rewrite.c): runs of consecutive same-container
+    * duplicates below 3% of the payload are rewritten whole.
+    */
+  def dTraceCfl(spark: SparkSession, dir: String): DataFrame =
+    dTraceVariant(spark, dir,
+      "rewrite-algorithm \"cfl-based selective deduplication\" 64\n" +
+        "rewrite-cfl-usage-threshold 0.03")
+
+  /** Trace replay under `rewrite-algorithm cbr 64` (W3 context-based
+    * rewriting, reference src/cbr_rewrite.c): rewrite utility from the
+    * 64-chunk forward context, global discrete quantile threshold,
+    * marked-not-fragmented neighbor suppression, final-buffer flush.
+    */
+  def dTraceCbr(spark: SparkSession, dir: String): DataFrame =
+    dTraceVariant(spark, dir,
+      "rewrite-algorithm \"context-based rewriting\" 64\n" +
+        "rewrite-cbr-limit 0.05\nrewrite-cbr-minimal-utility 0.5")
+
+  /** Trace replay under `rewrite-algorithm capping 64` (W4 capping,
+    * reference src/cap_rewrite.c): per 64-chunk buffer, duplicates of
+    * containers ranked below the top 3 by referenced bytes are
+    * rewritten.
+    */
+  def dTraceCap(spark: SparkSession, dir: String): DataFrame =
+    dTraceVariant(spark, dir,
+      "rewrite-algorithm capping 64\nrewrite-capping-level 3")
+
   /** Remove a query's temp artifact directory once its result is
     * materialized (repeated bench/verify runs must not accumulate /tmp).
     */
@@ -1872,6 +1941,9 @@ object Queries {
     "d_restore_verify" -> (dRestoreVerify _),
     "d_trace_roundtrip" -> (dTraceRoundtrip _),
     "d_trace_pipeline" -> (dTracePipeline _),
+    "d_trace_cfl" -> (dTraceCfl _),
+    "d_trace_cbr" -> (dTraceCbr _),
+    "d_trace_cap" -> (dTraceCap _),
     "d_fsl_roundtrip" -> (dFslRoundtrip _),
     "d_simhash_pairs" -> (dSimhashPairs _),
     "d_lcs_pairs" -> (dLcsPairs _),
@@ -2075,7 +2147,176 @@ object Queries {
       |    count(*) OVER (PARTITION BY st.doc_id, st.sid) AS n
       |  FROM st JOIN ch USING (doc_id, idx))""".stripMargin
 
+  /** Oracle generator for the two-backup trace-replay variants
+    * ([[dTraceVariant]]): the full d_trace_pipeline replay skeleton
+    * (fixture fps DuckDB re-derives, cumulative packing, latest-wins
+    * index upsert, LRU-30 stack-distance restore) with the per-backup
+    * WRITE PREDICATE pluggable — `algo(k)` emits the CTE chain that
+    * defines `w{k}` (columns seq, path, fp, size, idxCid, dup, w) from
+    * the marked stream `d{k}` (same + mcid, the TEMPORARY_ID −1 form).
+    * The algorithm runs over BOTH backups exactly like the engine (no
+    * "backup 1 can't rewrite" shortcut — cbr's utility is nonzero in
+    * degenerate tails, so the oracle replays the formula, not a proof
+    * about it). HAR is off in these variants → sparse_containers ≡ 0.
+    */
+  private def traceTwoOracle(algo: Int => String): String = {
+    def stats(k: Int) =
+      s"""s$k AS (SELECT CAST($k AS BIGINT) AS backup_id,
+         |  count(DISTINCT path) AS files, count(*) AS chunks,
+         |  CAST(sum(size) AS BIGINT) AS data_size,
+         |  CAST(sum(CASE WHEN NOT dup THEN 1 ELSE 0 END) AS BIGINT) AS unique_chunks,
+         |  CAST(sum(CASE WHEN NOT dup THEN size ELSE 0 END) AS BIGINT) AS unique_size,
+         |  CAST(sum(CASE WHEN dup AND w THEN 1 ELSE 0 END) AS BIGINT) AS rewritten_chunks,
+         |  CAST(sum(CASE WHEN dup AND w THEN size ELSE 0 END) AS BIGINT) AS rewritten_size
+         |  FROM r$k)""".stripMargin
+    def lru(k: Int) =
+      s"""x$k AS (SELECT seq, cid, lag(seq) OVER (PARTITION BY cid ORDER BY seq) AS prevSeq FROM r$k),
+         |m$k AS (SELECT CASE WHEN prevSeq IS NULL THEN 1
+         |         WHEN (SELECT count(DISTINCT y.cid) FROM r$k y
+         |               WHERE y.seq > x$k.prevSeq AND y.seq < x$k.seq) >= 30 THEN 1
+         |         ELSE 0 END AS miss FROM x$k)""".stripMargin
+    s"""WITH li AS (
+       |  SELECT l_suppkey % 2 + 1 AS b,
+       |    's' || CAST(l_suppkey AS VARCHAR) AS path,
+       |    md5(CAST(l_partkey * 8 + l_orderkey % 8 AS VARCHAR)) AS h,
+       |    CAST((l_partkey * 8 + l_orderkey % 8) % 97 + 1 AS BIGINT) AS size,
+       |    l_shipdate, l_orderkey, l_linenumber, l_partkey
+       |  FROM lineitem),
+       |tr AS (
+       |  SELECT b, path, h || substr(h, 1, 8) AS fp, size,
+       |    CAST(row_number() OVER (PARTITION BY b
+       |      ORDER BY path, l_shipdate, l_orderkey, l_linenumber, l_partkey) AS BIGINT) AS seq
+       |  FROM li),
+       |f1 AS (SELECT fp, min(seq) AS firstSeq FROM tr WHERE b = 1 GROUP BY 1),
+       |d1 AS MATERIALIZED (
+       |  SELECT tr.seq, tr.path, tr.fp, tr.size,
+       |    CAST(NULL AS BIGINT) AS idxCid,
+       |    tr.seq > f1.firstSeq AS dup,
+       |    CAST(-1 AS BIGINT) AS mcid
+       |  FROM tr JOIN f1 USING (fp) WHERE b = 1),
+       |${algo(1)},
+       |p1 AS (
+       |  SELECT fp, seq, CAST(floor(greatest(cum - 1, 0) / 512.0) AS BIGINT) AS cid
+       |  FROM (SELECT fp, seq, sum(size) OVER (ORDER BY seq
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |        FROM w1 WHERE w)),
+       |fc1 AS (SELECT fp, min_by(cid, seq) AS firstCid FROM p1 GROUP BY 1),
+       |lc1 AS (SELECT fp, max_by(cid, seq) AS cid FROM p1 GROUP BY 1),
+       |r1 AS MATERIALIZED (
+       |  SELECT w1.seq, w1.path, w1.fp, w1.size, w1.dup, w1.w,
+       |    coalesce(p1.cid,
+       |      CASE WHEN w1.idxCid IS NOT NULL THEN w1.idxCid ELSE fc1.firstCid END) AS cid
+       |  FROM w1 LEFT JOIN p1 ON p1.seq = w1.seq LEFT JOIN fc1 ON fc1.fp = w1.fp),
+       |${lru(1)},
+       |f2 AS (SELECT fp, min(seq) AS firstSeq FROM tr WHERE b = 2 GROUP BY 1),
+       |d2 AS MATERIALIZED (
+       |  SELECT tr.seq, tr.path, tr.fp, tr.size, lc1.cid AS idxCid,
+       |    (lc1.cid IS NOT NULL OR tr.seq > f2.firstSeq) AS dup,
+       |    coalesce(lc1.cid, -1) AS mcid
+       |  FROM tr JOIN f2 USING (fp) LEFT JOIN lc1 USING (fp) WHERE b = 2),
+       |${algo(2)},
+       |base2 AS (SELECT coalesce(max(cid) + 1, 0) AS nc FROM p1),
+       |p2 AS (
+       |  SELECT fp, seq, CAST(nc + floor(greatest(cum - 1, 0) / 512.0) AS BIGINT) AS cid
+       |  FROM (SELECT fp, seq, sum(size) OVER (ORDER BY seq
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |        FROM w2 WHERE w), base2),
+       |fc2 AS (SELECT fp, min_by(cid, seq) AS firstCid FROM p2 GROUP BY 1),
+       |r2 AS MATERIALIZED (
+       |  SELECT w2.seq, w2.path, w2.fp, w2.size, w2.dup, w2.w,
+       |    coalesce(p2.cid,
+       |      CASE WHEN w2.idxCid IS NOT NULL THEN w2.idxCid ELSE fc2.firstCid END) AS cid
+       |  FROM w2 LEFT JOIN p2 ON p2.seq = w2.seq LEFT JOIN fc2 ON fc2.fp = w2.fp),
+       |${lru(2)},
+       |${stats(1)},
+       |${stats(2)}
+       |SELECT s1.*,
+       |  s1.unique_size + s1.rewritten_size AS stored_size,
+       |  (SELECT CAST(coalesce(max(cid) + 1, 0) AS BIGINT) FROM p1) AS containers_written,
+       |  CAST(0 AS BIGINT) AS sparse_containers,
+       |  (SELECT CAST(sum(miss) AS BIGINT) FROM m1) AS container_reads,
+       |  round(s1.data_size / 1048576.0 / (SELECT sum(miss) FROM m1), 6) AS speed_factor,
+       |  round(ceil(s1.data_size / 4194304.0) / (SELECT sum(miss) FROM m1), 6) AS cfl
+       |FROM s1
+       |UNION ALL
+       |SELECT s2.*,
+       |  s2.unique_size + s2.rewritten_size,
+       |  CAST(coalesce((SELECT max(cid) FROM p2) - (SELECT nc FROM base2) + 1, 0) AS BIGINT),
+       |  CAST(0 AS BIGINT),
+       |  (SELECT CAST(sum(miss) AS BIGINT) FROM m2),
+       |  round(s2.data_size / 1048576.0 / (SELECT sum(miss) FROM m2), 6),
+       |  round(ceil(s2.data_size / 4194304.0) / (SELECT sum(miss) FROM m2), 6)
+       |FROM s2""".stripMargin
+  }
+
+  /** W2 CFL write predicate over marked stream k: runs of consecutive
+    * same-container rows; rewrite a duplicate iff its run's bytes fall
+    * below 3% of the 512-byte payload (Rewrite.cflRuns semantics).
+    */
+  private def cflAlgo(k: Int): String =
+    s"""cfa$k AS (SELECT *, CASE WHEN mcid = lag(mcid) OVER (ORDER BY seq)
+       |    THEN 0 ELSE 1 END AS newRun FROM d$k),
+       |cfb$k AS (SELECT *, CAST(sum(newRun) OVER (ORDER BY seq
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS runId FROM cfa$k),
+       |cfc$k AS (SELECT runId, sum(size) AS runBytes FROM cfb$k GROUP BY 1),
+       |w$k AS (SELECT b.seq, b.path, b.fp, b.size, b.idxCid, b.dup,
+       |    (NOT b.dup) OR c.runBytes < 0.03 * 512 AS w
+       |  FROM cfb$k b JOIN cfc$k c USING (runId))""".stripMargin
+
+  /** W3 CBR write predicate over marked stream k: 64-chunk forward
+    * context utility, 0.95-quantile threshold (≥ 0.5), record-run
+    * neighbor suppression, final-buffer flush (Rewrite.cbr semantics).
+    */
+  private def cbrAlgo(k: Int): String =
+    s"""cba$k AS (SELECT *, sum(size) OVER (PARTITION BY mcid ORDER BY seq
+       |      RANGE BETWEEN CURRENT ROW AND 64 FOLLOWING) AS ctxBytes,
+       |    max(seq) OVER () AS maxSeq FROM d$k),
+       |cbu$k AS (SELECT *, CASE WHEN NOT dup THEN 0.0
+       |    WHEN ctxBytes / 512.0 >= 1 THEN 0.0
+       |    ELSE round(1.0 - ctxBytes / 512.0, 6) END AS utility FROM cba$k),
+       |cbh$k AS (SELECT utility, count(*) AS cnt FROM cbu$k GROUP BY 1),
+       |cbt$k AS (SELECT min(utility) AS threshold FROM (
+       |    SELECT utility, sum(cnt) OVER (ORDER BY utility) AS cum,
+       |      sum(cnt) OVER () AS n FROM cbh$k)
+       |  WHERE cum >= ceil(0.95 * n)),
+       |cbr$k AS (SELECT mcid, seq, utility,
+       |    CASE WHEN seq - lag(seq) OVER (PARTITION BY mcid ORDER BY seq) <= 64
+       |    THEN 0 ELSE 1 END AS newRun FROM cbu$k WHERE dup),
+       |cbs$k AS (SELECT mcid, seq, utility,
+       |    CAST(sum(newRun) OVER (PARTITION BY mcid ORDER BY seq
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS recRun
+       |  FROM cbr$k),
+       |cbf$k AS (SELECT s.seq,
+       |    coalesce(max(CASE WHEN s.utility < greatest(0.5, t.threshold)
+       |      THEN 1 ELSE 0 END) OVER (
+       |      PARTITION BY s.mcid, s.recRun ORDER BY s.seq
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS inherit
+       |  FROM cbs$k s, cbt$k t),
+       |w$k AS (SELECT u.seq, u.path, u.fp, u.size, u.idxCid, u.dup,
+       |    (NOT u.dup) OR (u.utility >= greatest(0.5, t.threshold)
+       |      AND coalesce(f.inherit, 0) = 0 AND u.seq + 64 <= u.maxSeq) AS w
+       |  FROM cbu$k u LEFT JOIN cbf$k f ON u.seq = f.seq, cbt$k t)""".stripMargin
+
+  /** W4 CAP write predicate over marked stream k: per 64-chunk buffer,
+    * rank containers by duplicate-referenced bytes; duplicates outside
+    * the top 3 are rewritten (Rewrite.cap semantics).
+    */
+  private def capAlgo(k: Int): String =
+    s"""cpa$k AS (SELECT *, CAST(floor(seq / 64) AS BIGINT) AS bufferId FROM d$k),
+       |cpb$k AS (SELECT bufferId, mcid, sum(size) AS refBytes
+       |  FROM cpa$k WHERE dup GROUP BY 1, 2),
+       |cpc$k AS (SELECT bufferId, mcid,
+       |    row_number() OVER (PARTITION BY bufferId ORDER BY refBytes DESC, mcid) AS rk
+       |  FROM cpb$k),
+       |w$k AS (SELECT a.seq, a.path, a.fp, a.size, a.idxCid, a.dup,
+       |    (NOT a.dup) OR (a.dup AND NOT coalesce(c.rk <= 3, FALSE)) AS w
+       |  FROM cpa$k a LEFT JOIN cpc$k c
+       |    ON a.bufferId = c.bufferId AND a.mcid = c.mcid)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "d_trace_cfl" -> traceTwoOracle(cflAlgo),
+    "d_trace_cbr" -> traceTwoOracle(cbrAlgo),
+    "d_trace_cap" -> traceTwoOracle(capAlgo),
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
