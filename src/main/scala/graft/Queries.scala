@@ -1356,6 +1356,72 @@ object Queries {
         sum(col("size")).as("migrated_bytes"))
   }
 
+  /** Multi-copy CHAINED recipe fixture for the chain-expiry demos: three
+    * backups v1..v3 share one container pool. Every version references
+    * the base copy of a chunk (key % 50) EXCEPT where a later backup's
+    * rewrite pass stored a fresh copy: v2 re-homed its key%5==0 slice
+    * into containers 60-79, v3 its key%7==0 slice into 90-114 — exactly
+    * the multi-copy shape CAP/CBR/HAR rewriting produces in a real chain
+    * (the recipe points at the rewritten copy, superseding the base one).
+    */
+  private def chainedRecipe(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val key = col("l_partkey") * 13 + col("l_suppkey")
+    val v = pmod(col("l_orderkey"), lit(3)) + 1
+    li.select(
+      concat(lit("v"), v.cast("string")).as("version"),
+      md5(key.cast("string")).as("fp"),
+      when(v === 2 && pmod(key, lit(5)) === 0, lit(60) + pmod(key, lit(20)))
+        .when(v === 3 && pmod(key, lit(7)) === 0, lit(90) + pmod(key, lit(25)))
+        .otherwise(pmod(key, lit(50)))
+        .cast("long").as("containerId"),
+      (pmod(key, lit(97)) + 1).cast("int").as("size"))
+  }
+
+  private val chainedRecipeSql =
+    """SELECT 'v' || CAST(l_orderkey % 3 + 1 AS VARCHAR) AS version,
+      |  md5(CAST(l_partkey * 13 + l_suppkey AS VARCHAR)) AS fp,
+      |  CAST(CASE
+      |    WHEN l_orderkey % 3 + 1 = 2 AND (l_partkey * 13 + l_suppkey) % 5 = 0
+      |      THEN 60 + (l_partkey * 13 + l_suppkey) % 20
+      |    WHEN l_orderkey % 3 + 1 = 3 AND (l_partkey * 13 + l_suppkey) % 7 = 0
+      |      THEN 90 + (l_partkey * 13 + l_suppkey) % 25
+      |    ELSE (l_partkey * 13 + l_suppkey) % 50 END AS BIGINT) AS containerId,
+      |  CAST((l_partkey * 13 + l_suppkey) % 97 + 1 AS INTEGER) AS size
+      |FROM lineitem""".stripMargin
+
+  /** EXECUTED chain retention ([[GC.expireChain]]): expire backup v1 of
+    * the three-backup chained fixture and compact the shared store.
+    * Liveness is per physical COPY (fp, containerId) — v2/v3's rewritten
+    * copies keep their own containers alive but NOT the base copies they
+    * superseded. Output: per-new-container migration summary of the live
+    * copies rescued out of compacted containers (payload 4096 so the
+    * re-pack wraps at sf0.01); the oracle replays the dead-copy set,
+    * survivor selection, and the cumulative re-pack.
+    */
+  def gChainExpire(spark: SparkSession, dir: String): DataFrame = {
+    val c = GC.expireChain(chainedRecipe(spark, dir), "v1", payload = 4096)
+    c.migration.groupBy(col("new_cid"))
+      .agg(count(lit(1)).as("migrated_chunks"),
+        sum(col("size")).as("migrated_bytes"))
+  }
+
+  /** The surviving chain AFTER the v1 expiry: per-version recipe
+    * footprint over the post-compaction layout (rows, distinct
+    * containers, container-id checksum, bytes) — proves the (fp, oldCid)
+    * → newCid recipe rewrite itself, not just the migration work list.
+    * Idempotence and the inherited latest-wins index are gated in
+    * ExtrasSpec.
+    */
+  def gChainRecipes(spark: SparkSession, dir: String): DataFrame = {
+    val c = GC.expireChain(chainedRecipe(spark, dir), "v1", payload = 4096)
+    c.recipes.groupBy(col("version"))
+      .agg(count(lit(1)).as("recipe_rows"),
+        countDistinct(col("containerId")).as("containers"),
+        sum(col("containerId")).as("cid_sum"),
+        sum(col("size")).cast("long").as("bytes"))
+  }
+
   /** J5 restore reconstruction over the documents corpus: every file
     * rebuilt from deduplicated first-writer chunk slices must reproduce
     * its sha256 (rows-only; the per-row invariant check).
@@ -1938,6 +2004,8 @@ object Queries {
     "g_dead_chunks" -> (gDeadChunks _),
     "g_compaction_plan" -> (gCompactionPlan _),
     "g_compact_exec" -> (gCompactExec _),
+    "g_chain_expire" -> (gChainExpire _),
+    "g_chain_recipes" -> (gChainRecipes _),
     "d_restore_verify" -> (dRestoreVerify _),
     "d_trace_roundtrip" -> (dTraceRoundtrip _),
     "d_trace_pipeline" -> (dTracePipeline _),
@@ -2677,6 +2745,68 @@ object Queries {
         |SELECT new_cid, count(*) AS migrated_chunks,
         |  CAST(sum(size) AS BIGINT) AS migrated_bytes
         |FROM packed GROUP BY 1""".stripMargin,
+    // chain expiry replayed stage by stage at COPY granularity: one row
+    // per (fp, containerId) with min(size), live = copies still
+    // referenced by v2/v3, dead = anti-join at (fp, cid) — NOT fp —
+    // survivors of affected containers re-packed cumulatively in
+    // (cid, fp) order (the q_cum_packing pattern)
+    "g_chain_expire" ->
+      s"""WITH r AS ($chainedRecipeSql),
+        |copies AS (SELECT fp, containerId, min(size) AS size
+        |           FROM r GROUP BY 1, 2),
+        |live AS (SELECT DISTINCT fp, containerId FROM r WHERE version <> 'v1'),
+        |dead AS (SELECT c.fp, c.containerId FROM copies c
+        |         WHERE NOT EXISTS (SELECT 1 FROM live l
+        |           WHERE l.fp = c.fp AND l.containerId = c.containerId)),
+        |affected AS (SELECT DISTINCT containerId FROM dead),
+        |surv AS (SELECT c.fp, c.containerId, c.size FROM copies c
+        |         JOIN affected a USING (containerId)
+        |         JOIN live l ON l.fp = c.fp AND l.containerId = c.containerId),
+        |base AS (SELECT max(containerId) + 1 AS b FROM r),
+        |packed AS (
+        |  SELECT fp, size,
+        |    CAST(b + floor(greatest(cum - 1, 0) / 4096.0) AS BIGINT) AS new_cid
+        |  FROM (SELECT fp, size,
+        |          sum(size) OVER (ORDER BY containerId, fp
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |        FROM surv), base)
+        |SELECT new_cid, count(*) AS migrated_chunks,
+        |  CAST(sum(size) AS BIGINT) AS migrated_bytes
+        |FROM packed GROUP BY 1""".stripMargin,
+    // same replay carried one stage further: survivors' (fp, oldCid) ->
+    // newCid applied to the surviving recipes via left join + coalesce,
+    // then the per-version footprint
+    "g_chain_recipes" ->
+      s"""WITH r AS ($chainedRecipeSql),
+        |copies AS (SELECT fp, containerId, min(size) AS size
+        |           FROM r GROUP BY 1, 2),
+        |live AS (SELECT DISTINCT fp, containerId FROM r WHERE version <> 'v1'),
+        |dead AS (SELECT c.fp, c.containerId FROM copies c
+        |         WHERE NOT EXISTS (SELECT 1 FROM live l
+        |           WHERE l.fp = c.fp AND l.containerId = c.containerId)),
+        |affected AS (SELECT DISTINCT containerId FROM dead),
+        |surv AS (SELECT c.fp, c.containerId, c.size FROM copies c
+        |         JOIN affected a USING (containerId)
+        |         JOIN live l ON l.fp = c.fp AND l.containerId = c.containerId),
+        |base AS (SELECT max(containerId) + 1 AS b FROM r),
+        |mig AS (
+        |  SELECT fp, containerId,
+        |    CAST(b + floor(greatest(cum - 1, 0) / 4096.0) AS BIGINT) AS new_cid
+        |  FROM (SELECT fp, containerId, size,
+        |          sum(size) OVER (ORDER BY containerId, fp
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |        FROM surv), base),
+        |rew AS (
+        |  SELECT r.version, r.fp,
+        |    coalesce(m.new_cid, r.containerId) AS containerId, r.size
+        |  FROM r LEFT JOIN mig m
+        |    ON m.fp = r.fp AND m.containerId = r.containerId
+        |  WHERE r.version <> 'v1')
+        |SELECT version, count(*) AS recipe_rows,
+        |  count(DISTINCT containerId) AS containers,
+        |  CAST(sum(containerId) AS BIGINT) AS cid_sum,
+        |  CAST(sum(size) AS BIGINT) AS bytes
+        |FROM rew GROUP BY 1""".stripMargin,
     // the whole trace-replay pipeline (simulation-level all) stage by
     // stage for THREE backups: per-job dedup against the cumulative
     // index, packing cumsum (payload 512), HAR monitor + trim (the

@@ -105,6 +105,86 @@ object GC {
     Compaction(migration, rewritten)
   }
 
+  /** The executed chain expiry: survivor migration work list, the
+    * surviving backups' recipes rewritten to post-compaction container
+    * ids, and the fp → latest-copy index the NEXT chained backup
+    * inherits.
+    */
+  final case class ChainExpiry(migration: DataFrame, recipes: DataFrame,
+      index: DataFrame)
+
+  /** EXECUTABLE retention for a CHAINED store (reference: the delete
+    * pipeline run against a shared container pool, src/do_delete.c:
+    * 130-265 + src/cma.c:83-139): expire one backup of a chain and
+    * compact.
+    *
+    * Unlike [[compactExec]] (single-recipe stores, one canonical copy
+    * per fp), a chained store holds MULTI-COPY fingerprints — every
+    * rewrite pass stores an extra copy of a duplicate in a fresh
+    * container (that is the whole point of rewriting), so recipes across
+    * the chain legitimately reference the same fp at different container
+    * ids. Liveness is therefore PER PHYSICAL COPY (fp, containerId):
+    *
+    *  1. the store's copies are one row per (fp, containerId) across all
+    *     recipes (every written copy appears in its writing backup's
+    *     recipe at its packed container); min(size) canonicalizes should
+    *     an input ever carry inconsistent sizes for one copy, so the
+    *     migration join can never multiply recipe rows;
+    *  2. a copy is dead iff NO surviving backup's recipe references
+    *     exactly that (fp, containerId) — another live copy of the same
+    *     fp elsewhere does NOT keep it alive (src/do_delete.c's
+    *     container-granular reference counting, not fp-granular);
+    *  3. containers holding ≥1 dead copy compact: their LIVE copies
+    *     migrate into fresh densely-packed containers past the chain's
+    *     high-water id — cumulative-size packing in deterministic
+    *     (oldCid, fp) order via the two-phase distributed prefix sum;
+    *  4. surviving recipes rewrite (fp, oldCid) → newCid; expired rows
+    *     drop out;
+    *  5. the inherited index is fp → max surviving containerId (the
+    *     latest-wins rule [[DedupPipeline]] backups maintain — migrated
+    *     copies carry the freshest ids by construction).
+    *
+    * Input contract: version:string (the backup label), fp, containerId,
+    * size. Re-running on the rewritten output with the same expired
+    * version is a no-op (its rows are gone, so the dead set is empty).
+    */
+  def expireChain(recipes: DataFrame, expiredVersion: String,
+      payload: Long = Rewrite.ContainerPayload): ChainExpiry = {
+    val copies = recipes.groupBy(col("fp"), col("containerId"))
+      .agg(min(col("size")).as("size")).persist()
+    val live = recipes.filter(col("version") =!= expiredVersion)
+      .select(col("fp"), col("containerId")).distinct().persist()
+    val dead = copies.join(live, Seq("fp", "containerId"), "left_anti")
+    val affected = dead.select(col("containerId")).distinct()
+    val survivors = copies
+      .join(affected, Seq("containerId"), "left_semi")
+      .join(live, Seq("fp", "containerId"), "left_semi")
+    val base = recipes.agg(max(col("containerId"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0) + 1L
+    }
+    val migration = DedupPipeline.streamPrefix(
+        survivors.select(col("fp"), col("containerId").as("cid"),
+          col("size").cast("long").as("sz"), lit("all").as("s")),
+        "s", Seq("cid", "fp"), "sz", "pre")
+      .withColumn("new_cid",
+        (lit(base) +
+          floor(greatest(col("pre") + col("sz") - 1, lit(0L)) / payload))
+          .cast("long"))
+      .select(col("fp"), col("cid").as("old_cid"),
+        col("sz").as("size"), col("new_cid"))
+      .localCheckpoint(true)
+    copies.unpersist(); live.unpersist()
+    val rewritten = recipes.filter(col("version") =!= expiredVersion)
+      .join(migration.select(col("fp"), col("old_cid").as("containerId"),
+          col("new_cid")), Seq("fp", "containerId"), "left")
+      .withColumn("containerId", coalesce(col("new_cid"), col("containerId")))
+      .drop("new_cid")
+    val index = rewritten.groupBy(col("fp"))
+      .agg(max(col("containerId")).as("idxCid"))
+    ChainExpiry(migration, rewritten, index)
+  }
+
   /** J8 CMA manifest merge: container → last-referencing version,
     * full-outer-merged with this run's usage
     * (reference: src/cma.c:17-75).

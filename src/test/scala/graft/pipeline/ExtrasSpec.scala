@@ -144,6 +144,39 @@ class ExtrasSpec extends AnyFunSuite {
     assert(over === 0L)
   }
 
+  test("GC: expireChain uses copy-level liveness, rewrites the chain, hands off the index") {
+    // A chained store with a MULTI-COPY fp: v2's rewrite pass re-homed
+    // fpB from container 1 to container 5, so v2/v3 reference fpB@5 and
+    // the superseded base copy fpB@1 must die with v1 even though the fp
+    // itself is alive elsewhere. fpC is v1-only (plain dead); fpA/fpD are
+    // live survivors caught in the affected containers 1 and 2.
+    val chain = Seq(
+      ("v1", "fpA", 1L, 10), ("v1", "fpB", 1L, 20), ("v1", "fpC", 2L, 30),
+      ("v2", "fpA", 1L, 10), ("v2", "fpB", 5L, 20), ("v2", "fpD", 2L, 40),
+      ("v3", "fpA", 1L, 10), ("v3", "fpB", 5L, 20), ("v3", "fpD", 2L, 40))
+      .toDF("version", "fp", "containerId", "size")
+    val c = GC.expireChain(chain, "v1", payload = 1024)
+    val mig = c.migration.as[(String, Long, Long, Long)].collect().toSet
+    // survivors of containers 1 and 2 re-pack into fresh container 6;
+    // the dead copies (fpB,1) and (fpC,2) do NOT migrate
+    assert(mig === Set(("fpA", 1L, 10L, 6L), ("fpD", 2L, 40L, 6L)))
+    val rw = c.recipes.select($"version", $"fp", $"containerId")
+      .as[(String, String, Long)].collect().toSet
+    assert(rw === Set(
+      ("v2", "fpA", 6L), ("v2", "fpB", 5L), ("v2", "fpD", 6L),
+      ("v3", "fpA", 6L), ("v3", "fpB", 5L), ("v3", "fpD", 6L)))
+    // compacted containers never reappear in the surviving chain
+    assert(!rw.exists(r => r._3 == 1L || r._3 == 2L))
+    // inherited index is fp -> latest surviving copy
+    val idx = c.index.as[(String, Long)].collect().toMap
+    assert(idx === Map("fpA" -> 6L, "fpB" -> 5L, "fpD" -> 6L))
+    // idempotence: expiring the same version again is a no-op
+    val again = GC.expireChain(c.recipes, "v1", payload = 1024)
+    assert(again.migration.count() === 0L)
+    assert(again.recipes.select($"version", $"fp", $"containerId")
+      .as[(String, String, Long)].collect().toSet === rw)
+  }
+
   test("GC: manifest merge keeps the newest reference; truncation reclaims") {
     val manifest = Seq((1L, "v1"), (2L, "v2")).toDF("containerId", "lastRef")
     val usage = Seq((2L, "v3"), (3L, "v3")).toDF("containerId", "lastRef")
