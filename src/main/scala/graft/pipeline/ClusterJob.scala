@@ -364,6 +364,100 @@ object ClusterJob {
     stats
   }
 
+  final case class ExpireStats(
+      expiredVersion: String, rowsBefore: Long, rowsAfter: Long,
+      migratedChunks: Long, migratedBytes: Long,
+      containersBefore: Long, containersAfter: Long, indexFps: Long)
+
+  /** Retention over a COMPLETED backup chain — the `destor -d<jobid>`
+    * analog for [[backup]] roots (reference: the delete pipeline run
+    * between backup jobs, src/do_delete.c). Reads every chain root's
+    * committed `final_recipe`, expires the backup written at
+    * `expiredRoot` via [[GC.expireChain]] (copy-level liveness — the
+    * multi-copy store rewriting produces), and writes a checkpointed
+    * compacted root:
+    *
+    *   migration — (fp, old_cid, size, new_cid) survivor moves
+    *   recipes   — every surviving backup's recipe on the post-compaction
+    *               layout (version/stream, seq, path, fp, size, dup,
+    *               write, containerId)
+    *   index     — fp → latest surviving container (the `backup()` chain
+    *               contract, so the NEXT backup chains from THIS root)
+    *
+    * plus a `backup_id` metrics row carrying the chain's surviving
+    * high-water id so the next chained backup numbers itself correctly.
+    * No `har_sparse` is written: compaction invalidates utilization
+    * monitor state (migrated containers are densely packed), so the next
+    * backup starts with an empty sparse list — the reference's monitor
+    * is likewise rebuilt from post-delete containers. Resume-by-skip
+    * like every stage job; stats are rebuilt from the committed tables.
+    */
+  def expire(spark: SparkSession, chainRoots: Seq[String],
+      expiredRoot: String, outRoot: String, runId: String,
+      payload: Long = Rewrite.ContainerPayload): ExpireStats = {
+    import spark.implicits._
+    require(chainRoots.contains(expiredRoot),
+      s"expiredRoot $expiredRoot is not part of the chain")
+    chainRoots.foreach { r =>
+      require(TableIO.committed(s"$r/final_recipe"),
+        s"chain root $r has no committed final_recipe — expire only " +
+          "completed backup() roots")
+    }
+    def stage(name: String)(f: => DataFrame): DataFrame =
+      instrumentedStage(spark, outRoot, name, runId)(f)
+    def rec(r: String): DataFrame =
+      spark.read.format(TableIO.Format).load(s"$r/final_recipe")
+        .drop("_lineage")
+    val labels = rec(expiredRoot).select(col("stream")).distinct()
+      .as[String].collect()
+    require(labels.length == 1,
+      s"expiredRoot $expiredRoot recipe has ${labels.length} stream labels")
+    val expired = labels.head
+    // the whole expiry computes lazily and at most once (pure resumes
+    // never force it); version = the backup's stream label
+    lazy val res = GC.expireChain(
+      chainRoots.map(rec).reduce(_ unionByName _)
+        .withColumn("version", col("stream")),
+      expired, payload)
+    val freshMig = !TableIO.committed(s"$outRoot/migration")
+    val migration = stage("migration")(res.migration)
+    val recipes = stage("recipes") {
+      res.recipes.drop("version")
+    }
+    val index = stage("index")(res.index)
+    val before = chainRoots.map(rec).reduce(_ unionByName _)
+      .agg(count(lit(1)), countDistinct(col("containerId")))
+      .as[(Long, Long)].head()
+    val after = recipes.drop("_lineage")
+      .agg(count(lit(1)), countDistinct(col("containerId")))
+      .as[(Long, Long)].head()
+    val mig = migration.drop("_lineage")
+      .agg(count(lit(1)), coalesce(sum(col("size")), lit(0L)))
+      .as[(Long, Long)].head()
+    val maxBid = recipes.drop("_lineage")
+      .select(regexp_extract(col("stream"), "^b(\\d+)$", 1).cast("long")
+        .as("bid"))
+      .agg(max(col("bid"))).head() match {
+      case r if r.isNullAt(0) => 1L
+      case r => r.getLong(0)
+    }
+    val stats = ExpireStats(expired, before._1, after._1, mig._1, mig._2,
+      before._2, after._2, index.count())
+    if (freshMig) {
+      TableIO.appendMetrics(spark, outRoot, runId, "backup", Seq(
+        "backup_id" -> maxBid.toDouble))
+      TableIO.appendMetrics(spark, outRoot, runId, "expire", Seq(
+          "rows_before" -> stats.rowsBefore.toDouble,
+          "rows_after" -> stats.rowsAfter.toDouble,
+          "migrated_chunks" -> stats.migratedChunks.toDouble,
+          "migrated_bytes" -> stats.migratedBytes.toDouble,
+          "containers_before" -> stats.containersBefore.toDouble,
+          "containers_after" -> stats.containersAfter.toDouble,
+          "index_fps" -> stats.indexFps.toDouble))
+    }
+    stats
+  }
+
   /** spark-submit entry:
     * ClusterJob <corpusParquet> <checkpointRoot> [runId] [destor.config]
     *   [prevRoot|-]
@@ -374,8 +468,31 @@ object ClusterJob {
     * config straight over. When a 5th argument is present the job runs
     * in incremental-backup mode ([[backup]]): `-` starts a fresh chain,
     * a path chains from that completed backup root's store state.
+    *
+    * Retention mode (`destor -d<jobid>`):
+    * ClusterJob expire <outRoot> <expiredRoot> <root1,root2,...> [runId]
+    * — expires one backup of a completed chain ([[expire]]) and writes
+    * the compacted root the next chained backup submits against.
     */
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("expire")) {
+      val Array(_, outRoot, expiredRoot, chain) = args.take(4)
+      val runId = args.lift(4).getOrElse(s"gc-${java.util.UUID.randomUUID()}")
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+      val spark = SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      val stats = expire(spark, chain.split(',').toSeq, expiredRoot,
+        outRoot, runId)
+      println(s"[clusterjob] $stats")
+      spark.stop()
+      return
+    }
     val Array(corpusPath, root) = args.take(2)
     val runId = args.lift(2).getOrElse(s"run-${java.util.UUID.randomUUID()}")
     val settings = args.lift(3).map { cfgPath =>

@@ -105,4 +105,60 @@ class BackupChainSpec extends AnyFunSuite {
       .filter($"stage" === "backup" && $"metric" === "backup_id")
       .count() === 1)
   }
+
+  test("expire the oldest backup: chain compacts and stays usable for a 4th backup") {
+    val (r1, r2, r3, e1, r4) =
+      (freshDir(), freshDir(), freshDir(), freshDir(), freshDir())
+    ClusterJob.backup(corpusOf(0), r1, "j1", settings, None, Payload)
+    ClusterJob.backup(corpusOf(1), r2, "j2", settings, Some(r1), Payload)
+    ClusterJob.backup(corpusOf(2), r3, "j3", settings, Some(r2), Payload)
+
+    val ex = ClusterJob.expire(spark, Seq(r1, r2, r3), r1, e1, "gc1", Payload)
+    assert(ex.expiredVersion === "b1")
+    // b1's rows are gone; the survivors' recipes shrink accordingly
+    assert(ex.rowsAfter < ex.rowsBefore)
+    assert(ex.rowsAfter === spark.read.parquet(s"$e1/recipes").count())
+    // something actually migrated at this overlap (b1 wrote the shared
+    // base copies; b2/b3 keep many of them alive in compacted containers)
+    assert(ex.migratedChunks > 0 && ex.migratedBytes > 0)
+    assert(ex.containersAfter < ex.containersBefore)
+    // compacted containers never reappear in the surviving chain
+    val oldCids = spark.read.parquet(s"$e1/migration")
+      .select($"old_cid").distinct().as[Long].collect().toSet
+    val refCids = spark.read.parquet(s"$e1/recipes")
+      .select($"containerId").distinct().as[Long].collect().toSet
+    assert(oldCids.intersect(refCids).isEmpty)
+    // the handed-off index is latest-wins unique and covers exactly the
+    // surviving fps
+    val idx = spark.read.parquet(s"$e1/index")
+    assert(idx.count() === ex.indexFps)
+    assert(idx.count() === idx.select($"fp").distinct().count())
+    assert(idx.join(spark.read.parquet(s"$e1/recipes")
+      .select($"fp").distinct(), Seq("fp"), "left_anti").count() === 0L)
+
+    // the chain continues FROM the compacted root: backup 4 re-ingests
+    // backup 3's corpus and should dedup nearly everything against the
+    // post-compaction index
+    val b4 = ClusterJob.backup(corpusOf(2), r4, "j4", settings, Some(e1),
+      Payload)
+    assert(b4.backup_id === 4L)
+    assert(b4.unique_chunks < b4.chunks / 10)
+    // written containers continue past the compacted store's high water
+    val idxMax = idx.agg(max($"idxCid")).as[Long].head()
+    val b4Written = spark.read.parquet(s"$r4/final_recipe")
+      .filter($"write")
+    if (b4Written.count() > 0)
+      assert(b4Written.agg(min($"containerId")).as[Long].head() === idxMax + 1)
+    // and b4 never references a compacted container
+    assert(spark.read.parquet(s"$r4/final_recipe")
+      .filter($"containerId".isin(oldCids.toSeq: _*)).count() === 0L)
+
+    // resume-by-skip: identical stats, nothing recomputed
+    val ex2 = ClusterJob.expire(spark, Seq(r1, r2, r3), r1, e1, "gc1-resume",
+      Payload)
+    assert(ex2 === ex)
+    assert(spark.read.parquet(s"$e1/recipes")
+      .select($"_lineage.runId").distinct().as[String].collect().toSeq
+      === Seq("gc1"))
+  }
 }

@@ -21,7 +21,10 @@ object ExplainPlans {
         // round-4 audit: no Window.partitionBy(stream) may appear here —
         // run detection/lag/max are two-phase distributed (streamRuns);
         // cbr's remaining window partitions by (stream, containerId)
-        "r_cfl_runs", "r_cbr_rewrite", "r_access_records")) {
+        "r_cfl_runs", "r_cbr_rewrite", "r_access_records",
+        // chained-store retention: (fp, cid)-keyed shuffles + the
+        // two-phase prefix sum only — no windows, no cartesians
+        "g_chain_expire", "g_chain_recipes")) {
       println(s"\n===== $name =====")
       println(graft.Queries.all(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
