@@ -271,15 +271,39 @@ object ClusterJob {
           case r if r.isNullAt(0) => 0L
           case r => r.getLong(0) + 1L
         }
-        val bid =
+        // backup id = max surviving "bN" stream label in the prev root's
+        // committed recipe table + 1 — the recipe is part of the
+        // resumability contract (metrics are not: the documented crash
+        // window can lose the metrics row, and a guessed id would
+        // duplicate a stream label that expire-by-label later deletes).
+        // `final_recipe` is a backup() root; `recipes` an expire() root.
+        // Fallback (a zero-row recipe, i.e. a valid empty backup): the
+        // metrics backup_id row. Neither present ⇒ fail loudly.
+        val recTbl = Seq("final_recipe", "recipes")
+          .find(t => TableIO.committed(s"$p/$t"))
+        val fromLabels = recTbl.flatMap { t =>
+          spark.read.format(TableIO.Format).load(s"$p/$t")
+            .select(regexp_extract(col("stream"), "^b(\\d+)$", 1)
+              .cast("long").as("bid"))
+            .agg(max(col("bid"))).head() match {
+            case r if r.isNullAt(0) => None
+            case r => Some(r.getLong(0) + 1L)
+          }
+        }
+        val fromMetrics =
           try spark.read.format(TableIO.Format).load(s"$p/metrics")
             .filter(col("stage") === "backup" &&
               col("metric") === "backup_id")
             .agg(max(col("value"))).head() match {
-            case r if r.isNullAt(0) => 2L // metrics lost to a crash window
-            case r => r.getDouble(0).toLong + 1L
+            case r if r.isNullAt(0) => None
+            case r => Some(r.getDouble(0).toLong + 1L)
           }
-          catch { case _: org.apache.spark.sql.AnalysisException => 2L }
+          catch { case _: org.apache.spark.sql.AnalysisException => None }
+        val bid = fromLabels.orElse(fromMetrics).getOrElse(
+          throw new IllegalStateException(
+            s"prevRoot $p has neither 'bN' stream labels in its recipe " +
+              "table nor a backup_id metrics row — cannot derive the next " +
+              "backup id"))
         (idx, sp, nc, bid)
       case None =>
         (Seq.empty[(String, Long)].toDF("fp", "idxCid"),
@@ -304,8 +328,21 @@ object ClusterJob {
       val seqd = DedupPipeline.streamPrefix(stream, "stream",
           Seq("path", "chunkIdx"), "one", "pre")
         .withColumn("seq", col("pre") + 1L).drop("one", "pre")
-      TracePipeline.oneJob(seqd, prevIndex, prevSparse, nextCid, settings,
-        payload)
+      if (seqd.isEmpty)
+        // an empty corpus snapshot is a valid no-op backup (the same
+        // guard TracePipeline.run applies per trace job — oneJob requires
+        // non-empty input): empty recipe, index carried unchanged, empty
+        // HAR monitor
+        TraceJobResult(
+          Seq.empty[(String, Long, String, String, Int, Boolean, Boolean,
+              Long)]
+            .toDF("stream", "seq", "path", "fp", "size", "dup", "write",
+              "containerId"),
+          prevIndex, Seq.empty[Long].toDF("containerId"),
+          0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+      else
+        TracePipeline.oneJob(seqd, prevIndex, prevSparse, nextCid, settings,
+          payload)
     }
     val freshFinal = !TableIO.committed(s"$root/final_recipe")
     val finalRec = stage("final_recipe")(res.finalRec)
@@ -314,8 +351,12 @@ object ClusterJob {
       if (settings.rewrite.enableHar) stage("har_sparse")(res.sparse).count()
       else 0L
     val fr = finalRec.drop("_lineage")
-    val doSim = settings.simulationLevel == "restore" ||
-      settings.simulationLevel == "all"
+    // empty committed recipe = a no-op backup (fresh OR resumed): the
+    // stats aggregates below would decode null sums, and the restore sim
+    // has nothing to replay — zero everything except the backup id
+    val frEmpty = fr.isEmpty
+    val doSim = (settings.simulationLevel == "restore" ||
+      settings.simulationLevel == "all") && !frEmpty
     val sim =
       if (doSim) {
         val s = stage("restore_sim")(settings.restoreSim(
@@ -327,18 +368,20 @@ object ClusterJob {
       } else (0L, 0.0, 0.0)
     // stats rebuilt from the committed stage tables — identical whether
     // this run computed the stages or resumed them
-    val core = fr.agg(
-      countDistinct(col("path")), count(lit(1)),
-      sum(col("size")).cast("long"),
-      sum(when(!col("dup"), 1L).otherwise(0L)),
-      sum(when(!col("dup"), col("size")).otherwise(0L)).cast("long"),
-      sum(when(col("dup") && col("write"), 1L).otherwise(0L)),
-      sum(when(col("dup") && col("write"), col("size")).otherwise(0L))
-        .cast("long"))
-      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
-    val (files, nChunks, dataSize, uniqC, uniqS, rwC, rwS) = core
+    val (files, nChunks, dataSize, uniqC, uniqS, rwC, rwS) =
+      if (frEmpty) (0L, 0L, 0L, 0L, 0L, 0L, 0L)
+      else fr.agg(
+        countDistinct(col("path")), count(lit(1)),
+        sum(col("size")).cast("long"),
+        sum(when(!col("dup"), 1L).otherwise(0L)),
+        sum(when(!col("dup"), col("size")).otherwise(0L)).cast("long"),
+        sum(when(col("dup") && col("write"), 1L).otherwise(0L)),
+        sum(when(col("dup") && col("write"), col("size")).otherwise(0L))
+          .cast("long"))
+        .as[(Long, Long, Long, Long, Long, Long, Long)].head()
     val containersWritten =
-      fr.filter(col("write")).agg(max(col("containerId"))).head() match {
+      if (frEmpty) 0L
+      else fr.filter(col("write")).agg(max(col("containerId"))).head() match {
         case r if r.isNullAt(0) => 0L
         case r => r.getLong(0) - nextCid + 1L
       }
@@ -372,10 +415,12 @@ object ClusterJob {
   /** Retention over a COMPLETED backup chain — the `destor -d<jobid>`
     * analog for [[backup]] roots (reference: the delete pipeline run
     * between backup jobs, src/do_delete.c). Reads every chain root's
-    * committed `final_recipe`, expires the backup written at
-    * `expiredRoot` via [[GC.expireChain]] (copy-level liveness — the
-    * multi-copy store rewriting produces), and writes a checkpointed
-    * compacted root:
+    * committed recipe table (`final_recipe` for backup roots, `recipes`
+    * for previous expire roots — retention composes along the chain),
+    * expires the backup selected by `expiredBackup` (a stream label such
+    * as "b2", or an uncompacted root path) via [[GC.expireChain]]
+    * (copy-level liveness — the multi-copy store rewriting produces),
+    * and writes a checkpointed compacted root:
     *
     *   migration — (fp, old_cid, size, new_cid) survivor moves
     *   recipes   — every surviving backup's recipe on the post-compaction
@@ -393,26 +438,42 @@ object ClusterJob {
     * like every stage job; stats are rebuilt from the committed tables.
     */
   def expire(spark: SparkSession, chainRoots: Seq[String],
-      expiredRoot: String, outRoot: String, runId: String,
+      expiredBackup: String, outRoot: String, runId: String,
       payload: Long = Rewrite.ContainerPayload): ExpireStats = {
     import spark.implicits._
-    require(chainRoots.contains(expiredRoot),
-      s"expiredRoot $expiredRoot is not part of the chain")
+    // a chain root is a backup() root (final_recipe) OR a previous
+    // expire() root (recipes, multi-label) — retention composes: the
+    // compacted root chains into the next backup AND into the next expiry
+    def recTable(r: String): Option[String] =
+      Seq("final_recipe", "recipes").find(t => TableIO.committed(s"$r/$t"))
     chainRoots.foreach { r =>
-      require(TableIO.committed(s"$r/final_recipe"),
-        s"chain root $r has no committed final_recipe — expire only " +
-          "completed backup() roots")
+      require(recTable(r).isDefined,
+        s"chain root $r has no committed final_recipe/recipes stage — " +
+          "expire only completed backup()/expire() roots")
     }
     def stage(name: String)(f: => DataFrame): DataFrame =
       instrumentedStage(spark, outRoot, name, runId)(f)
     def rec(r: String): DataFrame =
-      spark.read.format(TableIO.Format).load(s"$r/final_recipe")
+      spark.read.format(TableIO.Format).load(s"$r/${recTable(r).get}")
         .drop("_lineage")
-    val labels = rec(expiredRoot).select(col("stream")).distinct()
-      .as[String].collect()
-    require(labels.length == 1,
-      s"expiredRoot $expiredRoot recipe has ${labels.length} stream labels")
-    val expired = labels.head
+    // `expiredBackup` selects ONE backup: either a stream label ("b2") —
+    // required when the chain has been compacted before, since a
+    // compacted root carries several labels — or, convenience for
+    // uncompacted chains, a chain-root path whose recipe has exactly one
+    // label
+    val expired =
+      if (chainRoots.contains(expiredBackup)) {
+        val labels = rec(expiredBackup).select(col("stream")).distinct()
+          .as[String].collect()
+        require(labels.length == 1,
+          s"expiredBackup root $expiredBackup carries ${labels.length} " +
+            "stream labels — pass the label of the one backup to expire")
+        labels.head
+      } else expiredBackup
+    require(
+      chainRoots.exists(r => !rec(r).filter(col("stream") === expired)
+        .isEmpty),
+      s"no chain root carries stream label '$expired'")
     // the whole expiry computes lazily and at most once (pure resumes
     // never force it); version = the backup's stream label
     lazy val res = GC.expireChain(
@@ -470,13 +531,15 @@ object ClusterJob {
     * a path chains from that completed backup root's store state.
     *
     * Retention mode (`destor -d<jobid>`):
-    * ClusterJob expire <outRoot> <expiredRoot> <root1,root2,...> [runId]
-    * — expires one backup of a completed chain ([[expire]]) and writes
-    * the compacted root the next chained backup submits against.
+    * ClusterJob expire <outRoot> <labelOrRoot> <root1,root2,...> [runId]
+    * — expires one backup of a completed chain ([[expire]]; select by
+    * stream label, e.g. b2, or by an uncompacted root path) and writes
+    * the compacted root the next chained backup OR the next expiry
+    * submits against.
     */
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("expire")) {
-      val Array(_, outRoot, expiredRoot, chain) = args.take(4)
+      val Array(_, outRoot, expiredBackup, chain) = args.take(4)
       val runId = args.lift(4).getOrElse(s"gc-${java.util.UUID.randomUUID()}")
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
       val spark = SparkSession.builder()
@@ -487,7 +550,7 @@ object ClusterJob {
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
-      val stats = expire(spark, chain.split(',').toSeq, expiredRoot,
+      val stats = expire(spark, chain.split(',').toSeq, expiredBackup,
         outRoot, runId)
       println(s"[clusterjob] $stats")
       spark.stop()

@@ -161,4 +161,85 @@ class BackupChainSpec extends AnyFunSuite {
       .select($"_lineage.runId").distinct().as[String].collect().toSeq
       === Seq("gc1"))
   }
+
+  test("retention composes: a second expiry by label over a chain containing the compacted root") {
+    val (r1, r2, r3, e1, r4, e2, r5) = (freshDir(), freshDir(), freshDir(),
+      freshDir(), freshDir(), freshDir(), freshDir())
+    ClusterJob.backup(corpusOf(0), r1, "j1", settings, None, Payload)
+    ClusterJob.backup(corpusOf(1), r2, "j2", settings, Some(r1), Payload)
+    ClusterJob.backup(corpusOf(2), r3, "j3", settings, Some(r2), Payload)
+    ClusterJob.expire(spark, Seq(r1, r2, r3), r1, e1, "gc1", Payload)
+    val b4 = ClusterJob.backup(corpusOf(0), r4, "j4", settings, Some(e1),
+      Payload)
+    assert(b4.backup_id === 4L)
+
+    // a compacted root carries several labels — selecting by root must
+    // refuse loudly instead of expiring the wrong backup
+    intercept[IllegalArgumentException] {
+      ClusterJob.expire(spark, Seq(e1, r4), e1, freshDir(), "gc-bad", Payload)
+    }
+    // and an unknown label refuses too
+    intercept[IllegalArgumentException] {
+      ClusterJob.expire(spark, Seq(e1, r4), "b9", freshDir(), "gc-bad2",
+        Payload)
+    }
+
+    // the second retention pass selects by stream label over the
+    // compacted root + the chained 4th backup
+    val ex2 = ClusterJob.expire(spark, Seq(e1, r4), "b2", e2, "gc2", Payload)
+    assert(ex2.expiredVersion === "b2")
+    assert(ex2.rowsAfter < ex2.rowsBefore)
+    val labels = spark.read.parquet(s"$e2/recipes")
+      .select($"stream").distinct().as[String].collect().toSet
+    assert(labels === Set("b3", "b4"))
+    // containers compacted in THIS pass never reappear in the survivors
+    val oldCids2 = spark.read.parquet(s"$e2/migration")
+      .select($"old_cid").distinct().as[Long].collect().toSet
+    val refCids2 = spark.read.parquet(s"$e2/recipes")
+      .select($"containerId").distinct().as[Long].collect().toSet
+    assert(oldCids2.intersect(refCids2).isEmpty)
+
+    // the twice-compacted root still chains: backup 5 numbers itself from
+    // the surviving labels (b3, b4 → b5) and dedups against its index
+    val b5 = ClusterJob.backup(corpusOf(2), r5, "j5", settings, Some(e2),
+      Payload)
+    assert(b5.backup_id === 5L)
+    assert(b5.unique_chunks < b5.chunks / 10) // b3's corpus is all alive
+  }
+
+  private def deleteRec(p: java.io.File): Unit = {
+    if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(deleteRec))
+    p.delete()
+  }
+
+  test("chain id derivation survives a lost metrics table; an empty snapshot is a valid no-op backup") {
+    val (r1, r2, r3, r4) = (freshDir(), freshDir(), freshDir(), freshDir())
+    ClusterJob.backup(corpusOf(0), r1, "j1", settings, None, Payload)
+    // simulate the documented crash window: the metrics table is gone but
+    // the recipe stage is committed — the next id comes from the labels
+    deleteRec(new java.io.File(s"$r1/metrics"))
+    val b2 = ClusterJob.backup(corpusOf(1), r2, "j2", settings, Some(r1),
+      Payload)
+    assert(b2.backup_id === 2L)
+
+    // an empty snapshot: zero stats, store state carried unchanged
+    val empty = spark.createDataset(Seq.empty[graft.corpus.CorpusFile])(
+      org.apache.spark.sql.Encoders.product[graft.corpus.CorpusFile])
+    val b3 = ClusterJob.backup(empty, r3, "j3", settings, Some(r2), Payload)
+    assert(b3.backup_id === 3L)
+    assert(b3.files === 0L && b3.chunks === 0L && b3.unique_chunks === 0L)
+    assert(b3.containers_written === 0L && b3.stored_size === 0L)
+    assert(spark.read.parquet(s"$r3/index").count()
+      === spark.read.parquet(s"$r2/index").count())
+    // resuming the empty backup returns identical zero stats
+    assert(ClusterJob.backup(empty, r3, "j3-resume", settings, Some(r2),
+      Payload) === b3)
+
+    // chaining past the empty backup: its recipe has no labels, so the
+    // id falls back to the committed metrics row
+    val b4 = ClusterJob.backup(corpusOf(1), r4, "j4", settings, Some(r3),
+      Payload)
+    assert(b4.backup_id === 4L)
+    assert(b4.unique_chunks < b4.chunks / 10) // b2's corpus, carried index
+  }
 }
