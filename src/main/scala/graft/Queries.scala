@@ -1390,6 +1390,27 @@ object Queries {
       |  CAST((l_partkey * 13 + l_suppkey) % 97 + 1 AS INTEGER) AS size
       |FROM lineitem""".stripMargin
 
+  /** Shared oracle prefix for the chain-expiry replays (expire v1 of the
+    * chained fixture): copy-level liveness, dead-copy set, survivor
+    * selection and the packing base — `g_chain_expire` and
+    * `g_chain_recipes` both build on exactly these CTEs, so a liveness
+    * or packing tweak can never be applied to one replay and not the
+    * other.
+    */
+  private val chainExpiryCtesSql =
+    s"""WITH r AS ($chainedRecipeSql),
+      |copies AS (SELECT fp, containerId, min(size) AS size
+      |           FROM r GROUP BY 1, 2),
+      |live AS (SELECT DISTINCT fp, containerId FROM r WHERE version <> 'v1'),
+      |dead AS (SELECT c.fp, c.containerId FROM copies c
+      |         WHERE NOT EXISTS (SELECT 1 FROM live l
+      |           WHERE l.fp = c.fp AND l.containerId = c.containerId)),
+      |affected AS (SELECT DISTINCT containerId FROM dead),
+      |surv AS (SELECT c.fp, c.containerId, c.size FROM copies c
+      |         JOIN affected a USING (containerId)
+      |         JOIN live l ON l.fp = c.fp AND l.containerId = c.containerId),
+      |base AS (SELECT max(containerId) + 1 AS b FROM r)""".stripMargin
+
   /** EXECUTED chain retention ([[GC.expireChain]]): expire backup v1 of
     * the three-backup chained fixture and compact the shared store.
     * Liveness is per physical COPY (fp, containerId) — v2/v3's rewritten
@@ -1879,19 +1900,31 @@ object Queries {
     * 100 TB embedding store (d float32 dims → m byte codes, 32× at
     * d=64/m=8): codebooks trained driver-side on a bounded deterministic
     * sample, map-only encode, batched ADC code scan with per-partition
-    * bounded heaps, exact-cosine rerank of the shortlist. Rows-only — and
-    * necessarily so: the codebooks come from DRIVER-LOCAL float k-means
-    * over the sample (pqTrain), whose accumulation order no SQL engine
-    * reproduces (unlike e_ivf_kmeans, whose distributed Lloyd rounds were
-    * made engine-exact with integer micro-unit accumulators in round 4 —
-    * the same trick does not transfer because PQ's in-memory training
-    * loop is not an aggregation); recall@5 vs exact is gated in
-    * SimilaritySpec instead.
+    * bounded heaps, exact-cosine rerank of the shortlist. Rows-only: the
+    * codebooks come from DRIVER-LOCAL float k-means over the sample
+    * (pqTrain), whose accumulation order no SQL engine reproduces;
+    * recall@5 vs exact is gated in SimilaritySpec. The HASH-GREEN twin is
+    * [[ePqAdc]], which runs the identical train → encode → ADC → rerank
+    * shape in integer micro-units end to end.
     */
   def ePqTopK(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.pqTopK(
       t(spark, dir, "embeddings"), queryMaxId = 20, m = 8, k = 16, topK = 5,
       refine = 16)
+
+  /** ENGINE-EXACT PQ twin ([[graft.operators.Similarity.pqAdcTopK]]):
+    * the train → encode → ADC-rank path entirely in integer micro-units
+    * — quantized vectors, integer Lloyd codebooks (HALF_UP centroid
+    * updates), integer asymmetric-distance tables — so DuckDB replays
+    * every Lloyd round, the encode and the ADC top-k value-identically
+    * ([[pqAdcSql]] unrolls the rounds like the e_ivf_kmeans oracle).
+    * This is the oracle coverage e_pq_topk itself cannot have (its
+    * production float path keeps the exact-cosine rerank + recall gate).
+    */
+  def ePqAdc(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.pqAdcTopK(
+      t(spark, dir, "embeddings"), queryMaxId = 20, m = 8, k = 64,
+      trainN = 500, iters = 3, topK = 5, refine = 8)
 
   /** Scalable embedding near-dup dedup: banded sign-LSH candidates +
     * exact-cosine rerank with hub-star hot-bucket linearization — the
@@ -2040,6 +2073,7 @@ object Queries {
     "e_ivf_probe" -> (eIvfProbe _),
     "e_ivf_kmeans" -> (eIvfKmeans _),
     "e_pq_topk" -> (ePqTopK _),
+    "e_pq_adc" -> (ePqAdc _),
     "e_cosine_dedup" -> (eCosineDedup _),
     "e_norm_stats" -> (eNormStats _),
     "e_quantize_stats" -> (eQuantizeStats _),
@@ -2153,6 +2187,98 @@ object Queries {
       |  SELECT query_id, neighbor_id, cos,
       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
       |  FROM cand) WHERE rk <= 5""".stripMargin
+  }
+
+  /** Integer-PQ replay — oracle for e_pq_adc: micro-unit vectors, the
+    * per-subspace integer Lloyd rounds unrolled (assign by integer L2
+    * with lowest-centroid tiebreak → HALF_UP integer centroid update,
+    * empty cells keep their centroid), integer encode, integer ADC
+    * tables and the (ip DESC, id ASC) top-k. Every value BIGINT — no
+    * float appears anywhere, so the replay is engine-exact by
+    * construction.
+    */
+  private val pqAdcSql: String = {
+    val (m, k, trainN, iters, nQueries, topK, refine) = (8, 64, 500, 3, 20, 5, 8)
+    val keep = refine * topK
+    val dsub = 64 / m
+    val roundCtes = (1 to iters).map { i =>
+      s"""d$i AS (
+        |  SELECT s.vec_id, c.sub, c.c,
+        |    sum((s.v - c.val) * (s.v - c.val)) AS dist
+        |  FROM ss s JOIN cents${i - 1} c ON c.sub = s.sub AND c.sdim = s.sdim
+        |  GROUP BY 1, 2, 3),
+        |a$i AS (
+        |  SELECT vec_id, sub, c FROM (
+        |    SELECT vec_id, sub, c,
+        |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, c) AS rk
+        |    FROM d$i) WHERE rk = 1),
+        |n$i AS (
+        |  SELECT a.sub, a.c, s.sdim,
+        |    CAST(round(CAST(sum(s.v) AS DOUBLE) / count(*)) AS BIGINT) AS val
+        |  FROM a$i a JOIN ss s ON s.vec_id = a.vec_id AND s.sub = a.sub
+        |  GROUP BY 1, 2, 3),
+        |cents$i AS (
+        |  SELECT p.sub, p.c, p.sdim, coalesce(n.val, p.val) AS val
+        |  FROM cents${i - 1} p
+        |  LEFT JOIN n$i n ON n.sub = p.sub AND n.c = p.c AND n.sdim = p.sdim)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH raw AS (SELECT vec_id, embedding FROM embeddings),
+      |av AS MATERIALIZED (
+      |  SELECT vec_id, CAST((ord - 1) // $dsub AS INTEGER) AS sub,
+      |    CAST((ord - 1) % $dsub AS INTEGER) AS sdim,
+      |    CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT) AS v
+      |  FROM (SELECT vec_id, unnest(embedding) AS x,
+      |          unnest(generate_series(1, len(embedding))) AS ord FROM raw)),
+      |ss AS MATERIALIZED (
+      |  SELECT * FROM av WHERE vec_id IN
+      |    (SELECT vec_id FROM raw ORDER BY vec_id LIMIT $trainN)),
+      |cents0 AS (
+      |  SELECT s.sub, r.rk - 1 AS c, s.sdim, s.v AS val
+      |  FROM ss s JOIN (
+      |    SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rk
+      |    FROM (SELECT vec_id FROM raw ORDER BY vec_id LIMIT $k)) r
+      |  USING (vec_id)),
+      |$roundCtes,
+      |encd AS (
+      |  SELECT a.vec_id, c.sub, c.c,
+      |    sum((a.v - c.val) * (a.v - c.val)) AS dist
+      |  FROM av a JOIN cents$iters c ON c.sub = a.sub AND c.sdim = a.sdim
+      |  GROUP BY 1, 2, 3),
+      |enc AS (
+      |  SELECT vec_id, sub, c FROM (
+      |    SELECT vec_id, sub, c,
+      |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, c) AS rk
+      |    FROM encd) WHERE rk = 1),
+      |tab AS (
+      |  SELECT q.vec_id AS query_id, c.sub, c.c,
+      |    CAST(sum(q.v * c.val) AS BIGINT) AS ip
+      |  FROM av q JOIN cents$iters c ON c.sub = q.sub AND c.sdim = q.sdim
+      |  WHERE q.vec_id < $nQueries GROUP BY 1, 2, 3),
+      |score AS (
+      |  SELECT t.query_id, e.vec_id AS neighbor_id,
+      |    CAST(sum(t.ip) AS BIGINT) AS approx_ip
+      |  FROM enc e JOIN tab t ON t.sub = e.sub AND t.c = e.c
+      |  WHERE e.vec_id <> t.query_id GROUP BY 1, 2),
+      |short AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY approx_ip DESC, neighbor_id) AS ark
+      |    FROM score) WHERE ark <= $keep),
+      |rer AS (
+      |  SELECT s.query_id, s.neighbor_id,
+      |    CAST(sum(q.v * n.v) AS BIGINT) AS exact_ip
+      |  FROM short s
+      |  JOIN av q ON q.vec_id = s.query_id
+      |  JOIN av n ON n.vec_id = s.neighbor_id
+      |    AND n.sub = q.sub AND n.sdim = q.sdim
+      |  GROUP BY 1, 2)
+      |SELECT query_id, neighbor_id, rk, exact_ip FROM (
+      |  SELECT query_id, neighbor_id, exact_ip,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY exact_ip DESC, neighbor_id) AS BIGINT) AS rk
+      |  FROM rer) WHERE rk <= $topK""".stripMargin
   }
 
   /** Brute-force cosine top-k in DuckDB — oracle for e_ann_topk AND for
@@ -2751,18 +2877,7 @@ object Queries {
     // survivors of affected containers re-packed cumulatively in
     // (cid, fp) order (the q_cum_packing pattern)
     "g_chain_expire" ->
-      s"""WITH r AS ($chainedRecipeSql),
-        |copies AS (SELECT fp, containerId, min(size) AS size
-        |           FROM r GROUP BY 1, 2),
-        |live AS (SELECT DISTINCT fp, containerId FROM r WHERE version <> 'v1'),
-        |dead AS (SELECT c.fp, c.containerId FROM copies c
-        |         WHERE NOT EXISTS (SELECT 1 FROM live l
-        |           WHERE l.fp = c.fp AND l.containerId = c.containerId)),
-        |affected AS (SELECT DISTINCT containerId FROM dead),
-        |surv AS (SELECT c.fp, c.containerId, c.size FROM copies c
-        |         JOIN affected a USING (containerId)
-        |         JOIN live l ON l.fp = c.fp AND l.containerId = c.containerId),
-        |base AS (SELECT max(containerId) + 1 AS b FROM r),
+      s"""$chainExpiryCtesSql,
         |packed AS (
         |  SELECT fp, size,
         |    CAST(b + floor(greatest(cum - 1, 0) / 4096.0) AS BIGINT) AS new_cid
@@ -2777,18 +2892,7 @@ object Queries {
     // newCid applied to the surviving recipes via left join + coalesce,
     // then the per-version footprint
     "g_chain_recipes" ->
-      s"""WITH r AS ($chainedRecipeSql),
-        |copies AS (SELECT fp, containerId, min(size) AS size
-        |           FROM r GROUP BY 1, 2),
-        |live AS (SELECT DISTINCT fp, containerId FROM r WHERE version <> 'v1'),
-        |dead AS (SELECT c.fp, c.containerId FROM copies c
-        |         WHERE NOT EXISTS (SELECT 1 FROM live l
-        |           WHERE l.fp = c.fp AND l.containerId = c.containerId)),
-        |affected AS (SELECT DISTINCT containerId FROM dead),
-        |surv AS (SELECT c.fp, c.containerId, c.size FROM copies c
-        |         JOIN affected a USING (containerId)
-        |         JOIN live l ON l.fp = c.fp AND l.containerId = c.containerId),
-        |base AS (SELECT max(containerId) + 1 AS b FROM r),
+      s"""$chainExpiryCtesSql,
         |mig AS (
         |  SELECT fp, containerId,
         |    CAST(b + floor(greatest(cum - 1, 0) / 4096.0) AS BIGINT) AS new_cid
@@ -3413,6 +3517,7 @@ object Queries {
     // Lloyd-refined IVF fully replayed: integer micro-unit accumulators
     // make all 5 k-means rounds engine-exact
     "e_ivf_kmeans" -> ivfKmeansSql,
+    "e_pq_adc" -> pqAdcSql,
     "r_cbr_rewrite" ->
       s"""WITH r AS ($recipeSql),
         |w AS (SELECT *,

@@ -254,6 +254,197 @@ object Similarity {
       .toDF("vec_id", "codes")
   }
 
+  /** HALF_UP micro-unit quantization — BigDecimal on the shortest decimal
+    * repr of the double so Spark-side values equal `CAST(round(CAST(x AS
+    * DOUBLE) * 1e6) AS BIGINT)` in DuckDB (the e_lsh_buckets parity
+    * pattern).
+    */
+  private def microOf(x: Float): Long =
+    java.math.BigDecimal.valueOf(x.toDouble * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+
+  /** ENGINE-EXACT product quantization: the whole train → encode → ADC
+    * top-k path in integer micro-units, so a SQL engine replays it
+    * value-identically (the twin that makes the PQ machinery
+    * hash-oracle-able, like e_ivf_kmeans did for IVF's Lloyd rounds):
+    *
+    *  - vectors quantize to round(x·1e6) int64 per dim ([[microOf]]);
+    *  - per-subspace Lloyd runs on the `trainN` lowest vec_ids with
+    *    integer L2 distances (ties → lowest centroid index) and
+    *    HALF_UP-rounded integer centroid updates — no float accumulation
+    *    anywhere, so the driver loop and an unrolled SQL replay agree
+    *    bit for bit;
+    *  - map-only integer encode; integer ADC tables (q·centroid int64
+    *    inner products — |v| ≤ ~2e6 micro-units keeps every sum far from
+    *    int64 range); per-partition bounded top-(refine·topK) heaps
+    *    ordered (ip desc, id asc) so tie survivors match SQL's
+    *    deterministic row_number order;
+    *  - the shortlist reranks by the EXACT integer inner product of the
+    *    micro vectors (the rerank step [[pqTopK]] does in float cosine,
+    *    here SQL-replayable like everything else) — recall@5 ≈ 0.9 vs
+    *    exact at the default config, gated in SimilaritySpec.
+    *
+    * Output (query_id, neighbor_id, rk, exact_ip).
+    */
+  def pqAdcTopK(embeddings: DataFrame, queryMaxId: Long, m: Int = 8,
+      k: Int = 64, trainN: Int = 500, iters: Int = 3,
+      topK: Int = 5, refine: Int = 8): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val micro = embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, e) => (id, e.map(microOf)) }
+      .toDF("vec_id", "v")
+    val sample = micro.orderBy(col("vec_id")).limit(trainN)
+      .as[(Long, Array[Long])].collect().map(_._2)
+    require(sample.nonEmpty, "pqAdcTopK: empty corpus")
+    val d = sample.head.length
+    require(d % m == 0, s"pqAdcTopK: $d dims not divisible into $m subspaces")
+    val dsub = d / m
+    // integer Lloyd per subspace: books(j)(c) is an int64 micro-unit
+    // centroid; every arithmetic step exact
+    val books: Array[Array[Array[Long]]] = Array.tabulate(m) { j =>
+      val off = j * dsub
+      var cents = Array.tabulate(math.min(k, sample.length)) { c =>
+        java.util.Arrays.copyOfRange(sample(c), off, off + dsub)
+      }
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(cents.length, dsub)(0L)
+        val counts = new Array[Long](cents.length)
+        sample.foreach { v =>
+          var best = 0; var bd = Long.MaxValue; var c = 0
+          while (c < cents.length) {
+            var s = 0L; var i = 0
+            while (i < dsub) {
+              val df = v(off + i) - cents(c)(i); s += df * df; i += 1
+            }
+            if (s < bd) { bd = s; best = c } // strict < keeps lowest index
+            c += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < dsub) { sums(best)(i) += v(off + i); i += 1 }
+        }
+        cents = Array.tabulate(cents.length) { c =>
+          if (counts(c) == 0) cents(c)
+          else Array.tabulate(dsub) { i =>
+            // HALF_UP(sum/n) — sums < 2^53 so the double division is
+            // exact-input IEEE, identical to SQL round(sum/count)
+            java.math.BigDecimal.valueOf(sums(c)(i).toDouble / counts(c))
+              .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+          }
+        }
+        it += 1
+      }
+      cents
+    }
+    val bcB = spark.sparkContext.broadcast(books)
+    // map-only integer encode
+    val codes = micro.as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val bks = bcB.value
+        it.map { case (id, v) =>
+          val codes = new Array[Int](bks.length)
+          var j = 0
+          while (j < bks.length) {
+            val cs = bks(j); val off = j * (v.length / bks.length)
+            var best = 0; var bd = Long.MaxValue; var c = 0
+            while (c < cs.length) {
+              var s = 0L; var i = 0
+              while (i < cs(c).length) {
+                val df = v(off + i) - cs(c)(i); s += df * df; i += 1
+              }
+              if (s < bd) { bd = s; best = c }
+              c += 1
+            }
+            codes(j) = best
+            j += 1
+          }
+          (id, codes)
+        }
+      }
+    // integer ADC tables per query (bounded: queryMaxId rows collected)
+    val queries = micro.filter(col("vec_id") < queryMaxId)
+      .as[(Long, Array[Long])].collect()
+    require(queries.length <= 100000,
+      s"pqAdcTopK: ${queries.length} queries exceed the broadcast guard")
+    val tables = queries.map { case (qid, q) =>
+      (qid, Array.tabulate(m) { j =>
+        books(j).map { cent =>
+          var s = 0L; var i = 0
+          while (i < cent.length) { s += q(j * dsub + i) * cent(i); i += 1 }
+          s
+        }
+      })
+    }
+    val bcT = spark.sparkContext.broadcast(tables)
+    val keep = refine * topK
+    // worst-first heap: evict the lowest ip, ties evict the HIGHEST id,
+    // so the survivors are exactly SQL's (ip DESC, id ASC) top-`keep`
+    val cands = codes
+      .mapPartitions { it =>
+        val ts = bcT.value
+        val heaps = ts.map { case (qid, _) =>
+          qid -> new scala.collection.mutable.PriorityQueue[(Long, Long)]()(
+            Ordering.by[(Long, Long), (Long, Long)] { case (s, id) => (-s, id) })
+        }.toMap
+        it.foreach { case (id, cs) =>
+          ts.foreach { case (qid, tab) =>
+            if (id != qid) {
+              var s = 0L; var j = 0
+              while (j < cs.length) { s += tab(j)(cs(j)); j += 1 }
+              val h = heaps(qid)
+              if (h.size < keep) h.enqueue((s, id))
+              else {
+                val (ws, wid) = h.head
+                if (s > ws || (s == ws && id < wid)) {
+                  h.dequeue(); h.enqueue((s, id))
+                }
+              }
+            }
+          }
+        }
+        heaps.iterator.flatMap { case (qid, h) =>
+          h.iterator.map { case (s, id) => (qid, id, s) }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "approx_ip")
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("approx_ip").desc, col("neighbor_id"))
+    val shortlist = cands
+      .withColumn("ark", row_number().over(wA))
+      .filter(col("ark") <= keep)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact INTEGER inner-product rerank of the shortlist — the same
+    // shape as pqTopK's cosine rerank, but engine-exact
+    val rer = shortlist
+      .join(micro.select(col("vec_id").as("query_id"), col("v").as("qv")),
+        Seq("query_id"))
+      .join(micro.select(col("vec_id").as("neighbor_id"), col("v").as("nv")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("nv"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .map { case (q, n, qv, nv) =>
+        var s = 0L; var i = 0
+        while (i < qv.length) { s += qv(i) * nv(i); i += 1 }
+        (q, n, s)
+      }
+      .toDF("query_id", "neighbor_id", "exact_ip")
+    val wE = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("exact_ip").desc, col("neighbor_id"))
+    val out = rer
+      .withColumn("rk", row_number().over(wE).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("rk"),
+        col("exact_ip"))
+      .localCheckpoint(true)
+    bcT.destroy(); bcB.destroy()
+    out
+  }
+
   /** PQ top-k with asymmetric distance computation + exact rerank: per
     * query, subspace inner-product lookup tables (m×k floats); the code
     * scan costs m table adds per candidate instead of d multiplies;

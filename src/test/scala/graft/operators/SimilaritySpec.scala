@@ -202,6 +202,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert(batched === res(100000))
   }
 
+  test("integer PQ (engine-exact twin): recall vs exact integer IP, partition-invariant") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.pqAdcTopK(df, queryMaxId = 20, m = 8, k = 64, trainN = 500,
+          iters = 3, topK = 5, refine = 8)
+        .select($"query_id", $"neighbor_id", $"rk", $"exact_ip")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val base = run(emb)
+    assert(base.size === 20 * 5)
+    // exact integer-IP brute force over the same micro quantization
+    val micro = emb.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, e) =>
+        id -> e.map(x => java.math.BigDecimal.valueOf(x.toDouble * 1e6)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact())
+      }
+    def ip(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val truth = micro.filter(_._1 < 20).map { case (qid, q) =>
+      qid -> micro.filter(_._1 != qid)
+        .map { case (id, v) => (id, ip(q, v)) }
+        .sortBy(x => (-x._2, x._1)).take(5).map(_._1).toSet
+    }.toMap
+    val got = base.groupBy(_._1).map { case (q, r) => q -> r.map(_._2) }
+    val recall = truth.map { case (q, ts) =>
+      got.getOrElse(q, Set.empty).intersect(ts).size.toDouble / ts.size
+    }.sum / truth.size
+    info(f"integer-PQ recall@5 (m=8, k=64, refine 8x): $recall%.3f")
+    assert(recall >= 0.8, f"integer-PQ recall $recall too low")
+    // heap tie-handling is partition-independent: any input layout gives
+    // the identical (ip DESC, id ASC) result set
+    assert(run(emb.repartition(17)) === base)
+    assert(run(emb.repartition(1)) === base)
+  }
+
   test("int8 quantization: codes span the range, dequantized ANN keeps recall") {
     val (codes, stats) = Similarity.quantize(emb)
     val dim = emb.select(size($"embedding")).as[Int].head()
