@@ -1751,6 +1751,29 @@ object Queries {
       .withColumn("meanLuma", round(col("meanLuma"), 6))
   }
 
+  /** Multimodal: map-only nearest-neighbor image resize (the vision-
+    * pipeline preprocessing step) — per media the before/after dims plus
+    * the RE-DECODED stats of the resized payload, proving the output is
+    * a valid P6 a downstream decoder parses. Rows-only (binary codec
+    * work, like the other m_ queries); bounds and pixel identity are
+    * gated in MultimodalSpec.
+    */
+  def mResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = graft.operators.Multimodal.synthesize(spark, 200)
+    val resized = graft.operators.Multimodal.resize(media, maxDim = 12)
+    val redecoded = graft.operators.Multimodal.decode(
+      resized.filter(_.kind == "image").map(r =>
+        graft.operators.Multimodal.MediaRow(r.mediaId,
+          graft.operators.Multimodal.MediaMeta("image", r.newWidth,
+            r.newHeight, 1, 0), r.payload))).toDF()
+      .select(col("mediaId"), round(col("meanLuma"), 6).as("resizedLuma"))
+    resized.toDF()
+      .select(col("mediaId"), col("kind"), col("width"), col("height"),
+        col("newWidth"), col("newHeight"), length(col("payload")).as("bytes"))
+      .join(redecoded, Seq("mediaId"), "left")
+  }
+
   /** Multimodal: video frame sampling exploded to per-frame features. */
   def mFrameSample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -2051,6 +2074,7 @@ object Queries {
     "d_lcs_trunc" -> (dLcsTrunc _),
     "m_media_stats" -> (mMediaStats _),
     "m_frame_sample" -> (mFrameSample _),
+    "m_resize" -> (mResize _),
     "d_exact_dedup" -> (dExactDedup _),
     "d_token_count" -> (dTokenCount _),
     "d_lang_id" -> (dLangId _),

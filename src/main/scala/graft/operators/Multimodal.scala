@@ -225,6 +225,67 @@ object Multimodal {
     }
   }
 
+  final case class ResizedRow(mediaId: Long, kind: String,
+      width: Int, height: Int, newWidth: Int, newHeight: Int,
+      payload: Array[Byte])
+
+  /** Nearest-neighbor resize of one PPM frame's pixels into a fresh P6
+    * payload (aspect preserved, longest side clamped to `maxDim`; images
+    * already within the bound copy through unchanged).
+    */
+  private def resizePpm(b: Array[Byte], maxDim: Int): (Int, Int, Int, Int, Array[Byte]) = {
+    val (w, h, pix, _) = parsePpmHeader(b, 0)
+    val longest = math.max(w, h)
+    if (longest <= maxDim) (w, h, w, h, b)
+    else {
+      val w2 = math.max(1, (w.toLong * maxDim / longest).toInt)
+      val h2 = math.max(1, (h.toLong * maxDim / longest).toInt)
+      val header = s"P6\n$w2 $h2\n255\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + w2 * h2 * 3)
+      System.arraycopy(header, 0, out, 0, header.length)
+      var y = 0
+      while (y < h2) {
+        val sy = (y.toLong * h / h2).toInt
+        var x = 0
+        while (x < w2) {
+          val sx = (x.toLong * w / w2).toInt
+          val src = pix + (sy * w + sx) * 3
+          val dst = header.length + (y * w2 + x) * 3
+          out(dst) = b(src); out(dst + 1) = b(src + 1); out(dst + 2) = b(src + 2)
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, w2, h2, out)
+    }
+  }
+
+  /** Map-only image resize — the preprocessing step a vision-training
+    * pipeline runs over every image shard (decode → scale → re-encode).
+    * Nearest-neighbor on the REAL pixels, aspect preserved, longest side
+    * clamped to `maxDim`; the output is a valid P6 payload [[decode]]
+    * re-parses. Non-image media pass through untouched (a real pipeline
+    * routes per modality). Like [[decode]], payload bytes never shuffle —
+    * the transform is per-partition with zero row amplification.
+    */
+  def resize(media: Dataset[MediaRow], maxDim: Int): Dataset[ResizedRow] = {
+    require(maxDim > 0, s"resize: maxDim must be positive, got $maxDim")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val b = r.payload
+        if (b.length >= 2 && b(0) == 'P' && b(1) == '6' &&
+            r.meta.kind == "image") {
+          val (w, h, w2, h2, out) = resizePpm(b, maxDim)
+          ResizedRow(r.mediaId, "image", w, h, w2, h2, out)
+        } else
+          ResizedRow(r.mediaId, r.meta.kind, r.meta.width, r.meta.height,
+            r.meta.width, r.meta.height, b)
+      }
+    }
+  }
+
   /** Media-level dedup: exact payload hash groupBy (the binary analog of
     * document exact dedup).
     */

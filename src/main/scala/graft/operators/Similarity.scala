@@ -367,8 +367,11 @@ object Similarity {
     // integer ADC tables per query (bounded: queryMaxId rows collected)
     val queries = micro.filter(col("vec_id") < queryMaxId)
       .as[(Long, Array[Long])].collect()
-    require(queries.length <= 100000,
-      s"pqAdcTopK: ${queries.length} queries exceed the broadcast guard")
+    // each query ships an m×k long ADC table; a large query set belongs
+    // on pqTopK's bounded-batch scan, not one broadcast
+    require(queries.length <= 8192,
+      s"pqAdcTopK: ${queries.length} queries exceed the single-broadcast " +
+        "guard (8192) — batch through pqTopK for production query sets")
     val tables = queries.map { case (qid, q) =>
       (qid, Array.tabulate(m) { j =>
         books(j).map { cent =>

@@ -216,6 +216,53 @@ class ExtrasSpec extends AnyFunSuite {
     assert(dedup.count() === 30) // payloads all distinct by construction
   }
 
+  test("multimodal: nearest-neighbor resize emits valid P6 a decoder re-parses") {
+    val media = Multimodal.synthesize(spark, 30)
+    val resized = Multimodal.resize(media, maxDim = 12).collect()
+    assert(resized.length === 30)
+    val metas = media.collect().map(m => m.mediaId -> m.meta).toMap
+    resized.foreach { r =>
+      if (r.kind == "image") {
+        if (math.max(r.width, r.height) > 12)
+          assert(math.max(r.newWidth, r.newHeight) === 12) // longest side hits the clamp
+        else {
+          // within bound: byte-identical pass-through
+          assert((r.newWidth, r.newHeight) === (r.width, r.height))
+        }
+        // the payload is a REAL P6 with exactly the advertised pixels
+        val (w, h, pix, end) = Multimodal.parsePpmHeader(r.payload, 0)
+        assert((w, h) === (r.newWidth, r.newHeight))
+        assert(end - pix === w * h * 3)
+        assert(end === r.payload.length)
+      } else {
+        // non-images pass through untouched
+        assert((r.newWidth, r.newHeight) === (r.width, r.height))
+      }
+    }
+    // golden pixel mapping: 4x2 checkerboard downsampled to 2x1 picks the
+    // nearest-neighbor source pixels (0,0) and (2,0)
+    val px = Array[Byte](
+      10, 10, 10, 20, 20, 20, 30, 30, 30, 40, 40, 40, // row 0
+      50, 50, 50, 60, 60, 60, 70, 70, 70, 80, 80, 80) // row 1
+    val src = "P6\n4 2\n255\n".getBytes("US-ASCII") ++ px
+    val one = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, Multimodal.MediaMeta("image", 4, 2, 1, 0), src)))(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    val out = Multimodal.resize(one, maxDim = 2).collect().head
+    assert((out.newWidth, out.newHeight) === (2, 1))
+    val (_, _, pix2, _) = Multimodal.parsePpmHeader(out.payload, 0)
+    assert(out.payload.slice(pix2, pix2 + 6).toSeq ===
+      Seq[Byte](10, 10, 10, 30, 30, 30))
+    // already within the bound: byte-identical pass-through
+    val same = Multimodal.resize(one, maxDim = 4).collect().head
+    assert(same.payload.toSeq === src.toSeq)
+    assert((same.newWidth, same.newHeight) === (4, 2))
+    // deterministic
+    val again = Multimodal.resize(media, maxDim = 12).collect()
+    assert(resized.map(r => (r.mediaId, r.payload.toSeq)).toSeq ===
+      again.map(r => (r.mediaId, r.payload.toSeq)).toSeq)
+  }
+
   test("multimodal golden decodes: known PPM pixels and WAV samples") {
     // 2x1 PPM: white pixel + black pixel → mean luma exactly 0.5
     val ppm = "P6\n2 1\n255\n".getBytes("US-ASCII") ++
