@@ -24,7 +24,8 @@ object Bench {
     "q_segment_bounds", "d_exact_dedup", "d_ngram_shingles", "d_fingerprint",
     "d_doc_clusters", "e_ann_topk", "e_lsh_buckets",
     "e_lsh_dedup", "d_ngram_jaccard_pairs", "q_quantile", "d_curation",
-    "d_winnow_pairs", "e_quantize_stats", "d_backup_stats", "e_pq_topk")
+    "d_winnow_pairs", "e_quantize_stats", "d_backup_stats", "e_pq_topk",
+    "e_pq_adc")
 
   /** Materialize the synthetic corpus as a parquet table once (this is
     * input scaffolding, not the engine — the north-rule job reads an
