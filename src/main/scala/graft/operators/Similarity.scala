@@ -284,13 +284,21 @@ object Similarity {
     *    here SQL-replayable like everything else) — recall@5 ≈ 0.9 vs
     *    exact at the default config, gated in SimilaritySpec.
     *
+    * Like [[pqTopK]], the query set is processed in BOUNDED BATCHES of
+    * `queryBatch` (one broadcast + one code-scan pass each, the batch's
+    * broadcast destroyed once its candidates materialize), so no query
+    * set inflates a single pass to O(corpus × all-queries) work or an
+    * unbounded broadcast; per-query heaps make the result batch-size
+    * invariant (gated in SimilaritySpec).
+    *
     * Output (query_id, neighbor_id, rk, exact_ip).
     */
   def pqAdcTopK(embeddings: DataFrame, queryMaxId: Long, m: Int = 8,
       k: Int = 64, trainN: Int = 500, iters: Int = 3,
-      topK: Int = 5, refine: Int = 8): DataFrame = {
+      topK: Int = 5, refine: Int = 8, queryBatch: Int = 128): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    require(queryBatch > 0, "pqAdcTopK: queryBatch must be positive")
     val micro = embeddings.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .map { case (id, e) => (id, e.map(microOf)) }
@@ -340,7 +348,7 @@ object Similarity {
       cents
     }
     val bcB = spark.sparkContext.broadcast(books)
-    // map-only integer encode
+    // map-only integer encode — persisted: one code-scan pass per batch
     val codes = micro.as[(Long, Array[Long])]
       .mapPartitions { it =>
         val bks = bcB.value
@@ -364,55 +372,64 @@ object Similarity {
           (id, codes)
         }
       }
-    // integer ADC tables per query (bounded: queryMaxId rows collected)
+      .persist()
     val queries = micro.filter(col("vec_id") < queryMaxId)
       .as[(Long, Array[Long])].collect()
-    // each query ships an m×k long ADC table; a large query set belongs
-    // on pqTopK's bounded-batch scan, not one broadcast
-    require(queries.length <= 8192,
-      s"pqAdcTopK: ${queries.length} queries exceed the single-broadcast " +
-        "guard (8192) — batch through pqTopK for production query sets")
-    val tables = queries.map { case (qid, q) =>
-      (qid, Array.tabulate(m) { j =>
-        books(j).map { cent =>
-          var s = 0L; var i = 0
-          while (i < cent.length) { s += q(j * dsub + i) * cent(i); i += 1 }
-          s
-        }
-      })
-    }
-    val bcT = spark.sparkContext.broadcast(tables)
     val keep = refine * topK
-    // worst-first heap: evict the lowest ip, ties evict the HIGHEST id,
-    // so the survivors are exactly SQL's (ip DESC, id ASC) top-`keep`
-    val cands = codes
-      .mapPartitions { it =>
-        val ts = bcT.value
-        val heaps = ts.map { case (qid, _) =>
-          qid -> new scala.collection.mutable.PriorityQueue[(Long, Long)]()(
-            Ordering.by[(Long, Long), (Long, Long)] { case (s, id) => (-s, id) })
-        }.toMap
-        it.foreach { case (id, cs) =>
-          ts.foreach { case (qid, tab) =>
-            if (id != qid) {
-              var s = 0L; var j = 0
-              while (j < cs.length) { s += tab(j)(cs(j)); j += 1 }
-              val h = heaps(qid)
-              if (h.size < keep) h.enqueue((s, id))
-              else {
-                val (ws, wid) = h.head
-                if (s > ws || (s == ws && id < wid)) {
-                  h.dequeue(); h.enqueue((s, id))
+    // one code-scan pass per bounded query batch: each batch builds its
+    // m×k integer ADC tables (ip[j][c] = <q_subspace_j, books[j][c]>),
+    // broadcasts them, scans the persisted codes with worst-first heaps
+    // (evict the lowest ip, ties evict the HIGHEST id, so survivors are
+    // exactly SQL's (ip DESC, id ASC) top-`keep`), then materializes the
+    // small batch result and destroys the batch's broadcast immediately
+    val candParts = queries.grouped(queryBatch).map { qbatch =>
+      val tables = qbatch.map { case (qid, q) =>
+        (qid, Array.tabulate(m) { j =>
+          books(j).map { cent =>
+            var s = 0L; var i = 0
+            while (i < cent.length) { s += q(j * dsub + i) * cent(i); i += 1 }
+            s
+          }
+        })
+      }
+      val bcT = spark.sparkContext.broadcast(tables)
+      val batchCands = codes
+        .mapPartitions { it =>
+          val ts = bcT.value
+          val heaps = ts.map { case (qid, _) =>
+            qid -> new scala.collection.mutable.PriorityQueue[(Long, Long)]()(
+              Ordering.by[(Long, Long), (Long, Long)] { case (s, id) => (-s, id) })
+          }.toMap
+          it.foreach { case (id, cs) =>
+            ts.foreach { case (qid, tab) =>
+              if (id != qid) {
+                var s = 0L; var j = 0
+                while (j < cs.length) { s += tab(j)(cs(j)); j += 1 }
+                val h = heaps(qid)
+                if (h.size < keep) h.enqueue((s, id))
+                else {
+                  val (ws, wid) = h.head
+                  if (s > ws || (s == ws && id < wid)) {
+                    h.dequeue(); h.enqueue((s, id))
+                  }
                 }
               }
             }
           }
+          heaps.iterator.flatMap { case (qid, h) =>
+            h.iterator.map { case (s, id) => (qid, id, s) }
+          }
         }
-        heaps.iterator.flatMap { case (qid, h) =>
-          h.iterator.map { case (s, id) => (qid, id, s) }
-        }
-      }
-      .toDF("query_id", "neighbor_id", "approx_ip")
+        .toDF("query_id", "neighbor_id", "approx_ip")
+        .localCheckpoint(true)
+      bcT.destroy()
+      batchCands
+    }.toSeq
+    val cands =
+      if (candParts.isEmpty)
+        Seq.empty[(Long, Long, Long)]
+          .toDF("query_id", "neighbor_id", "approx_ip")
+      else candParts.reduce(_.union(_))
     val wA = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("approx_ip").desc, col("neighbor_id"))
@@ -444,7 +461,7 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rk"),
         col("exact_ip"))
       .localCheckpoint(true)
-    bcT.destroy(); bcB.destroy()
+    bcB.destroy(); codes.unpersist()
     out
   }
 

@@ -239,6 +239,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(run(emb.repartition(1)) === base)
   }
 
+  test("integer PQ: query batching is result-invariant (queryMaxId >> batch size)") {
+    // 60 queries at queryBatch=7 -> 9 scan passes over the persisted
+    // codes; the engine-exact arithmetic means the batched result must
+    // equal the single-pass formulation EXACTLY, row for row
+    def res(batch: Int) = Similarity.pqAdcTopK(emb, queryMaxId = 60,
+        m = 8, k = 64, trainN = 500, iters = 3, topK = 5, refine = 8,
+        queryBatch = batch)
+      .select($"query_id", $"neighbor_id", $"rk", $"exact_ip")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batched = res(7)
+    assert(batched.size == 60 * 5)
+    assert(batched === res(100000))
+  }
+
   test("int8 quantization: codes span the range, dequantized ANN keeps recall") {
     val (codes, stats) = Similarity.quantize(emb)
     val dim = emb.select(size($"embedding")).as[Int].head()
