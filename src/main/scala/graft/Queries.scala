@@ -1562,12 +1562,15 @@ object Queries {
     * any job whose duplicates reference old containers — i.e. from
     * backup 2 on. Payload 512, LRU-30 restore, fully value-oracled.
     */
-  private def dTraceVariant(spark: SparkSession, dir: String,
-      rewriteDirectives: String): DataFrame = {
+  /** The shared two-backup trace fixture (b = suppkey%2+1, the
+    * [[dTracePipeline]] fp/size derivation — DuckDB recomputes both).
+    * Returned persisted; callers unpersist.
+    */
+  private def traceTwoFixture(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
     val key = col("l_partkey") * 8 + pmod(col("l_orderkey"), lit(8))
     val md5c = md5(key.cast("string"))
-    val stream0 = DedupPipeline.streamPrefix(
+    DedupPipeline.streamPrefix(
         li.select(
           (pmod(col("l_suppkey"), lit(2)) + 1).as("b"),
           concat(lit("s"), col("l_suppkey").cast("string")).as("path"),
@@ -1581,6 +1584,11 @@ object Queries {
       .withColumn("size", (pmod(key, lit(97)) + 1).cast("int"))
       .select(col("b"), col("path"), col("chunkIdx"), col("fp"), col("size"))
       .persist()
+  }
+
+  private def dTraceVariant(spark: SparkSession, dir: String,
+      rewriteDirectives: String): DataFrame = {
+    val stream0 = traceTwoFixture(spark, dir)
     val jobs = Seq(1, 2).map(b => stream0.filter(col("b") === b).drop("b"))
     val settings = pipeline.DestorConfig.parse(
       s"simulation-level all\n$rewriteDirectives\nrestore-cache lru 30\n")
@@ -1589,6 +1597,37 @@ object Queries {
       .withColumn("cfl", round(col("cfl"), 6))
       .localCheckpoint(true)
     stream0.unpersist()
+    out
+  }
+
+  /** The STREAMING chained-backup store on the two-backup trace fixture
+    * ([[graft.streaming.StreamIngest.backupBatch]] — the foreachBatch
+    * body of `backupStream`, replayed batch-mode on the fixture the way
+    * `s_windowed_throughput` replays the windowing path): each backup is
+    * one micro-batch chained through the persistent store roots
+    * (committed fp index → next batch's dedup base, continued container
+    * ids, LRU-30 restore sim per job). Same per-chunk semantics as
+    * [[dTracePipeline]]'s in-memory replay — BackupStreamSpec proves the
+    * two stats-identical — so the oracle replays both backups fully
+    * (no-rewrite write predicate: written ⇔ first occurrence).
+    */
+  def sBackupChain(spark: SparkSession, dir: String): DataFrame = {
+    val stream0 = traceTwoFixture(spark, dir)
+    val settings = pipeline.DestorConfig.parse(
+      "rewrite-algorithm no\nrestore-cache lru 30\nsimulation-level all\n")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bkchain")
+    val stats = Seq(1, 2).map { b =>
+      graft.streaming.StreamIngest.backupBatch(
+        stream0.filter(col("b") === b).drop("b"), b - 1L, tmp.toString,
+        settings, payload = 512L)
+    }
+    import spark.implicits._
+    val out = spark.createDataset(stats).toDF()
+      .withColumn("speed_factor", round(col("speed_factor"), 6))
+      .withColumn("cfl", round(col("cfl"), 6))
+      .localCheckpoint(true)
+    stream0.unpersist()
+    deleteRecursively(tmp)
     out
   }
 
@@ -2065,6 +2104,7 @@ object Queries {
     "d_restore_verify" -> (dRestoreVerify _),
     "d_trace_roundtrip" -> (dTraceRoundtrip _),
     "d_trace_pipeline" -> (dTracePipeline _),
+    "s_backup_chain" -> (sBackupChain _),
     "d_trace_cfl" -> (dTraceCfl _),
     "d_trace_cbr" -> (dTraceCbr _),
     "d_trace_cap" -> (dTraceCap _),
@@ -2531,7 +2571,16 @@ object Queries {
        |  FROM cpa$k a LEFT JOIN cpc$k c
        |    ON a.bufferId = c.bufferId AND a.mcid = c.mcid)""".stripMargin
 
+  /** No-rewrite write predicate over marked stream k: written ⇔ first
+    * occurrence (`rewrite-algorithm no`, HAR off — the s_backup_chain
+    * store config).
+    */
+  private def noAlgo(k: Int): String =
+    s"""w$k AS (SELECT seq, path, fp, size, idxCid, dup, (NOT dup) AS w
+       |  FROM d$k)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "s_backup_chain" -> traceTwoOracle(noAlgo),
     "d_trace_cfl" -> traceTwoOracle(cflAlgo),
     "d_trace_cbr" -> traceTwoOracle(cbrAlgo),
     "d_trace_cap" -> traceTwoOracle(capAlgo),

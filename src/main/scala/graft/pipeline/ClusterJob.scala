@@ -250,6 +250,33 @@ object ClusterJob {
       settings: DestorSettings, prevRoot: Option[String] = None,
       payload: Long = Rewrite.ContainerPayload): TraceJobStats = {
     val spark = corpus.sparkSession
+    val chunks = instrumentedStage(spark, root, "chunks", runId) {
+      DedupPipeline.chunkTableDF(
+          DedupPipeline.featurize(corpus, settings.dedupConfig).toDF())
+        .select(col("repo"), col("path"), col("commit"), col("chunkIdx"),
+          col("size"), col("fp"), col("zero"))
+    }
+    backupChunkStream(
+      chunks.drop("_lineage")
+        .select(
+          concat_ws("@", col("repo"), col("path"), col("commit")).as("path"),
+          col("chunkIdx"), col("fp"), col("size")),
+      root, runId, settings, prevRoot, payload)
+  }
+
+  /** The chunk-stream core of [[backup]]: one chained backup job over an
+    * ALREADY-CHUNKED stream (columns path, chunkIdx, fp, size — the
+    * TraceSource/FslSource read schema). [[backup]] wraps it with the
+    * real read+chunk+hash phases; [[graft.streaming.StreamIngest
+    * .backupBatch]] feeds it micro-batches, so batch snapshots, trace
+    * replay and continuous streaming ingestion all share ONE store
+    * implementation. Checkpointed stages + resume-by-skip as documented
+    * on [[backup]].
+    */
+  def backupChunkStream(chunkStream: DataFrame, root: String, runId: String,
+      settings: DestorSettings, prevRoot: Option[String] = None,
+      payload: Long = Rewrite.ContainerPayload): TraceJobStats = {
+    val spark = chunkStream.sparkSession
     import spark.implicits._
     def stage(name: String)(f: => DataFrame): DataFrame =
       instrumentedStage(spark, root, name, runId)(f)
@@ -310,18 +337,11 @@ object ClusterJob {
           Seq.empty[Long].toDF("containerId"), 0L, 1L)
     }
     val label = s"b$backupId"
-    val chunks = stage("chunks") {
-      DedupPipeline.chunkTableDF(
-          DedupPipeline.featurize(corpus, settings.dedupConfig).toDF())
-        .select(col("repo"), col("path"), col("commit"), col("chunkIdx"),
-          col("size"), col("fp"), col("zero"))
-    }
     // the whole store step computes lazily and AT MOST ONCE — a pure
     // resume (all stages committed) never forces it
     lazy val res = {
-      val stream = chunks.drop("_lineage")
-        .select(
-          concat_ws("@", col("repo"), col("path"), col("commit")).as("path"),
+      val stream = chunkStream
+        .select(col("path"),
           col("chunkIdx").cast("long").as("chunkIdx"), col("fp"),
           col("size").cast("int").as("size"), lit(label).as("stream"),
           lit(1L).as("one"))

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import graft.corpus.CorpusFile
-import graft.pipeline.{DedupConfig, DedupPipeline}
+import graft.pipeline.{ClusterJob, DedupConfig, DedupPipeline,
+  DestorSettings, Rewrite, TraceJobStats}
 
 /** Incremental ingestion as Structured Streaming (SURVEY.md §2.8: the
   * reference is a bounded pipeline, but incremental backup runs map to
@@ -98,6 +99,67 @@ object StreamIngest {
       .toDF("batchId", "chunks", "bytes", "new_unique")
       .write.mode("append").parquet(metricsPath)
     chunks.unpersist(); newUnique.unpersist()
+  }
+
+  /** Continuous chained backup: every micro-batch of an already-chunked
+    * stream (columns path, chunkIdx, fp, size — the TraceSource/FslSource
+    * read schema) replays as ONE backup job against the persistent
+    * chained container store under `storeRoot` — the streaming front-end
+    * of [[graft.pipeline.ClusterJob.backupChunkStream]], so an always-on
+    * ingestion pipeline gets the reference's full between-jobs semantics
+    * (src/do_backup.c: shared fingerprint index, continuing container
+    * pool, HAR's inter-job sparse-list handoff, the configured rewrite
+    * pass and restore simulation) instead of the plain fp-index
+    * append [[ingestBatch]] runs.
+    *
+    * Store layout: job roots `storeRoot/jobs/j<batchId>`, each a
+    * checkpointed stage root (final_recipe / index / har_sparse /
+    * restore_sim / metrics) chained from its predecessor. Delivery is
+    * foreachBatch at-least-once over a replayable source; a replayed
+    * batch resumes-by-skip off its committed stages and a retried
+    * partial batch recomputes only the uncommitted ones from the same
+    * source offsets, so the store is exactly-once. Batch N+1 only starts
+    * after batch N's sink call returns, which is exactly the chain
+    * precondition (prev root committed).
+    *
+    * Scale shape: the per-batch cost is one fp-keyed join of the (small)
+    * batch side against the cumulative index table plus the per-job
+    * packing prefix-sum — the same plan the batch chain runs; at a
+    * billions-of-fps index, back the index stage table with the
+    * fp-bucketed catalog-table layout of [[ingestBatchBucketed]].
+    */
+  def backupStream(chunkStream: DataFrame, storeRoot: String,
+      settings: DestorSettings,
+      payload: Long = Rewrite.ContainerPayload): StreamingQuery =
+    chunkStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$storeRoot/_checkpoint")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        backupBatch(batch.toDF(), batchId, storeRoot, settings, payload)
+        ()
+      }
+      .start()
+
+  private def jobRoot(storeRoot: String, batchId: Long): String =
+    s"$storeRoot/jobs/j$batchId"
+
+  /** One micro-batch as one chained backup job (the foreachBatch body of
+    * [[backupStream]], callable directly for batch-mode replay/tests):
+    * batch N chains from batch N-1's committed job root; batch 0 starts
+    * the chain. Returns the job's backup.log stats — identical whether
+    * the job computed fresh or resumed from committed stages. An empty
+    * micro-batch is a valid no-op backup (index carried unchanged).
+    */
+  def backupBatch(batch: DataFrame, batchId: Long, storeRoot: String,
+      settings: DestorSettings,
+      payload: Long = Rewrite.ContainerPayload): TraceJobStats = {
+    require(batchId >= 0, s"backupBatch: negative batchId $batchId")
+    val prev = if (batchId == 0) None else Some(jobRoot(storeRoot, batchId - 1))
+    ClusterJob.backupChunkStream(
+      batch.select(col("path"), col("chunkIdx"), col("fp"), col("size")),
+      jobRoot(storeRoot, batchId), s"stream-j$batchId", settings, prev,
+      payload)
   }
 
   /** Event-time windowed throughput with watermark (tumbling window) —
