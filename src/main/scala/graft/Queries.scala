@@ -960,6 +960,155 @@ object Queries {
         max(col("df")).as("max_df"))
   }
 
+  /** Minimum duplicated-span gram width in CODE POINTS: any substring of
+    * at least this length occurring twice anywhere in the corpus
+    * (including twice within one document) is detected, and overlapping /
+    * adjacent duplicated grams merge into maximal spans.
+    */
+  private val DupSpanGram = 16
+
+  /** Corpus-level EXACT duplicate-span detection — the distributed analog
+    * of suffix-array exact-substring dedup over training corpora (the
+    * ExactSubstr pass of Lee et al. 2021, "Deduplicating Training Data
+    * Makes Language Models Better"): every maximal span whose every
+    * [[DupSpanGram]]-gram occurs ≥2 times corpus-wide is reported as
+    * (doc_id, span_start, span_len, dup_grams), positions 1-based in code
+    * points (SQL substr coordinates). A suffix array is a sequential
+    * data structure; the Spark-first shape is (1) a map-only rolling
+    * gram scan emitting (hash64(gram), doc, pos) occurrence rows — 8-byte
+    * keys, the gram text never shuffles; (2) ONE gram-keyed shuffle where
+    * an O(1)-state peek-one flatMapGroups keeps exactly the occurrences
+    * of duplicated grams (a boilerplate gram with 10^9 occurrences
+    * streams through — never buffered, never dropped: unlike the pair
+    * queries there is no quadratic fan-out to cap, output ≤ input); (3) a
+    * per-document interval merge whose state is bounded by the document's
+    * own position count (a file, not the corpus — the same per-doc bound
+    * [[dWinnow]]'s sketch arrays carry). Occurrence volume is ~1 row per
+    * text byte, inherent to EXACT substring dedup (the suffix array is
+    * the same size); [[dWinnow]] is the sub-linear sketch alternative
+    * when exactness can be traded. Gram equality is by xxhash64 (collision
+    * odds at 2^64 negligible; the DuckDB oracle replays with true string
+    * grams and stays green).
+    */
+  private def dupSpanRows(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[(Long, Long, Long, Long)] = {
+    import spark.implicits._
+    val G = DupSpanGram
+    val d = t(spark, dir, "documents").filter(length(col("text")) >= G)
+    val occ = d.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        // windows of G CODE POINTS (SQL substr semantics — Java substring
+        // counts UTF-16 units and would diverge on non-BMP text)
+        val cps = text.codePoints().toArray
+        val n = cps.length - (G - 1)
+        Iterator.tabulate(n) { i =>
+          (graft.functions.Hash64.hashString(new String(cps, i, G)),
+            id, (i + 1).toLong)
+        }
+      }
+    val dupPos = occ.groupByKey(_._1)
+      .flatMapGroups { (_: Long, it: Iterator[(Long, Long, Long)]) =>
+        val first = it.next()
+        if (it.hasNext) Iterator.single(first) ++ it else Iterator.empty
+      }
+      .map(r => (r._2, r._3))
+    dupPos.groupByKey(_._1)
+      .flatMapGroups { (id: Long, it: Iterator[(Long, Long)]) =>
+        val pos = it.map(_._2).toArray
+        java.util.Arrays.sort(pos)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+        var start = pos(0); var last = pos(0); var grams = 1L
+        var i = 1
+        while (i < pos.length) {
+          val p = pos(i)
+          // intervals [p, p+G) merge when the gap to the previous kept
+          // position is ≤ G (overlap or exact adjacency)
+          if (p - last <= G) { last = p; grams += 1 }
+          else {
+            out += ((id, start, last + G - start, grams))
+            start = p; last = p; grams = 1L
+          }
+          i += 1
+        }
+        out += ((id, start, last + G - start, grams))
+        out.iterator
+      }
+  }
+
+  def dDupSpans(spark: SparkSession, dir: String): DataFrame =
+    dupSpanRows(spark, dir)
+      .toDF("doc_id", "span_start", "span_len", "dup_grams")
+
+  /** Per-document duplicate-coverage report over [[dDupSpans]]: span
+    * count, duplicated code points, document length and the duplicated
+    * fraction — the curation signal exact-substring dedup feeds (drop or
+    * trim documents whose text is mostly corpus-duplicated). Every
+    * document ≥ [[DupSpanGram]] code points gets a row (zero spans → zero
+    * coverage).
+    */
+  def dDupSpanStats(spark: SparkSession, dir: String): DataFrame = {
+    val agg = dDupSpans(spark, dir).groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("span_len")).as("dup_chars"))
+    t(spark, dir, "documents")
+      .filter(length(col("text")) >= DupSpanGram)
+      .select(col("doc_id"), length(col("text")).cast("long").as("char_len"))
+      .join(agg, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_spans", "dup_chars"))
+      .withColumn("dup_frac", round(col("dup_chars") / col("char_len"), 6))
+      .select(col("doc_id"), col("n_spans"), col("dup_chars"),
+        col("char_len"), col("dup_frac"))
+  }
+
+  /** Eval-set decontamination — the benchmark-overlap gate every training
+    * corpus needs: a deterministic held-out slice (docs whose md5 leading
+    * nibble ∈ {0,1}, ~1/8 of the corpus — in production this is the
+    * benchmark table) contributes its distinct 8-token shingles (tokens =
+    * `[A-Za-z0-9_]+` runs, joined by a single space — tokens cannot
+    * contain spaces, so the join is injective); every TRAINING document
+    * reports how many of its distinct shingles appear anywhere in the
+    * eval set, plus the contaminated flag. Shingles shuffle as 8-byte
+    * xxhash64 keys; the eval side is distinct-reduced before the
+    * left-semi match, so at scale it is benchmark-sized and AQE
+    * broadcasts it while the training side's single shuffle stays keyed
+    * on the hash. Output covers training docs with ≥1 shingle (≥8
+    * tokens).
+    */
+  def dDecontam(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val W = 8
+    val d = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        expr("regexp_extract_all(text, '[A-Za-z0-9_]+', 0)").as("ts"),
+        substring(md5(col("text").cast("binary")), 1, 1)
+          .isin("0", "1").as("is_eval"))
+    val sh = d.as[(Long, Seq[String], Boolean)]
+      .flatMap { case (id, toks, ev) =>
+        // per-doc distinct in local state bounded by the doc's own token
+        // count (typed groupByKey has no map-side combine — shipping raw
+        // shingle instances would ship every within-doc repetition)
+        val set = scala.collection.mutable.HashSet.empty[Long]
+        var i = 0
+        val n = toks.length - (W - 1)
+        while (i < n) {
+          set += graft.functions.Hash64.hashString(
+            toks.slice(i, i + W).mkString(" "))
+          i += 1
+        }
+        set.iterator.map(h => (id, ev, h))
+      }
+      .toDF("doc_id", "is_eval", "h")
+      .localCheckpoint(true) // eval and training sides both read it
+    val ev = sh.filter(col("is_eval")).select(col("h")).distinct()
+    val tr = sh.filter(!col("is_eval")).select(col("doc_id"), col("h"))
+    val matched = tr.join(ev, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("matched"))
+    tr.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      .join(matched, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("matched"))
+      .withColumn("contaminated", col("matched") > 0)
+      .select(col("doc_id"), col("n_shingles"), col("matched"),
+        col("contaminated"))
+  }
+
   /** A5-analog rollup aggregation (grouping sets over the doc corpus). */
   def dRollupStats(spark: SparkSession, dir: String): DataFrame = {
     val d = t(spark, dir, "documents")
@@ -2126,6 +2275,9 @@ object Queries {
     "d_curation" -> (dCuration _),
     "d_winnow" -> (dWinnow _),
     "d_winnow_pairs" -> (dWinnowPairs _),
+    "d_dup_spans" -> (dDupSpans _),
+    "d_dup_span_stats" -> (dDupSpanStats _),
+    "d_decontam" -> (dDecontam _),
     "d_fingerprint" -> (dFingerprint _),
     "d_doc_clusters" -> (dDocClusters _),
     "d_minhash_cluster" -> (dMinhashCluster _),
@@ -3342,6 +3494,77 @@ object Queries {
         |  JOIN sig sa ON sa.doc_id = c.a
         |  JOIN sig sb ON sb.doc_id = c.b)
         |WHERE hamming <= 3""".stripMargin,
+    "d_dup_spans" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 16),
+        |pos AS (
+        |  SELECT doc_id, i, substr(text, CAST(i AS INTEGER), 16) AS gram
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, length(text) - 15)) AS i FROM d)),
+        |dupg AS (SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2),
+        |dp AS (SELECT p.doc_id, p.i FROM pos p JOIN dupg g USING (gram)),
+        |brk AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= 16
+        |      THEN 0 ELSE 1 END AS is_brk
+        |  FROM dp),
+        |isl AS (
+        |  SELECT doc_id, i,
+        |    sum(is_brk) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS UNBOUNDED PRECEDING) AS span_id
+        |  FROM brk)
+        |SELECT doc_id, min(i) AS span_start,
+        |  max(i) + 16 - min(i) AS span_len, count(*) AS dup_grams
+        |FROM isl GROUP BY doc_id, span_id""".stripMargin,
+    "d_dup_span_stats" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 16),
+        |pos AS (
+        |  SELECT doc_id, i, substr(text, CAST(i AS INTEGER), 16) AS gram
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, length(text) - 15)) AS i FROM d)),
+        |dupg AS (SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2),
+        |dp AS (SELECT p.doc_id, p.i FROM pos p JOIN dupg g USING (gram)),
+        |brk AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= 16
+        |      THEN 0 ELSE 1 END AS is_brk
+        |  FROM dp),
+        |isl AS (
+        |  SELECT doc_id, i,
+        |    sum(is_brk) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS UNBOUNDED PRECEDING) AS span_id
+        |  FROM brk),
+        |spans AS (
+        |  SELECT doc_id, min(i) AS span_start,
+        |    max(i) + 16 - min(i) AS span_len
+        |  FROM isl GROUP BY doc_id, span_id),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_spans, sum(span_len) AS dup_chars
+        |  FROM spans GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(a.n_spans, 0) AS n_spans,
+        |  COALESCE(a.dup_chars, 0) AS dup_chars,
+        |  length(d.text) AS char_len,
+        |  round(COALESCE(a.dup_chars, 0) / length(d.text), 6) AS dup_frac
+        |FROM d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    "d_decontam" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    substr(md5(text), 1, 1) IN ('0','1') AS is_eval FROM documents),
+        |tok AS (SELECT doc_id, is_eval,
+        |    regexp_extract_all(text, '[A-Za-z0-9_]+') AS ts FROM d),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, is_eval,
+        |    array_to_string(ts[CAST(i AS INTEGER):CAST(i + 7 AS INTEGER)],
+        |      ' ') AS s
+        |  FROM (SELECT doc_id, is_eval, ts,
+        |          unnest(generate_series(1, len(ts) - 7)) AS i
+        |        FROM tok WHERE len(ts) >= 8)),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE is_eval),
+        |tr AS (SELECT doc_id, s FROM sh WHERE NOT is_eval),
+        |m AS (SELECT t.doc_id, count(*) AS matched
+        |      FROM tr t JOIN ev USING (s) GROUP BY t.doc_id),
+        |n AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id)
+        |SELECT n.doc_id, n.n_shingles, COALESCE(m.matched, 0) AS matched,
+        |  COALESCE(m.matched, 0) > 0 AS contaminated
+        |FROM n LEFT JOIN m USING (doc_id)""".stripMargin,
     "d_winnow" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 8),
         |grams AS (

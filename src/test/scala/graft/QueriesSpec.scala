@@ -86,6 +86,84 @@ class QueriesSpec extends AnyFunSuite {
     assert(fps(0L).intersect(fps(2L)).isEmpty)
   }
 
+  test("d_dup_spans: cross-doc and within-doc 16-cp dup spans, merged maximal") {
+    import spark.implicits._
+    // the chars flanking every shared block differ between its copies —
+    // identical flanks would (correctly) extend the maximal span past
+    // the block, so the fixture pins exact expected coordinates
+    val shared = "SHAREDBLOCK0a1b2c3d4e5f6g7h8i9" // 30 cps
+    assert(shared.length === 30)
+    val doc0 = "p0:abcdefgh-1234567A" + shared + "Ct0:ijklmnop87654321"
+    val doc1 = "p1:qrstuvwx-BCDEFGHB" + shared + "Dt1:yzYZwxWXHGFEDCB"
+    val doc2 = "totally different content: 1234567890 qwertyuiop zxcvbnm"
+    val inner = "INNERDUPBLOCKxyz0123" // 20 cps, repeated within doc3
+    assert(inner.length === 20)
+    val doc3 = inner + "Xgap_0-ABCQ" + inner + "Zend"
+    val tmp = java.nio.file.Files.createTempDirectory("dsp").toString
+    Seq((0L, doc0), (1L, doc1), (2L, doc2), (3L, doc3))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Queries.dDupSpans(spark, tmp)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3, r._4)).sortBy(_._1).toList).toMap
+    // the shared 30-cp block: grams fully inside it (15) merge into ONE
+    // span of exactly the block, at 1-based cp position 21 (20-cp prefix)
+    assert(got(0L) === List((21L, 30L, 15L)))
+    assert(got(1L) === List((21L, 30L, 15L)))
+    // within-doc repetition counts: two copies of the 20-cp block, far
+    // enough apart (gap 27 > 16) to stay two separate spans
+    assert(got(3L) === List((1L, 20L, 5L), (32L, 20L, 5L)))
+    assert(!got.contains(2L), "doc with no duplicated 16-gram has no span")
+  }
+
+  test("d_dup_span_stats: coverage fractions incl. a zero-span doc") {
+    import spark.implicits._
+    val shared = "SHAREDBLOCK0a1b2c3d4e5f6g7h8i9"
+    val doc0 = "p0:abcdefgh-1234567A" + shared + "Ct0:ijklmnop87654321"
+    val doc1 = "p1:qrstuvwx-BCDEFGHB" + shared + "Dt1:yzYZwxWXHGFEDCB"
+    val doc2 = "totally different content: 1234567890 qwertyuiop zxcvbnm"
+    val tmp = java.nio.file.Files.createTempDirectory("dss").toString
+    Seq((0L, doc0), (1L, doc1), (2L, doc2)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Queries.dDupSpanStats(spark, tmp)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val len0 = doc0.length.toLong
+    assert(got(0L) === ((1L, 30L, len0,
+      BigDecimal(30.0 / len0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(got(2L) === ((0L, 0L, doc2.length.toLong, 0.0)),
+      "span-free doc still reports zero coverage")
+    assert(got.size === 3)
+  }
+
+  test("d_decontam flags training docs sharing an 8-token shingle with the eval slice") {
+    import spark.implicits._
+    def md5Nibble(s: String): Char = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      f"${(d(0) & 0xff)}%02x".charAt(0)
+    }
+    // append salt tokens until the md5-derived eval assignment lands where
+    // the test needs it (the first 8 tokens — the shingle — stay intact)
+    def salted(base: String, wantEval: Boolean): String =
+      Iterator.from(0).map(i => base + " salt" + i)
+        .find(t => ("01".contains(md5Nibble(t))) == wantEval).get
+    val evalDoc = salted("alpha beta gamma delta epsilon zeta eta theta", wantEval = true)
+    val dirty = salted("alpha beta gamma delta epsilon zeta eta theta more stuff here", wantEval = false)
+    val clean = salted("one two three four five six seven eight nine", wantEval = false)
+    val tmp = java.nio.file.Files.createTempDirectory("dct").toString
+    Seq((0L, evalDoc), (1L, dirty), (2L, clean)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Queries.dDecontam(spark, tmp)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // dirty: 12 tokens -> 5 shingles; exactly [alpha..theta] is in the
+    // eval set (the eval doc's salt token breaks its other shingle)
+    assert(got(1L) === ((5L, 1L, true)))
+    assert(got(2L) === ((3L, 0L, false)))
+    assert(!got.contains(0L), "eval docs are not scored")
+  }
+
   test("d_curation partitions every doc into exactly one bucket") {
     import spark.implicits._
     val good = "spark shuffle partition " * 10 // 240 chars, 25% spaces
