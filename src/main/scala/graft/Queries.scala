@@ -990,11 +990,15 @@ object Queries {
     * odds at 2^64 negligible; the DuckDB oracle replays with true string
     * grams and stays green).
     */
-  private def dupSpanRows(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[(Long, Long, Long, Long)] = {
+  /** (hash64(gram), doc_id, 1-based cp position) rows for every
+    * [[DupSpanGram]]-cp window of every document — the shared map-only
+    * scan under [[dDupSpans]] and [[dDupSpanPairs]].
+    */
+  private def dupGramOcc(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[(Long, Long, Long)] = {
     import spark.implicits._
     val G = DupSpanGram
-    val d = t(spark, dir, "documents").filter(length(col("text")) >= G)
-    val occ = d.select(col("doc_id"), col("text")).as[(Long, String)]
+    t(spark, dir, "documents").filter(length(col("text")) >= G)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
         // windows of G CODE POINTS (SQL substr semantics — Java substring
         // counts UTF-16 units and would diverge on non-BMP text)
@@ -1005,7 +1009,12 @@ object Queries {
             id, (i + 1).toLong)
         }
       }
-    val dupPos = occ.groupByKey(_._1)
+  }
+
+  private def dupSpanRows(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[(Long, Long, Long, Long)] = {
+    import spark.implicits._
+    val G = DupSpanGram
+    val dupPos = dupGramOcc(spark, dir).groupByKey(_._1)
       .flatMapGroups { (_: Long, it: Iterator[(Long, Long, Long)]) =>
         val first = it.next()
         if (it.hasNext) Iterator.single(first) ++ it else Iterator.empty
@@ -1056,6 +1065,82 @@ object Queries {
       .withColumn("dup_frac", round(col("dup_chars") / col("char_len"), 6))
       .select(col("doc_id"), col("n_spans"), col("dup_chars"),
         col("char_len"), col("dup_frac"))
+  }
+
+  /** Occurrence cap for [[dDupSpanPairs]]: grams whose TOTAL corpus
+    * occurrence count exceeds this are boilerplate and contribute no
+    * cross-document matches (stream-drained, never buffered — the same
+    * overflow pattern as [[pairContrib]]). The cap is oracle-bearing:
+    * the DuckDB replay applies `HAVING count(*) <= 32` identically.
+    */
+  private val DupPairOccCap = 32
+
+  /** Cross-document EXACT shared-substring runs — the pair-level output
+    * of suffix-array substring matching (clone detection over source
+    * code): for every unordered doc pair (a < b), every maximal run of
+    * consecutive shared [[DupSpanGram]]-grams on one alignment diagonal
+    * is one row (a, b, a_start, b_start, run_grams, run_len) — a run of
+    * k grams is a shared exact substring of k+G-1 code points starting
+    * at a_start in a and b_start in b (1-based cp positions). Where
+    * [[dDupSpans]] answers "which of MY text is duplicated anywhere",
+    * this answers "which doc pairs share exact spans, and where" — the
+    * candidate-pair input near-dup clustering verifies.
+    *
+    * Scale shape: the [[dupGramOcc]] map-only scan feeds ONE gram-keyed
+    * shuffle whose per-group state is bounded at [[DupPairOccCap]]+1
+    * occurrences (hot boilerplate grams stream-drain and drop — no
+    * quadratic fan-out on skew); match rows then take ONE
+    * (a,b,diagonal)-keyed shuffle whose group state is bounded by the
+    * positions the two docs share on one diagonal (≤ the smaller doc's
+    * gram count — a file, not the corpus). Runs never cross diagonals,
+    * so the tighter (a,b,diag) key beats an (a,b) key for free.
+    */
+  def dDupSpanPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val G = DupSpanGram
+    val matches = dupGramOcc(spark, dir).groupByKey(_._1)
+      .flatMapGroups { (_: Long, it: Iterator[(Long, Long, Long)]) =>
+        val occ = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        var overflow = false
+        while (it.hasNext && !overflow) {
+          val r = it.next()
+          occ += ((r._2, r._3))
+          if (occ.size > DupPairOccCap) overflow = true
+        }
+        if (overflow) Iterator.empty
+        else for {
+          i <- occ.indices.iterator
+          j <- occ.indices.iterator
+          if occ(i)._1 < occ(j)._1 // cross-doc, unordered pair a < b
+        } yield {
+          val (a, pa) = occ(i); val (b, pb) = occ(j)
+          (a, b, pb - pa, pa)
+        }
+      }
+    matches.groupByKey(r => (r._1, r._2, r._3))
+      .flatMapGroups { (key: (Long, Long, Long), it: Iterator[(Long, Long, Long, Long)]) =>
+        val (a, b, diag) = key
+        val pas = it.map(_._4).toArray
+        java.util.Arrays.sort(pas)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long, Long)]
+        var start = pas(0); var last = pas(0); var grams = 1L
+        var i = 1
+        while (i < pas.length) {
+          val p = pas(i)
+          // consecutive gram positions (step 1) extend the exact run;
+          // anything larger breaks it (unlike dDupSpans' ≤G merge, a
+          // PAIR run must be contiguous in BOTH docs to be one substring)
+          if (p - last == 1L) { last = p; grams += 1 }
+          else {
+            out += ((a, b, start, start + diag, grams, grams + G - 1))
+            start = p; last = p; grams = 1L
+          }
+          i += 1
+        }
+        out += ((a, b, start, start + diag, grams, grams + G - 1))
+        out.iterator
+      }
+      .toDF("a", "b", "a_start", "b_start", "run_grams", "run_len")
   }
 
   /** Eval-set decontamination — the benchmark-overlap gate every training
@@ -2277,6 +2362,7 @@ object Queries {
     "d_winnow_pairs" -> (dWinnowPairs _),
     "d_dup_spans" -> (dDupSpans _),
     "d_dup_span_stats" -> (dDupSpanStats _),
+    "d_dup_span_pairs" -> (dDupSpanPairs _),
     "d_decontam" -> (dDecontam _),
     "d_fingerprint" -> (dFingerprint _),
     "d_doc_clusters" -> (dDocClusters _),
@@ -3545,6 +3631,32 @@ object Queries {
         |  length(d.text) AS char_len,
         |  round(COALESCE(a.dup_chars, 0) / length(d.text), 6) AS dup_frac
         |FROM d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    "d_dup_span_pairs" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 16),
+        |pos AS (
+        |  SELECT doc_id, i, substr(text, CAST(i AS INTEGER), 16) AS gram
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, length(text) - 15)) AS i FROM d)),
+        |keep AS (SELECT gram FROM pos GROUP BY gram HAVING count(*) <= 32),
+        |m AS (
+        |  SELECT pa.doc_id AS a, pb.doc_id AS b,
+        |    pb.i - pa.i AS diag, pa.i AS pa
+        |  FROM pos pa
+        |  JOIN keep k ON k.gram = pa.gram
+        |  JOIN pos pb ON pb.gram = pa.gram AND pa.doc_id < pb.doc_id),
+        |brk AS (
+        |  SELECT a, b, diag, pa,
+        |    CASE WHEN pa - lag(pa) OVER (PARTITION BY a, b, diag
+        |      ORDER BY pa) = 1 THEN 0 ELSE 1 END AS is_brk
+        |  FROM m),
+        |isl AS (
+        |  SELECT a, b, diag, pa,
+        |    sum(is_brk) OVER (PARTITION BY a, b, diag ORDER BY pa
+        |      ROWS UNBOUNDED PRECEDING) AS run_id
+        |  FROM brk)
+        |SELECT a, b, min(pa) AS a_start, min(pa) + diag AS b_start,
+        |  count(*) AS run_grams, count(*) + 15 AS run_len
+        |FROM isl GROUP BY a, b, diag, run_id""".stripMargin,
     "d_decontam" ->
       """WITH d AS (SELECT doc_id, text,
         |    substr(md5(text), 1, 1) IN ('0','1') AS is_eval FROM documents),

@@ -116,6 +116,34 @@ class QueriesSpec extends AnyFunSuite {
     assert(!got.contains(2L), "doc with no duplicated 16-gram has no span")
   }
 
+  test("d_dup_span_pairs: cross-doc exact runs; within-doc dups and hot grams excluded") {
+    import spark.implicits._
+    val shared = "SHAREDBLOCK0a1b2c3d4e5f6g7h8i9" // 30 cps
+    val doc0 = "p0:abcdefgh-1234567A" + shared + "Ct0:ijklmnop87654321"
+    val doc1 = "p1:qrstuvwx-BCDEFGHB" + shared + "Dt1:yzYZwxWXHGFEDCB"
+    // within-doc-only repetition: must contribute NO pair rows
+    val inner = "INNERDUPBLOCKxyz0123"
+    val doc3 = inner + "Xgap_0-ABCQ" + inner + "Zend"
+    // 33 docs sharing one 16-cp gram -> occurrence count 33 > cap 32 ->
+    // boilerplate, stream-drained, zero pair rows. Flanks are ONE char,
+    // unique per doc: any window other than the boiler itself includes
+    // a flank char, so only the hot gram is shared
+    val boiler = "BOILERPLATE16CPS"
+    assert(boiler.length === 16)
+    val hot = (0 until 33).map { i =>
+      (100L + i, s"${(200 + i).toChar}$boiler${(300 + i).toChar}")
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("dspp").toString
+    (Seq((0L, doc0), (1L, doc1), (3L, doc3)) ++ hot)
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Queries.dDupSpanPairs(spark, tmp)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toList
+    // the only surviving match: docs 0/1's shared 30-cp block -> one
+    // maximal run of 15 consecutive grams on diagonal 0
+    assert(got === List((0L, 1L, 21L, 21L, 15L, 30L)))
+  }
+
   test("d_dup_span_stats: coverage fractions incl. a zero-span doc") {
     import spark.implicits._
     val shared = "SHAREDBLOCK0a1b2c3d4e5f6g7h8i9"
