@@ -24,7 +24,11 @@ object ExplainPlans {
         "r_cfl_runs", "r_cbr_rewrite", "r_access_records",
         // chained-store retention: (fp, cid)-keyed shuffles + the
         // two-phase prefix sum only — no windows, no cartesians
-        "g_chain_expire", "g_chain_recipes")) {
+        "g_chain_expire", "g_chain_recipes",
+        // exact-substring surface: scans must prune to (doc_id, text);
+        // no windows (island merges are typed flatMapGroups), no
+        // cartesians (pair fan-out is inside the capped gram group)
+        "d_dup_spans", "d_dup_span_pairs", "d_decontam")) {
       println(s"\n===== $name =====")
       println(graft.Queries.all(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
