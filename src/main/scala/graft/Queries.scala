@@ -967,29 +967,6 @@ object Queries {
     */
   private val DupSpanGram = 16
 
-  /** Corpus-level EXACT duplicate-span detection — the distributed analog
-    * of suffix-array exact-substring dedup over training corpora (the
-    * ExactSubstr pass of Lee et al. 2021, "Deduplicating Training Data
-    * Makes Language Models Better"): every maximal span whose every
-    * [[DupSpanGram]]-gram occurs ≥2 times corpus-wide is reported as
-    * (doc_id, span_start, span_len, dup_grams), positions 1-based in code
-    * points (SQL substr coordinates). A suffix array is a sequential
-    * data structure; the Spark-first shape is (1) a map-only rolling
-    * gram scan emitting (hash64(gram), doc, pos) occurrence rows — 8-byte
-    * keys, the gram text never shuffles; (2) ONE gram-keyed shuffle where
-    * an O(1)-state peek-one flatMapGroups keeps exactly the occurrences
-    * of duplicated grams (a boilerplate gram with 10^9 occurrences
-    * streams through — never buffered, never dropped: unlike the pair
-    * queries there is no quadratic fan-out to cap, output ≤ input); (3) a
-    * per-document interval merge whose state is bounded by the document's
-    * own position count (a file, not the corpus — the same per-doc bound
-    * [[dWinnow]]'s sketch arrays carry). Occurrence volume is ~1 row per
-    * text byte, inherent to EXACT substring dedup (the suffix array is
-    * the same size); [[dWinnow]] is the sub-linear sketch alternative
-    * when exactness can be traded. Gram equality is by xxhash64 (collision
-    * odds at 2^64 negligible; the DuckDB oracle replays with true string
-    * grams and stays green).
-    */
   /** (hash64(gram), doc_id, 1-based cp position) rows for every
     * [[DupSpanGram]]-cp window of every document — the shared map-only
     * scan under [[dDupSpans]] and [[dDupSpanPairs]].
@@ -1011,6 +988,56 @@ object Queries {
       }
   }
 
+  /** Gaps-and-islands merge shared by [[dupSpanRows]] and
+    * [[dDupSpanPairs]] (the gap rule is oracle-bearing, so the walk lives
+    * in exactly one place — the [[pairContrib]] precedent): sorts the
+    * positions in place, then emits one (runStart, runLastPos, runGrams)
+    * per maximal run where consecutive kept positions are ≤ maxGap apart.
+    */
+  private def mergeRuns[T](pos: Array[Long], maxGap: Long)(
+      emit: (Long, Long, Long) => T): Iterator[T] = {
+    java.util.Arrays.sort(pos)
+    val out = scala.collection.mutable.ArrayBuffer.empty[T]
+    var start = pos(0); var last = pos(0); var grams = 1L
+    var i = 1
+    while (i < pos.length) {
+      val p = pos(i)
+      if (p - last <= maxGap) { last = p; grams += 1 }
+      else {
+        out += emit(start, last, grams)
+        start = p; last = p; grams = 1L
+      }
+      i += 1
+    }
+    out += emit(start, last, grams)
+    out.iterator
+  }
+
+  /** Corpus-level EXACT duplicate-span detection — the distributed analog
+    * of suffix-array exact-substring dedup over training corpora (the
+    * ExactSubstr pass of Lee et al. 2021, "Deduplicating Training Data
+    * Makes Language Models Better"): each row (doc_id, span_start,
+    * span_len, dup_grams) is a maximal run of code points every one of
+    * which is covered by a [[DupSpanGram]]-gram occurring ≥2 times
+    * corpus-wide (grams ≤ G apart merge, so a span may bridge ≤G-cp gaps
+    * between duplicated grams), positions 1-based in code points (SQL
+    * substr coordinates). A suffix array is a sequential data structure;
+    * the Spark-first shape is (1) a map-only rolling gram scan emitting
+    * (hash64(gram), doc, pos) occurrence rows — 8-byte keys, the gram
+    * text never shuffles; (2) ONE gram-keyed shuffle where an O(1)-state
+    * peek-one flatMapGroups keeps exactly the occurrences of duplicated
+    * grams (a boilerplate gram with 10^9 occurrences streams through —
+    * never buffered, never dropped: unlike the pair queries there is no
+    * quadratic fan-out to cap, output ≤ input); (3) a per-document
+    * interval merge whose state is bounded by the document's own position
+    * count (a file, not the corpus — the same per-doc bound [[dWinnow]]'s
+    * sketch arrays carry). Occurrence volume is ~1 row per text byte,
+    * inherent to EXACT substring dedup (the suffix array is the same
+    * size); [[dWinnow]] is the sub-linear sketch alternative when
+    * exactness can be traded. Gram equality is by xxhash64 (collision
+    * odds at 2^64 negligible; the DuckDB oracle replays with true string
+    * grams and stays green).
+    */
   private def dupSpanRows(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[(Long, Long, Long, Long)] = {
     import spark.implicits._
     val G = DupSpanGram
@@ -1022,24 +1049,11 @@ object Queries {
       .map(r => (r._2, r._3))
     dupPos.groupByKey(_._1)
       .flatMapGroups { (id: Long, it: Iterator[(Long, Long)]) =>
-        val pos = it.map(_._2).toArray
-        java.util.Arrays.sort(pos)
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
-        var start = pos(0); var last = pos(0); var grams = 1L
-        var i = 1
-        while (i < pos.length) {
-          val p = pos(i)
-          // intervals [p, p+G) merge when the gap to the previous kept
-          // position is ≤ G (overlap or exact adjacency)
-          if (p - last <= G) { last = p; grams += 1 }
-          else {
-            out += ((id, start, last + G - start, grams))
-            start = p; last = p; grams = 1L
-          }
-          i += 1
+        // intervals [p, p+G) merge when the gap to the previous kept
+        // position is ≤ G (overlap or exact adjacency)
+        mergeRuns(it.map(_._2).toArray, G) { (start, last, grams) =>
+          (id, start, last + G - start, grams)
         }
-        out += ((id, start, last + G - start, grams))
-        out.iterator
       }
   }
 
@@ -1120,25 +1134,13 @@ object Queries {
     matches.groupByKey(r => (r._1, r._2, r._3))
       .flatMapGroups { (key: (Long, Long, Long), it: Iterator[(Long, Long, Long, Long)]) =>
         val (a, b, diag) = key
-        val pas = it.map(_._4).toArray
-        java.util.Arrays.sort(pas)
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long, Long)]
-        var start = pas(0); var last = pas(0); var grams = 1L
-        var i = 1
-        while (i < pas.length) {
-          val p = pas(i)
-          // consecutive gram positions (step 1) extend the exact run;
-          // anything larger breaks it (unlike dDupSpans' ≤G merge, a
-          // PAIR run must be contiguous in BOTH docs to be one substring)
-          if (p - last == 1L) { last = p; grams += 1 }
-          else {
-            out += ((a, b, start, start + diag, grams, grams + G - 1))
-            start = p; last = p; grams = 1L
-          }
-          i += 1
+        // only consecutive gram positions (step 1 = maxGap 1) extend the
+        // exact run; anything larger breaks it (unlike dDupSpans' ≤G
+        // merge, a PAIR run must be contiguous in BOTH docs to be one
+        // shared substring)
+        mergeRuns(it.map(_._4).toArray, 1L) { (start, _, grams) =>
+          (a, b, start, start + diag, grams, grams + G - 1)
         }
-        out += ((a, b, start, start + diag, grams, grams + G - 1))
-        out.iterator
       }
       .toDF("a", "b", "a_start", "b_start", "run_grams", "run_len")
   }
@@ -1160,7 +1162,11 @@ object Queries {
   def dDecontam(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val W = 8
+    // null-text rows contribute nothing either way (the oracle's NULL
+    // is_eval fails both WHERE branches); without the guard they would
+    // crash typed deserialization into the non-nullable tuple
     val d = t(spark, dir, "documents")
+      .filter(col("text").isNotNull)
       .select(col("doc_id"),
         expr("regexp_extract_all(text, '[A-Za-z0-9_]+', 0)").as("ts"),
         substring(md5(col("text").cast("binary")), 1, 1)
