@@ -1190,11 +1190,16 @@ object Queries {
       .localCheckpoint(true) // eval and training sides both read it
     val ev = sh.filter(col("is_eval")).select(col("h")).distinct()
     val tr = sh.filter(!col("is_eval")).select(col("doc_id"), col("h"))
-    val matched = tr.join(ev, Seq("h"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("matched"))
-    tr.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-      .join(matched, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("matched"))
+    // ev is distinct on h, so the left join never duplicates a tr row —
+    // count(hit) counts exactly the matched shingles, and n_shingles and
+    // matched come out of ONE doc-keyed aggregation. No per-doc join:
+    // the earlier two-agg + left-join formulation made AQE broadcast the
+    // matched-counts side, which is corpus-sized (one row per
+    // contaminated doc) at 100 TB; here the only join is shingle-keyed
+    // with the benchmark-sized eval side as the build side.
+    tr.join(ev.withColumn("hit", lit(1)), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("matched"))
       .withColumn("contaminated", col("matched") > 0)
       .select(col("doc_id"), col("n_shingles"), col("matched"),
         col("contaminated"))

@@ -144,6 +144,40 @@ class QueriesSpec extends AnyFunSuite {
     assert(got === List((0L, 1L, 21L, 21L, 15L, 30L)))
   }
 
+  test("d_dup_span_pairs max run cross-validates the suffix-automaton LCS") {
+    import spark.implicits._
+    // planted shared blocks inside otherwise-random text: the longest
+    // pair run from the gram-diagonal engine must equal the longest
+    // common substring from the independent suffix automaton (two
+    // implementations, no shared code), and a 15-cp block (< G=16)
+    // must be invisible to the gram engine while the automaton sees it
+    val rnd = new scala.util.Random(42)
+    def uniq(n: Int): String =
+      Array.fill(n)("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+        .charAt(rnd.nextInt(62))).mkString
+    val block23 = uniq(23); val block40 = uniq(40); val block15 = uniq(15)
+    val docs = Seq(
+      (0L, uniq(80) + block23 + uniq(80)),
+      (1L, uniq(80) + block23 + uniq(80)),
+      (2L, uniq(60) + block40 + uniq(60)),
+      (3L, uniq(60) + block40 + uniq(60)),
+      (4L, uniq(70) + block15 + uniq(70)),
+      (5L, uniq(70) + block15 + uniq(70)))
+    val text = docs.toMap
+    val tmp = java.nio.file.Files.createTempDirectory("dslcs").toString
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val runs = Queries.dDupSpanPairs(spark, tmp)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._6).max).toMap
+    assert(runs.keySet === Set((0L, 1L), (2L, 3L)))
+    for (((a, b), maxRun) <- runs)
+      assert(maxRun.toInt ===
+        graft.functions.Lcs.longestCommonSubstring(text(a), text(b)))
+    assert(graft.functions.Lcs.longestCommonSubstring(text(4L), text(5L)) === 15,
+      "the automaton sees the sub-G block the gram engine must not")
+  }
+
   test("d_dup_span_stats: coverage fractions incl. a zero-span doc") {
     import spark.implicits._
     val shared = "SHAREDBLOCK0a1b2c3d4e5f6g7h8i9"
