@@ -1081,6 +1081,60 @@ object Queries {
         col("char_len"), col("dup_frac"))
   }
 
+  /** The trim ACTION of exact-substring dedup (the step Lee et al. 2021
+    * apply after detection): every [[dDupSpans]] span is cut out of its
+    * document and the surviving text is reported as (doc_id, char_len,
+    * kept_len, dup_chars, kept_md5) — md5 instead of the text itself so
+    * the corpus-sized output stays narrow (the same reason the dedup
+    * pipeline ships digests, not content). This is the aggressive
+    * variant that removes EVERY occurrence of a duplicated span (the
+    * survivor-election variant needs a global choice per span family —
+    * that is [[dExactDedup]]'s keep-first semantics at document
+    * granularity); spans may bridge ≤G-cp gaps per the [[dupSpanRows]]
+    * merge, and those bridge characters trim with the span. Shape: span
+    * rows (tiny — one per maximal span) group per doc, then ONE
+    * doc-keyed join back to the text and a map-side cut + md5; the kept
+    * text never shuffles.
+    */
+  def dDupTrim(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val spans = dupSpanRows(spark, dir)
+      .groupByKey(_._1)
+      .mapGroups { (id: Long, it: Iterator[(Long, Long, Long, Long)]) =>
+        val arr = it.map(r => (r._2, r._3)).toArray
+        scala.util.Sorting.quickSort(arr)
+        (id, arr.map(_._1), arr.map(_._2))
+      }
+      .toDF("doc_id", "starts", "lens")
+    t(spark, dir, "documents")
+      .filter(length(col("text")) >= DupSpanGram)
+      .select(col("doc_id"), col("text"))
+      .join(spans, Seq("doc_id"), "left")
+      .as[(Long, String, Option[Seq[Long]], Option[Seq[Long]])]
+      .map { case (id, text, so, lo) =>
+        val cps = text.codePoints().toArray
+        val starts = so.getOrElse(Seq.empty)
+        val lens = lo.getOrElse(Seq.empty)
+        val sb = new java.lang.StringBuilder
+        var cur = 0 // 0-based next cp; spans are disjoint and sorted
+        var i = 0
+        while (i < starts.length) {
+          val s0 = (starts(i) - 1).toInt
+          if (s0 > cur) sb.append(new String(cps, cur, s0 - cur))
+          cur = s0 + lens(i).toInt
+          i += 1
+        }
+        if (cur < cps.length) sb.append(new String(cps, cur, cps.length - cur))
+        val kept = sb.toString
+        (id, cps.length.toLong,
+          kept.codePointCount(0, kept.length).toLong, kept)
+      }
+      .toDF("doc_id", "char_len", "kept_len", "kept_text")
+      .select(col("doc_id"), col("char_len"), col("kept_len"),
+        (col("char_len") - col("kept_len")).as("dup_chars"),
+        md5(col("kept_text").cast("binary")).as("kept_md5"))
+  }
+
   /** Occurrence cap for [[dDupSpanPairs]]: grams whose TOTAL corpus
     * occurrence count exceeds this are boilerplate and contribute no
     * cross-document matches (stream-drained, never buffered — the same
@@ -2374,6 +2428,7 @@ object Queries {
     "d_dup_spans" -> (dDupSpans _),
     "d_dup_span_stats" -> (dDupSpanStats _),
     "d_dup_span_pairs" -> (dDupSpanPairs _),
+    "d_dup_trim" -> (dDupTrim _),
     "d_decontam" -> (dDecontam _),
     "d_fingerprint" -> (dFingerprint _),
     "d_doc_clusters" -> (dDocClusters _),
@@ -3642,6 +3697,54 @@ object Queries {
         |  length(d.text) AS char_len,
         |  round(COALESCE(a.dup_chars, 0) / length(d.text), 6) AS dup_frac
         |FROM d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    "d_dup_trim" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 16),
+        |pos AS (
+        |  SELECT doc_id, i, substr(text, CAST(i AS INTEGER), 16) AS gram
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, length(text) - 15)) AS i FROM d)),
+        |dupg AS (SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2),
+        |dp AS (SELECT p.doc_id, p.i FROM pos p JOIN dupg g USING (gram)),
+        |brk AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= 16
+        |      THEN 0 ELSE 1 END AS is_brk
+        |  FROM dp),
+        |isl AS (
+        |  SELECT doc_id, i,
+        |    sum(is_brk) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS UNBOUNDED PRECEDING) AS span_id
+        |  FROM brk),
+        |spans AS (
+        |  SELECT doc_id, min(i) AS s, max(i) + 16 - min(i) AS l
+        |  FROM isl GROUP BY doc_id, span_id),
+        |segs AS (
+        |  SELECT doc_id,
+        |    COALESCE(lag(s + l) OVER (PARTITION BY doc_id ORDER BY s), 1)
+        |      AS ks,
+        |    s AS ke
+        |  FROM spans
+        |  UNION ALL
+        |  SELECT doc_id, max(s + l) AS ks, NULL AS ke
+        |  FROM spans GROUP BY doc_id),
+        |keptparts AS (
+        |  SELECT g.doc_id, g.ks,
+        |    substr(d.text, CAST(g.ks AS INTEGER),
+        |      CAST(COALESCE(g.ke, length(d.text) + 1) - g.ks AS INTEGER))
+        |      AS part
+        |  FROM segs g JOIN d USING (doc_id)
+        |  WHERE COALESCE(g.ke, length(d.text) + 1) > g.ks),
+        |kept AS (
+        |  SELECT s.doc_id,
+        |    COALESCE(string_agg(kp.part, '' ORDER BY kp.ks), '') AS kt
+        |  FROM (SELECT DISTINCT doc_id FROM spans) s
+        |  LEFT JOIN keptparts kp USING (doc_id)
+        |  GROUP BY s.doc_id)
+        |SELECT d.doc_id, length(d.text) AS char_len,
+        |  length(COALESCE(k.kt, d.text)) AS kept_len,
+        |  length(d.text) - length(COALESCE(k.kt, d.text)) AS dup_chars,
+        |  md5(COALESCE(k.kt, d.text)) AS kept_md5
+        |FROM d LEFT JOIN kept k USING (doc_id)""".stripMargin,
     "d_dup_span_pairs" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 16),
         |pos AS (

@@ -144,6 +144,38 @@ class QueriesSpec extends AnyFunSuite {
     assert(got === List((0L, 1L, 21L, 21L, 15L, 30L)))
   }
 
+  test("d_dup_trim cuts every duplicated span, keeps the rest byte-exact") {
+    import spark.implicits._
+    def md5hex(s: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"${b & 0xff}%02x").mkString
+    }
+    val shared = "SHAREDBLOCK0a1b2c3d4e5f6g7h8i9" // 30 cps at pos 21
+    val doc0 = "p0:abcdefgh-1234567A" + shared + "Ct0:ijklmnop87654321"
+    val doc1 = "p1:qrstuvwx-BCDEFGHB" + shared + "Dt1:yzYZwxWXHGFEDCB"
+    val doc2 = "totally different content: 1234567890 qwertyuiop zxcvbnm"
+    val inner = "INNERDUPBLOCKxyz0123" // spans [1,20] and [32,51] in doc3
+    val doc3 = inner + "Xgap_0-ABCQ" + inner + "Zend"
+    val twin = "IDENTICALTWINSdocABCDEFG" // full-doc span -> kept text ""
+    val tmp = java.nio.file.Files.createTempDirectory("dtr").toString
+    Seq((0L, doc0), (1L, doc1), (2L, doc2), (3L, doc3),
+      (10L, twin), (11L, twin))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Queries.dDupTrim(spark, tmp)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val kept0 = doc0.substring(0, 20) + doc0.substring(50)
+    assert(got(0L) === ((doc0.length.toLong, 40L, 30L, md5hex(kept0))))
+    assert(got(2L) === ((doc2.length.toLong, doc2.length.toLong, 0L,
+      md5hex(doc2))), "span-free doc keeps everything")
+    assert(got(3L) === ((55L, 15L, 40L, md5hex("Xgap_0-ABCQ" + "Zend"))))
+    assert(got(10L) === ((24L, 0L, 24L, md5hex(""))),
+      "fully-duplicated doc trims to the empty string")
+    assert(got.size === 6)
+  }
+
   test("d_dup_span_pairs max run cross-validates the suffix-automaton LCS") {
     import spark.implicits._
     // planted shared blocks inside otherwise-random text: the longest
