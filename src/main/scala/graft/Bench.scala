@@ -25,7 +25,8 @@ object Bench {
     "d_doc_clusters", "e_ann_topk", "e_lsh_buckets",
     "e_lsh_dedup", "d_ngram_jaccard_pairs", "q_quantile", "d_curation",
     "d_winnow_pairs", "e_quantize_stats", "d_backup_stats", "e_pq_topk",
-    "e_pq_adc", "d_dup_spans", "d_dup_span_pairs", "d_decontam")
+    "e_pq_adc", "d_dup_spans", "d_dup_span_pairs", "d_dup_trim",
+    "d_decontam")
 
   /** Materialize the synthetic corpus as a parquet table once (this is
     * input scaffolding, not the engine — the north-rule job reads an
