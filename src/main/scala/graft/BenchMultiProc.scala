@@ -49,37 +49,13 @@ object BenchMultiProc {
       .config("spark.executor.extraJavaOptions", addOpens)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0)
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (e.taskMetrics != null) cpuNs.addAndGet(e.taskMetrics.executorCpuTime)
-    })
-    // listener events arrive on the async bus AFTER the action returns —
-    // read the counter only once it has settled, or trailing onTaskEnd
-    // events from one run leak into the next run's window
-    def settled(): Long = {
-      // require THREE consecutive quiet 150 ms intervals: one quiet
-      // sample can coincide with a driver GC pause mid-drain
-      var quiet = 0
-      var prev = cpuNs.get
-      var spins = 0
-      while (quiet < 3 && spins < 100) {
-        Thread.sleep(150)
-        val v = cpuNs.get
-        if (v == prev) quiet += 1 else { quiet = 0; prev = v }
-        spins += 1
-      }
-      if (quiet < 3)
-        System.err.println("[multiproc] WARNING: listener bus still " +
-          "draining after 15s; CPU attribution may bleed between runs")
-      prev
-    }
+    val meter = new ExecCpuMeter(spark.sparkContext)
     Bench.runPipeline(spark, warm) // JIT/codegen warm-up in every executor
-    val c0 = settled()
+    val c0 = meter.settledNs()
     val a = Bench.runPipeline(spark, nBases)
-    val c1 = settled()
+    val c1 = meter.settledNs()
     val b = Bench.runPipeline(spark, nBases)
-    val c2 = settled()
+    val c2 = meter.settledNs()
     val res = if (a._2 <= b._2) (a._1, a._2, (c1 - c0) / 1e9)
       else (b._1, b._2, (c2 - c1) / 1e9)
     spark.stop()

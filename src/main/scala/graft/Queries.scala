@@ -1259,6 +1259,106 @@ object Queries {
         col("contaminated"))
   }
 
+  /** Clone-pair similarity threshold, percent. At 70 the bag-overlap
+    * metric separates real near-dups from the corpus's shared-vocabulary
+    * noise floor (θ=0.7 is also SourcererCC's shipped default).
+    */
+  private val CloneThetaPct = 70
+
+  /** Token-bag ELEMENT stream for the clone detector: one row per
+    * (doc, token, occurrence-index k). Multiset overlap Σ min(cā, c_b)
+    * is exactly SET intersection over these (tok, k) elements, so the
+    * whole bag algorithm — prefix filtering included — reduces to the
+    * set case. Tokens are lowercase [a-z0-9_]+ runs (the code-ish
+    * tokenizer DuckDB replays with string_split_regex).
+    */
+  private def cloneElems(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z0-9_]+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), col("tok"),
+        explode(sequence(lit(1L), col("c"))).as("k"))
+
+  /** SourcererCC-style code-clone pairs (Sajnani et al., ICSE 2016 —
+    * the token-bag clone detector for source code, the published
+    * scale-out answer the reference's near-dup family lacks): two docs
+    * are clones iff their token-bag overlap Σ min(count_a, count_b) ≥
+    * θ·max(|A|,|B|), θ = 0.7, integer-exact as 100·inter ≥ 70·max.
+    *
+    * Candidate generation is PREFIX FILTERING: bag elements (tok, k)
+    * get a global rarity order (document frequency asc, tok, k) and
+    * only each doc's first n − ⌈θn⌉ + 1 elements in that order — its
+    * RAREST tokens — become join keys. Any pair meeting θ must share a
+    * prefix element (PPJoin's prefix lemma), so recall is lossless: the
+    * DuckDB oracle is the UNFILTERED brute-force bag join, and
+    * hash-green proves no pair is dropped. The scale win is structural:
+    * a boilerplate token in every doc is in almost no doc's prefix, so
+    * the join-key frequency distribution self-flattens — the skew the
+    * gram-keyed near-dup family needs an explicit df cap for
+    * ([[dDupSpanPairs]]) never forms. Length filter 100·min ≥ 70·max
+    * prunes candidates before the verify join; verify intersects the
+    * per-doc sorted element-hash arrays with the codegen'd
+    * [[graft.functions.IntersectSorted]] merge scan (doc-keyed joins,
+    * text never shuffles past tokenization).
+    */
+  def dClonePairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val elems = cloneElems(spark, dir)
+    val dfreq = elems.groupBy(col("tok"), col("k"))
+      .agg(count(lit(1)).as("df"))
+    val ranked = elems.join(dfreq, Seq("tok", "k"))
+      .select(col("doc_id"), col("df"), col("tok"), col("k"),
+        xxhash64(col("tok"), col("k")).as("h"))
+    val docs = ranked.as[(Long, Long, String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (id: Long, it: Iterator[(Long, Long, String, Long, Long)]) =>
+        // buffers one doc's elements — bounded by the doc's token count
+        val arr = it.map { case (_, df, tok, k, h) => (df, tok, k, h) }.toArray
+        val n = arr.length
+        val alpha = (n * CloneThetaPct + 99) / 100 // ⌈θn⌉, integer-exact
+        val p = n - alpha + 1
+        scala.util.Sorting.quickSort(arr) // (df, tok, k) rarity order
+        val prefix = arr.take(p).map(_._4)
+        val sorted = arr.map(_._4)
+        java.util.Arrays.sort(sorted)
+        (id, n.toLong, sorted, prefix)
+      }
+      .toDF("doc_id", "n", "toks", "prefix")
+      .localCheckpoint(true) // prefix join and verify join both read it
+    val pre = docs.select(col("doc_id"), col("n"), explode(col("prefix")).as("h"))
+    val cand = pre.toDF("a", "na", "h")
+      .join(pre.toDF("b", "nb", "h"), Seq("h"))
+      .filter(col("a") < col("b") &&
+        least(col("na"), col("nb")) * 100 >=
+          greatest(col("na"), col("nb")) * CloneThetaPct)
+      .select(col("a"), col("b"), col("na"), col("nb"))
+      .distinct()
+    val arrays = docs.select(col("doc_id"), col("toks"))
+    cand
+      .join(arrays.toDF("a", "ta"), Seq("a"))
+      .join(arrays.toDF("b", "tb"), Seq("b"))
+      .select(col("a"), col("b"), col("na").as("n_a"), col("nb").as("n_b"),
+        graft.functions.IntersectSorted(col("ta"), col("tb")).as("inter"))
+      .filter(col("inter") * 100 >=
+        greatest(col("n_a"), col("n_b")) * CloneThetaPct)
+  }
+
+  /** Clone GROUPS: connected components over the [[dClonePairs]] edges —
+    * every doc (null-text and token-free docs included, as singletons)
+    * labeled with the min doc_id of its clone class. Reuses the
+    * log-diameter pointer-jumping CC; the oracle closes the same edge
+    * set with a recursive min-label CTE.
+    */
+  def dCloneGroups(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"))
+    val edges = dClonePairs(spark, dir).select(col("a"), col("b"))
+    ConnectedComponents.run(docs.toDF("fileId"), edges)
+      .select(col("fileId").as("doc_id"), col("clusterId").as("cluster_id"))
+  }
+
   /** A5-analog rollup aggregation (grouping sets over the doc corpus). */
   def dRollupStats(spark: SparkSession, dir: String): DataFrame = {
     val d = t(spark, dir, "documents")
@@ -2430,6 +2530,8 @@ object Queries {
     "d_dup_span_pairs" -> (dDupSpanPairs _),
     "d_dup_trim" -> (dDupTrim _),
     "d_decontam" -> (dDecontam _),
+    "d_clone_pairs" -> (dClonePairs _),
+    "d_clone_groups" -> (dCloneGroups _),
     "d_fingerprint" -> (dFingerprint _),
     "d_doc_clusters" -> (dDocClusters _),
     "d_minhash_cluster" -> (dMinhashCluster _),
@@ -3791,6 +3893,57 @@ object Queries {
         |SELECT n.doc_id, n.n_shingles, COALESCE(m.matched, 0) AS matched,
         |  COALESCE(m.matched, 0) > 0 AS contaminated
         |FROM n LEFT JOIN m USING (doc_id)""".stripMargin,
+    // brute-force bag join, NO prefix filter: hash-green proves the
+    // Spark side's prefix filtering loses no pair
+    "d_clone_pairs" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, tok FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(lower(text), '[^a-z0-9_]+')) AS tok
+        |    FROM documents)
+        |  WHERE tok <> ''),
+        |cnt AS MATERIALIZED (
+        |  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+        |n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |    CAST(sum(least(a.c, b.c)) AS BIGINT) AS inter
+        |  FROM cnt a JOIN cnt b ON b.tok = a.tok AND b.doc_id > a.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT i.a, i.b, na.n AS n_a, nb.n AS n_b, i.inter
+        |FROM inter i
+        |JOIN n na ON na.doc_id = i.a
+        |JOIN n nb ON nb.doc_id = i.b
+        |WHERE i.inter * 100 >= greatest(na.n, nb.n) * 70""".stripMargin,
+    "d_clone_groups" ->
+      """WITH RECURSIVE
+        |toks AS MATERIALIZED (
+        |  SELECT doc_id, tok FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(lower(text), '[^a-z0-9_]+')) AS tok
+        |    FROM documents)
+        |  WHERE tok <> ''),
+        |cnt AS MATERIALIZED (
+        |  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+        |n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |    CAST(sum(least(a.c, b.c)) AS BIGINT) AS inter
+        |  FROM cnt a JOIN cnt b ON b.tok = a.tok AND b.doc_id > a.doc_id
+        |  GROUP BY 1, 2),
+        |edges AS MATERIALIZED (
+        |  SELECT i.a, i.b FROM inter i
+        |  JOIN n na ON na.doc_id = i.a
+        |  JOIN n nb ON nb.doc_id = i.b
+        |  WHERE i.inter * 100 >= greatest(na.n, nb.n) * 70),
+        |sym AS (SELECT a AS x, b AS y FROM edges UNION SELECT b, a FROM edges),
+        |reach(node, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT s.y, r.label FROM reach r JOIN sym s ON s.x = r.node
+        |  WHERE r.label < s.y)
+        |SELECT node AS doc_id, min(label) AS cluster_id
+        |FROM reach GROUP BY node""".stripMargin,
     "d_winnow" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 8),
         |grams AS (

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSim, JaccardSorted}
+import graft.functions.{CosineSim, IntersectSorted, JaccardSorted}
 
 /** Engine extensions: registers the native codegen'd expressions with the
   * session so they are callable from SQL.
@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.jaccardSorted)
     ext.injectFunction(GraftExtensions.cosineSim)
+    ext.injectFunction(GraftExtensions.intersectSorted)
   }
 }
 
@@ -41,11 +42,21 @@ object GraftExtensions {
       CosineSim(children.head, children(1))
     })
 
+  private val intersectSorted = (
+    new FunctionIdentifier("intersect_sorted"),
+    new ExpressionInfo(classOf[IntersectSorted].getName, "intersect_sorted"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "intersect_sorted(a, b) takes two array<long> args")
+      IntersectSorted(children.head, children(1))
+    })
+
   /** Register on an existing session (same builder the extension injects). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       jaccardSorted._1, jaccardSorted._2, jaccardSorted._3)
     spark.sessionState.functionRegistry.registerFunction(
       cosineSim._1, cosineSim._2, cosineSim._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      intersectSorted._1, intersectSorted._2, intersectSorted._3)
   }
 }

@@ -258,6 +258,50 @@ class QueriesSpec extends AnyFunSuite {
     assert(!got.contains(0L), "eval docs are not scored")
   }
 
+  test("d_clone_pairs: bag-overlap clones, lossless prefix filter vs brute force") {
+    import spark.implicits._
+    // randomized corpus over a shared vocabulary (the regime where the
+    // prefix filter earns its keep: common tokens are in nobody's prefix)
+    val rnd = new scala.util.Random(7)
+    val vocab = Array.tabulate(40)(i => s"tok$i")
+    def doc(): String = Seq.fill(30)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val bases = Seq.tabulate(12)(i => (i.toLong, doc()))
+    // planted clones: exact token-bag permutation (overlap 1.0) and a
+    // 3-token edit out of 30 (overlap 27/30 = 0.9 >= 0.7)
+    val perm = bases.head._2.split(" ").reverse.mkString(" ")
+    val edited = bases.head._2.split(" ").zipWithIndex
+      .map { case (t, i) => if (i < 3) "zz" + i else t }.mkString(" ")
+    val all = bases ++ Seq((100L, perm), (101L, edited))
+    val tmp = java.nio.file.Files.createTempDirectory("clone").toString
+    all.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Queries.dClonePairs(spark, tmp)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // brute force, NO filtering: bag counts + pairwise sum-of-min
+    def bag(t: String): Map[String, Int] =
+      t.toLowerCase.split("[^a-z0-9_]+").filter(_.nonEmpty)
+        .groupBy(identity).map { case (k, v) => k -> v.length }
+    val bags = all.map { case (id, t) => id -> bag(t) }.toMap
+    val expect = (for {
+      Seq(a, b) <- all.map(_._1).sorted.combinations(2)
+      na = bags(a).values.sum.toLong; nb = bags(b).values.sum.toLong
+      inter = bags(a).map { case (t, c) => math.min(c, bags(b).getOrElse(t, 0)) }
+        .sum.toLong
+      if inter * 100 >= math.max(na, nb) * 70
+    } yield (a, b) -> ((na, nb, inter))).toMap
+    assert(got === expect, "prefix-filtered pairs must equal brute force")
+    assert(got.contains((0L, 100L)) && got((0L, 100L))._3 === 30L,
+      "permuted token bag is a full-overlap clone")
+    assert(got.contains((0L, 101L)) && got((0L, 101L))._3 === 27L,
+      "3-of-30 token edit stays above theta=0.7")
+    // groups: 0, 100, 101 share a class labeled by min id 0
+    val groups = Queries.dCloneGroups(spark, tmp)
+      .as[(Long, Long)].collect().toMap
+    assert(groups(100L) === groups(0L) && groups(101L) === groups(0L))
+    assert(groups.size === all.size, "every doc labeled, singletons included")
+  }
+
   test("d_curation partitions every doc into exactly one bucket") {
     import spark.implicits._
     val good = "spark shuffle partition " * 10 // 240 chars, 25% spaces

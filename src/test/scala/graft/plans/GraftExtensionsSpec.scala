@@ -24,6 +24,32 @@ class GraftExtensionsSpec extends AnyFunSuite {
     intercept[Exception](spark.sql("SELECT jaccard_sorted(array(1L))").collect())
   }
 
+  test("intersect_sorted: set and multiset merge counts, SQL-callable") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    def n(sql: String): Long = spark.sql(s"SELECT $sql AS n").as[Long].head()
+    assert(n("intersect_sorted(array(1L,2L,3L), array(2L,3L,4L))") === 2L)
+    assert(n("intersect_sorted(array(1L), CAST(array() AS array<bigint>))") === 0L)
+    // sorted-with-duplicates inputs count multiset overlap min(c_a, c_b)
+    assert(n("intersect_sorted(array(1L,1L,1L,2L), array(1L,1L,2L,2L))") === 3L)
+    // randomized parity vs a Scala-side merge over sorted arrays
+    val rnd = new scala.util.Random(9)
+    val pairs = Seq.fill(50)((
+      Array.fill(rnd.nextInt(40))(rnd.nextInt(30).toLong).sorted,
+      Array.fill(rnd.nextInt(40))(rnd.nextInt(30).toLong).sorted))
+    val got = pairs.toDF("a", "b")
+      .select(graft.functions.IntersectSorted(
+        org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b")).as("n"))
+      .as[Long].collect()
+    pairs.zip(got).foreach { case ((a, b), g) =>
+      val exp = a.groupBy(identity).map { case (k, v) =>
+        math.min(v.length, b.count(_ == k)) }.sum.toLong
+      assert(g === exp)
+    }
+    intercept[Exception](spark.sql("SELECT intersect_sorted(array(1L))").collect())
+  }
+
   test("cosine_sim matches the scalar implementation and is SQL-callable") {
     GraftExtensions.register(spark)
     import spark.implicits._

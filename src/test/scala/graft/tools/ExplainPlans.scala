@@ -28,7 +28,10 @@ object ExplainPlans {
         // exact-substring surface: scans must prune to (doc_id, text);
         // no windows (island merges are typed flatMapGroups), no
         // cartesians (pair fan-out is inside the capped gram group)
-        "d_dup_spans", "d_dup_span_pairs", "d_decontam")) {
+        "d_dup_spans", "d_dup_span_pairs", "d_decontam",
+        // clone detection: prefix-filtered candidate join + sorted-array
+        // merge verify — no cartesians; both joins are h-/doc-keyed
+        "d_clone_pairs")) {
       println(s"\n===== $name =====")
       println(graft.Queries.all(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
