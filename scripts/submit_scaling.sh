@@ -20,7 +20,7 @@ export SPARK_HOME=/opt/spark
 export SPARK_SCALA_VERSION=2.13
 
 sbt -batch package >/dev/null
-JAR=$(ls target/scala-2.13/destorspark_2.13-*.jar | head -1)
+JAR=$(ls target/scala-2.13/destorspark_2.13-*.jar | grep -v -- '-tests' | head -1)
 
 submit_leg() { # $1=workers $2=cores
   "$SPARK_HOME/bin/spark-submit" \
