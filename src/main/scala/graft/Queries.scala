@@ -1081,6 +1081,65 @@ object Queries {
         col("char_len"), col("dup_frac"))
   }
 
+  /** WITHIN-document repetitiveness — the self-analog of [[dDupSpans]]
+    * and the Gopher-style "repeated n-gram fraction" curation signal
+    * (Rae et al. 2021 §A1.1 drop documents whose own text is mostly
+    * internal repetition; boilerplate/generated files score high before
+    * any corpus-level pass sees them): per document, the coverage of
+    * maximal runs of [[DupSpanGram]]-cp grams occurring ≥2 times WITHIN
+    * that document (same G-gap merge rule as the corpus-level spans, so
+    * the two fractions are directly comparable). Output one row per doc
+    * ≥G cp: (doc_id, rep_spans, rep_chars, char_len, rep_frac).
+    *
+    * Scale: strictly MAP-ONLY — gram counting, position filtering and
+    * the interval merge all happen inside one pass over the document in
+    * its own partition; the text never shuffles and there is no
+    * corpus-wide key at all (the one shape that is trivially 100 TB-safe;
+    * state is bounded by the longest single document, as every per-doc
+    * fold here is).
+    */
+  def dSelfRep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val G = DupSpanGram
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val cps = text.codePoints().toArray
+        val n = cps.length - (G - 1)
+        if (n < 1) (id, -1L, 0L, cps.length.toLong)
+        else {
+          val counts = new java.util.HashMap[Long, Integer]()
+          val hs = new Array[Long](n)
+          var i = 0
+          while (i < n) {
+            val h = graft.functions.Hash64.hashString(new String(cps, i, G))
+            hs(i) = h
+            counts.merge(h, Integer.valueOf(1),
+              (a, b) => Integer.valueOf(a.intValue + b.intValue))
+            i += 1
+          }
+          val pos = scala.collection.mutable.ArrayBuffer.empty[Long]
+          i = 0
+          while (i < n) {
+            if (counts.get(hs(i)).intValue >= 2) pos += (i + 1).toLong
+            i += 1
+          }
+          if (pos.isEmpty) (id, 0L, 0L, cps.length.toLong)
+          else {
+            var spans = 0L; var covered = 0L
+            mergeRuns(pos.toArray, G.toLong) { (start, last, _) =>
+              spans += 1; covered += last + G - start
+            }.foreach(_ => ())
+            (id, spans, covered, cps.length.toLong)
+          }
+        }
+      }
+      .toDF("doc_id", "rep_spans", "rep_chars", "char_len")
+      .filter(col("rep_spans") >= 0L) // docs shorter than G carry no signal
+      .withColumn("rep_frac", round(col("rep_chars") / col("char_len"), 6))
+  }
+
   /** The trim ACTION of exact-substring dedup (the step Lee et al. 2021
     * apply after detection): every [[dDupSpans]] span is cut out of its
     * document and the surviving text is reported as (doc_id, char_len,
@@ -1499,6 +1558,40 @@ object Queries {
       .select(col("a"), col("b"))
     ConnectedComponents.run(docs.toDF("fileId"), edges)
       .select(col("fileId").as("doc_id"), col("clusterId").as("cluster_id"))
+  }
+
+  /** Near-dup retention ACTION on top of [[dMinhashCluster]]'s fully
+    * oracled clustering: per cluster keep ONE canonical member — the
+    * longest document, ties to the lowest doc_id (the "keep the richest
+    * copy" curation rule; the reference's dedup keeps the FIRST writer,
+    * which `keep` degenerates to when lengths tie). Emits one row per
+    * document with its cluster, the cluster size, the chosen canonical
+    * id, and the keep/drop decision — the per-row form a downstream
+    * training-data filter joins on.
+    *
+    * Scale: clustering is the flagship path (hub-star buckets, integer
+    * Jaccard verify, log-diameter CC); canonical selection is ONE
+    * combinable `min(struct(-len, id))` aggregate per cluster plus one
+    * cluster-keyed join back — no windows, no per-cluster sort, no
+    * collect. A 10^6-member boilerplate cluster costs one agg group.
+    */
+  def dNeardupPrune(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    val clusters = dMinhashCluster(spark, dir)
+    val lens = d.select(col("doc_id"),
+      length(col("text")).cast("long").as("char_len"))
+    val withLen = clusters.join(lens, Seq("doc_id"))
+    val canon = withLen
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        min(struct((-col("char_len")).as("neg_len"),
+          col("doc_id").as("doc_id"))).as("c"))
+      .select(col("cluster_id"), col("cluster_size"),
+        col("c.doc_id").as("canon_id"))
+    withLen.join(canon, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("canon_id"),
+        when(col("doc_id") === col("canon_id"), 1L).otherwise(0L).as("keep"))
   }
 
   /** Replayable SimHash analog WITH a value oracle (the production
@@ -2527,6 +2620,7 @@ object Queries {
     "d_winnow_pairs" -> (dWinnowPairs _),
     "d_dup_spans" -> (dDupSpans _),
     "d_dup_span_stats" -> (dDupSpanStats _),
+    "d_self_rep" -> (dSelfRep _),
     "d_dup_span_pairs" -> (dDupSpanPairs _),
     "d_dup_trim" -> (dDupTrim _),
     "d_decontam" -> (dDecontam _),
@@ -2535,6 +2629,7 @@ object Queries {
     "d_fingerprint" -> (dFingerprint _),
     "d_doc_clusters" -> (dDocClusters _),
     "d_minhash_cluster" -> (dMinhashCluster _),
+    "d_neardup_prune" -> (dNeardupPrune _),
     "d_simhash_md5" -> (dSimhashMd5 _),
     "d_chunk_stats" -> (dChunkStats _),
     "d_backup_stats" -> (dBackupStats _),
@@ -3719,6 +3814,54 @@ object Queries {
         |  WHERE r.label < s.y)
         |SELECT node AS doc_id, min(label) AS cluster_id
         |FROM reach GROUP BY node""".stripMargin,
+    "d_neardup_prune" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 8),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 8) AS g
+        |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 7)) AS i FROM d)),
+        |bands AS (SELECT unnest(generate_series(0, 7)) AS band),
+        |sigs AS (
+        |  SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || ':' || g)) AS sig
+        |  FROM grams, bands GROUP BY doc_id, band),
+        |hubs AS (SELECT band, sig, min(doc_id) AS hub FROM sigs GROUP BY band, sig),
+        |cand AS (
+        |  SELECT DISTINCT h.hub AS a, s.doc_id AS b
+        |  FROM sigs s JOIN hubs h USING (band, sig) WHERE s.doc_id <> h.hub),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.a, c.b, count(*) AS inter
+        |  FROM cand c
+        |  JOIN grams ga ON ga.doc_id = c.a
+        |  JOIN grams gb ON gb.doc_id = c.b AND gb.g = ga.g
+        |  GROUP BY c.a, c.b),
+        |edges AS (
+        |  SELECT i.a, i.b FROM inter i
+        |  JOIN sizes sa ON sa.doc_id = i.a
+        |  JOIN sizes sb ON sb.doc_id = i.b
+        |  WHERE 3 * i.inter >= sa.n + sb.n),
+        |sym AS (SELECT a AS x, b AS y FROM edges UNION SELECT b, a FROM edges),
+        |reach(node, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT s.y, r.label FROM reach r JOIN sym s ON s.x = r.node
+        |  WHERE r.label < s.y),
+        |clusters AS (
+        |  SELECT node AS doc_id, min(label) AS cluster_id
+        |  FROM reach GROUP BY node),
+        |wl AS (
+        |  SELECT c.doc_id, c.cluster_id, CAST(length(dd.text) AS BIGINT) AS char_len
+        |  FROM clusters c JOIN documents dd USING (doc_id)),
+        |rnk AS (
+        |  SELECT doc_id, cluster_id,
+        |    row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY char_len DESC, doc_id ASC) AS rn
+        |  FROM wl),
+        |canon AS (SELECT cluster_id, doc_id AS canon_id FROM rnk WHERE rn = 1),
+        |csize AS (SELECT cluster_id, count(*) AS cluster_size FROM wl GROUP BY 1)
+        |SELECT w.doc_id, w.cluster_id, s.cluster_size, c.canon_id,
+        |  CAST(CASE WHEN w.doc_id = c.canon_id THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM wl w JOIN canon c USING (cluster_id) JOIN csize s USING (cluster_id)""".stripMargin,
     "d_simhash_md5" ->
       """WITH words AS (
         |  SELECT doc_id, w FROM (
@@ -3798,6 +3941,38 @@ object Queries {
         |  COALESCE(a.dup_chars, 0) AS dup_chars,
         |  length(d.text) AS char_len,
         |  round(COALESCE(a.dup_chars, 0) / length(d.text), 6) AS dup_frac
+        |FROM d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    "d_self_rep" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 16),
+        |pos AS (
+        |  SELECT doc_id, i, substr(text, CAST(i AS INTEGER), 16) AS gram
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, length(text) - 15)) AS i FROM d)),
+        |dupg AS (
+        |  SELECT doc_id, gram FROM pos
+        |  GROUP BY doc_id, gram HAVING count(*) >= 2),
+        |dp AS (SELECT p.doc_id, p.i FROM pos p JOIN dupg g USING (doc_id, gram)),
+        |brk AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= 16
+        |      THEN 0 ELSE 1 END AS is_brk
+        |  FROM dp),
+        |isl AS (
+        |  SELECT doc_id, i,
+        |    sum(is_brk) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS UNBOUNDED PRECEDING) AS span_id
+        |  FROM brk),
+        |spans AS (
+        |  SELECT doc_id, min(i) AS span_start,
+        |    max(i) + 16 - min(i) AS span_len
+        |  FROM isl GROUP BY doc_id, span_id),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS rep_spans, sum(span_len) AS rep_chars
+        |  FROM spans GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(a.rep_spans, 0) AS rep_spans,
+        |  COALESCE(a.rep_chars, 0) AS rep_chars,
+        |  length(d.text) AS char_len,
+        |  round(COALESCE(a.rep_chars, 0) / length(d.text), 6) AS rep_frac
         |FROM d LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "d_dup_trim" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 16),

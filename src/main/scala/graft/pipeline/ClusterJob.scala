@@ -556,8 +556,45 @@ object ClusterJob {
     * stream label, e.g. b2, or by an uncompacted root path) and writes
     * the compacted root the next chained backup OR the next expiry
     * submits against.
+    *
+    * Restore mode (`destor -r<jobid> /path`):
+    * ClusterJob restore <corpusParquet> <outDir> [destor.config]
+    * — materializes the snapshot's directory tree under outDir via the
+    * dedup store ([[Restore.materialize]]: recipe ⋈ first-writer chunk
+    * bytes, executor-side streaming writes) and prints the per-file
+    * sha256 verification tally, the reference's `-r` + md5-check mode.
+    * The config's chunk-* directives select the chunker, exactly as the
+    * backup-mode config does.
     */
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("restore")) {
+      val Array(_, corpusPath, outDir) = args.take(3)
+      val cfg = args.lift(3).map { cfgPath =>
+        val text = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(cfgPath)),
+          java.nio.charset.StandardCharsets.UTF_8)
+        DestorConfig.parse(text).dedupConfig
+      }.getOrElse(DedupConfig())
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+      val spark = SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      import spark.implicits._
+      val corpus = spark.read.parquet(corpusPath).as[CorpusFile]
+      val res = Restore.materialize(corpus, cfg, outDir)
+      val tally = res.agg(count(lit(1)).as("files"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("restored_ok"),
+        sum(when(col("ok"), 0L).otherwise(1L)).as("restored_bad")).head()
+      println(s"[clusterjob] restore files=${tally.getLong(0)} " +
+        s"ok=${tally.getLong(1)} bad=${tally.getLong(2)} out=$outDir")
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("expire")) {
       val Array(_, outRoot, expiredBackup, chain) = args.take(4)
       val runId = args.lift(4).getOrElse(s"gc-${java.util.UUID.randomUUID()}")

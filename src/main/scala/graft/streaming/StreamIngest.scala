@@ -204,6 +204,113 @@ object StreamIngest {
     * Within one micro-batch the iterator is folded in (file, seq) order so
     * the first writer is deterministic regardless of shuffle arrival.
     */
+  /** One streamed document for [[neardupStream]]. */
+  final case class DocEvent(docId: Long, text: String)
+
+  /** Per-LSH-bucket state: the bucket's hub (first doc to land in it)
+    * and the hub's full MinHash signature for verification — K longs,
+    * O(1) per key.
+    */
+  final case class BucketState(hubId: Long, hubSig: Array[Long])
+
+  /** One (doc, bucket) verdict: the bucket's hub at arrival time and the
+    * MinHash-estimated Jaccard against it (1.0 self row when the doc IS
+    * the hub).
+    */
+  final case class BucketVerdict(docId: Long, bucket: Long, hubId: Long,
+    est: Double)
+
+  /** STREAMING near-dup detection — the flagship LSH pipeline
+    * ([[graft.pipeline.DedupPipeline.candidatePairs]]) as a stateful
+    * streaming operator, so an always-on ingestion stream gets keep-first
+    * near-dup curation with the same banding scheme as the batch job.
+    *
+    * Shape: map-side featurize (gear shingles → K-MinHash → b seeded band
+    * hashes, [[graft.pipeline.Shingles]]) explodes each doc into b
+    * (bucket, docId, sig) rows; ONE flatMapGroupsWithState keyed by
+    * bucket holds the bucket's HUB — the first doc ever to land in it —
+    * plus the hub's signature, and emits a [[BucketVerdict]] per arrival
+    * with the MinHash-estimated Jaccard vs the hub. The hub-star rule is
+    * the batch path's own hot-bucket linearization: candidates are
+    * (hub, member), never member×member, so a boilerplate bucket costs
+    * O(members) verdicts and O(K) state forever.
+    *
+    * Determinism: within a micro-batch arrivals fold in docId order, so
+    * the min-id doc of the first batch is the hub — exactly the batch
+    * hub. Estimates are exact ratios matches/K (no float-order drift).
+    * Across batches state persists in Spark's checkpointed state store:
+    * a doc arriving a week later still verifies against the hub its
+    * bucket elected on day one (the streaming analog of the persistent
+    * fingerprint index).
+    *
+    * Scale notes: state is hash-partitioned by bucket; per-key state is
+    * K longs — a RocksDB state store carries billions of buckets. The
+    * map-side explode ships b copies of the K-long signature per doc
+    * (the standard LSH shuffle cost; band-slicing the signature and
+    * re-joining for verification halves it at the cost of a second
+    * shuffle — not worth it below ~10^10 docs/day).
+    */
+  def neardupStream(docs: Dataset[DocEvent],
+      cfg: graft.pipeline.ShingleConfig = graft.pipeline.ShingleConfig())
+      : Dataset[BucketVerdict] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.pipeline.Shingles
+    docs
+      .flatMap { d =>
+        val sh = Shingles.shingleHashes(
+          d.text.getBytes(java.nio.charset.StandardCharsets.UTF_8), cfg)
+        val mh = Shingles.minhash(sh, cfg.minhashK)
+        if (mh.isEmpty) Iterator.empty
+        else Shingles.bandHashes(mh, cfg).iterator.map(h => (h, d.docId, mh))
+      }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[BucketState, BucketVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (bucket: Long, events: Iterator[(Long, Long, Array[Long])],
+            state: GroupState[BucketState]) =>
+          val ordered = events.toSeq.sortBy(_._2)
+          var st = state.getOption.orNull
+          val out = ordered.map { case (_, id, mh) =>
+            if (st == null) {
+              st = BucketState(id, mh)
+              BucketVerdict(id, bucket, id, 1.0)
+            } else {
+              BucketVerdict(id, bucket, st.hubId,
+                Shingles.minhashEstimate(st.hubSig, mh))
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Per-doc keep/drop decision over [[neardupStream]] verdicts: a doc is
+    * a near-dup iff some bucket's hub (other than itself) estimates
+    * Jaccard ≥ threshold; `canonId` is the best-estimate hub (ties → min
+    * hub id), the doc itself when kept. `docs` supplies the universe so
+    * documents that never produced a verdict (empty/too-short text) are
+    * kept rows too. Plain batch aggregation — run it per micro-batch in
+    * foreachBatch or over the accumulated verdict sink.
+    */
+  def neardupDecide(docs: DataFrame, verdicts: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val best = verdicts
+      .filter(col("hubId") =!= col("docId"))
+      .groupBy(col("docId"))
+      .agg(max(struct(col("est").as("est"),
+        (-col("hubId")).as("negHub"))).as("m"))
+      .select(col("docId"), col("m.est").as("bestEst"),
+        (-col("m.negHub")).as("bestHub"))
+    docs.select(col("docId"))
+      .join(best, Seq("docId"), "left")
+      .select(col("docId"),
+        coalesce(col("bestEst") < threshold, lit(true)).as("keep"),
+        when(coalesce(col("bestEst") >= threshold, lit(false)),
+          col("bestHub")).otherwise(col("docId")).as("canonId"),
+        coalesce(col("bestEst"), lit(0.0)).as("bestEst"))
+  }
+
   def dedupStream(chunks: Dataset[ChunkEvent]): Dataset[DedupDecision] = {
     import chunks.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}

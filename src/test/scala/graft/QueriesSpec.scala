@@ -43,6 +43,49 @@ class QueriesSpec extends AnyFunSuite {
     assert(got.size === 4)
   }
 
+  test("d_self_rep measures within-doc repeated-gram coverage") {
+    import spark.implicits._
+    val selfDup = "0123456789abcdef" * 4 // every 16-gram recurs → full cover
+    val unique = "The unique text never repeats anything at all in here."
+    val twoIslands = "X" * 20 + "abcdefghijklmnopqrstuvwxyz0123" + "Y" * 20
+    val tmp = java.nio.file.Files.createTempDirectory("srep").toString
+    Seq((0L, selfDup), (1L, unique), (2L, "short"), (3L, twoIslands))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Queries.dSelfRep(spark, tmp)
+      .select("doc_id", "rep_spans", "rep_chars", "char_len")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(0L) === ((0L, 1L, 64L, 64L)), "periodic doc fully covered")
+    assert(got(1L)._2 === 0L && got(1L)._3 === 0L, "unique doc scores zero")
+    assert(!got.contains(2L), "sub-gram docs carry no signal")
+    assert(got(3L) === ((3L, 2L, 40L, 70L)),
+      "two X/Y runs are two islands of 20 chars each")
+  }
+
+  test("d_neardup_prune keeps the longest cluster member, ties to min id") {
+    import spark.implicits._
+    val base = "The quick brown fox jumps over the lazy dog. " * 8
+    val longer = base + "An extra closing sentence rides along."
+    val other = "Entirely different content about spark shuffles. " * 8
+    val tmp = java.nio.file.Files.createTempDirectory("ndp").toString
+    // 0 and 2 are exact dups; 1 is a longer near-dup — the canonical;
+    // 3 is unrelated and must survive as its own singleton cluster
+    Seq((0L, base), (1L, longer), (2L, base), (3L, other))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Queries.dNeardupPrune(spark, tmp)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map { case (id, cl, sz, canon, keep) => id -> ((cl, sz, canon, keep)) }
+      .toMap
+    assert(got(0L)._1 === got(1L)._1 && got(1L)._1 === got(2L)._1,
+      "dup trio must share a cluster")
+    assert(got(0L)._2 === 3L, "cluster size")
+    assert(got(0L)._3 === 1L, "canonical must be the longest member")
+    assert(got(1L)._4 === 1L && got(0L)._4 === 0L && got(2L)._4 === 0L,
+      "only the canonical is kept")
+    assert(got(3L) === ((3L, 1L, 3L, 1L)), "singleton keeps itself")
+  }
+
   test("d_simhash_md5 ranks exact dups at hamming 0, keeps unrelated out") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again " * 5

@@ -123,4 +123,50 @@ class StreamIngestSpec extends AnyFunSuite {
     // exactly one unique emission per fingerprint
     assert(rows.toSeq.filter(_._3).map(_._1).sorted === Seq("A", "B", "C"))
   }
+
+  test("streaming near-dup: keep-first curation across micro-batches") {
+    import StreamIngest.DocEvent
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // non-periodic texts: ~40 distinct gear shingles each, so a single
+    // one-word edit perturbs only the few shingles covering it
+    val base = (1 to 60).map(i =>
+      s"Sentence $i walks the quick brown fox over lazy dedup engine $i.")
+      .mkString(" ")
+    val near = base.replaceFirst("fox over lazy", "fox over idle")
+    val other = (1 to 60).map(i =>
+      s"Row $i carries container packing stats and restore cache curves $i.")
+      .mkString(" ")
+    val stream = MemoryStream[DocEvent]
+    val out = StreamIngest.neardupStream(stream.toDS())
+    val q = out.writeStream.format("memory").queryName("sneardup")
+      .outputMode("append").start()
+    // batch 1: the base doc and one unrelated doc — both become hubs
+    stream.addData(DocEvent(0L, base), DocEvent(1L, other))
+    q.processAllAvailable()
+    // batch 2: a near-dup of doc 0 (must hit CROSS-BATCH state), a
+    // genuinely fresh doc, a near-dup of doc 1, and an exact dup of doc 0
+    val fresh = (1 to 60).map(i =>
+      s"Fragment $i mixes tungsten codegen stages with shuffle spill $i.")
+      .mkString(" ")
+    stream.addData(DocEvent(2L, near), DocEvent(3L, fresh),
+      DocEvent(4L, base),
+      DocEvent(5L, other.replaceFirst("packing stats", "packing data")))
+    q.processAllAvailable()
+    q.stop()
+    val verdicts = spark.sql(
+      "SELECT docId, bucket, hubId, est FROM sneardup")
+    val docs = Seq(0L, 1L, 2L, 3L, 4L, 5L).toDF("docId")
+    val got = StreamIngest.neardupDecide(docs, verdicts)
+      .as[(Long, Boolean, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(0L) === ((true, 0L)), "first arrival is kept")
+    assert(got(1L) === ((true, 1L)), "unrelated doc kept")
+    assert(got(2L) === ((false, 0L)),
+      "near-dup must match the hub elected a batch earlier")
+    assert(got(3L) === ((true, 3L)), "fresh doc kept")
+    assert(got(4L) === ((false, 0L)), "exact dup canonicalizes to doc 0")
+    assert(got(5L) === ((false, 1L)),
+      "near-dup of the OTHER hub canonicalizes to doc 1")
+  }
 }

@@ -31,7 +31,10 @@ object ExplainPlans {
         "d_dup_spans", "d_dup_span_pairs", "d_decontam",
         // clone detection: prefix-filtered candidate join + sorted-array
         // merge verify — no cartesians; both joins are h-/doc-keyed
-        "d_clone_pairs")) {
+        "d_clone_pairs",
+        // near-dup retention action: the clustering plan + ONE combinable
+        // agg and one cluster-keyed join — no windows, no per-cluster sort
+        "d_neardup_prune")) {
       println(s"\n===== $name =====")
       println(graft.Queries.all(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
