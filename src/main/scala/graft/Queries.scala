@@ -1140,6 +1140,28 @@ object Queries {
       .withColumn("rep_frac", round(col("rep_chars") / col("char_len"), 6))
   }
 
+  /** Distributed generalized SUFFIX ARRAY over a deterministic 1/16
+    * corpus slice (docs whose md5 leading nibble is '0' — the
+    * [[dDecontam]] split idiom; the slice keeps the driver artifact
+    * Θ(slice text) while the algorithm itself is corpus-agnostic):
+    * one (doc_id, pos, srank) row per suffix, srank = the DENSE global
+    * lexicographic rank — literally `dense_rank() OVER (ORDER BY
+    * suffix)`, which is the DuckDB oracle verbatim. Built by
+    * [[graft.operators.SuffixArray.ranks]] prefix doubling: log(maxLen)
+    * rounds of fixed-width-row shuffles + the two-phase global rank, no
+    * windows, no suffix strings shuffled. See the scaladoc there for the
+    * 100 TB cost statement (Θ(corpus)·log(maxLen) — the exactness price
+    * the gram sketches avoid).
+    */
+  def dSuffixRank(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+      .filter(col("text").isNotNull &&
+        substring(md5(col("text").cast("binary")), 1, 1) === "0")
+      .select(col("doc_id"), col("text"))
+    graft.operators.SuffixArray.ranks(d)
+      .select(col("doc_id"), col("pos"), col("srank"))
+  }
+
   /** The trim ACTION of exact-substring dedup (the step Lee et al. 2021
     * apply after detection): every [[dDupSpans]] span is cut out of its
     * document and the surviving text is reported as (doc_id, char_len,
@@ -2621,6 +2643,7 @@ object Queries {
     "d_dup_spans" -> (dDupSpans _),
     "d_dup_span_stats" -> (dDupSpanStats _),
     "d_self_rep" -> (dSelfRep _),
+    "d_suffix_rank" -> (dSuffixRank _),
     "d_dup_span_pairs" -> (dDupSpanPairs _),
     "d_dup_trim" -> (dDupTrim _),
     "d_decontam" -> (dDecontam _),
@@ -3974,6 +3997,16 @@ object Queries {
         |  length(d.text) AS char_len,
         |  round(COALESCE(a.rep_chars, 0) / length(d.text), 6) AS rep_frac
         |FROM d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    "d_suffix_rank" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |           WHERE text IS NOT NULL AND substr(md5(text), 1, 1) = '0'),
+        |s AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |        substr(text, CAST(i AS INTEGER)) AS suf
+        |      FROM (SELECT doc_id, text,
+        |              unnest(generate_series(1, length(text))) AS i FROM d))
+        |SELECT doc_id, pos,
+        |  CAST(dense_rank() OVER (ORDER BY suf) AS BIGINT) AS srank
+        |FROM s""".stripMargin,
     "d_dup_trim" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 16),
         |pos AS (
