@@ -1162,6 +1162,38 @@ object Queries {
       .select(col("doc_id"), col("pos"), col("srank"))
   }
 
+  /** EXACT 16-cp-gram duplicate statistics via bounded suffix-array
+    * prefix ranks — the collision-FREE cross-check of the hashed-gram
+    * surface ([[dDupSpans]] keys on 64-bit gram hashes; this keys on
+    * true prefix equality): [[graft.operators.SuffixArray.prefixRanks]]
+    * runs a fixed 5 doubling rounds so positions with ≥16 codepoints
+    * remaining share `srank` iff their 16-cp grams are byte-identical.
+    * Per doc (slice docs with ≥16 cps): total gram positions, positions
+    * whose gram recurs anywhere in the slice, and positions whose gram
+    * appears in ≥2 distinct docs. Same 1/16 md5 corpus slice as
+    * [[dSuffixRank]]. Plan: the bounded doubling rounds, one rank-keyed
+    * class-stats agg, one rank join-back, one doc-keyed agg — all
+    * fixed-width rows, no windows, no text shuffled past the explode.
+    */
+  def dSaGramStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+      .filter(col("text").isNotNull &&
+        substring(md5(col("text").cast("binary")), 1, 1) === "0")
+      .select(col("doc_id"), col("text"))
+    val lens = d.select(col("doc_id"), length(col("text")).as("char_len"))
+      .filter(col("char_len") >= 16)
+    val pos16 = graft.operators.SuffixArray.prefixRanks(d, 16L)
+      .join(lens, "doc_id")
+      .filter(col("pos") <= col("char_len") - 15)
+    val cls = pos16.groupBy("srank")
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("nd"))
+    pos16.join(cls, "srank")
+      .groupBy("doc_id", "char_len")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("n") >= 2, 1L).otherwise(0L)).as("dup_grams"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("xdoc_grams"))
+  }
+
   /** The trim ACTION of exact-substring dedup (the step Lee et al. 2021
     * apply after detection): every [[dDupSpans]] span is cut out of its
     * document and the surviving text is reported as (doc_id, char_len,
@@ -2644,6 +2676,7 @@ object Queries {
     "d_dup_span_stats" -> (dDupSpanStats _),
     "d_self_rep" -> (dSelfRep _),
     "d_suffix_rank" -> (dSuffixRank _),
+    "d_sa_gram_stats" -> (dSaGramStats _),
     "d_dup_span_pairs" -> (dDupSpanPairs _),
     "d_dup_trim" -> (dDupTrim _),
     "d_decontam" -> (dDecontam _),
@@ -4007,6 +4040,21 @@ object Queries {
         |SELECT doc_id, pos,
         |  CAST(dense_rank() OVER (ORDER BY suf) AS BIGINT) AS srank
         |FROM s""".stripMargin,
+    "d_sa_gram_stats" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |           WHERE text IS NOT NULL AND substr(md5(text), 1, 1) = '0'
+        |             AND length(text) >= 16),
+        |g AS (SELECT doc_id, length(text) AS char_len,
+        |        substr(text, CAST(i AS INTEGER), 16) AS gram
+        |      FROM (SELECT doc_id, text,
+        |              unnest(generate_series(1, length(text) - 15)) AS i FROM d)),
+        |c AS (SELECT gram, count(*) AS n, count(DISTINCT doc_id) AS nd
+        |      FROM g GROUP BY gram)
+        |SELECT doc_id, char_len, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams,
+        |  CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS xdoc_grams
+        |FROM g JOIN c USING (gram)
+        |GROUP BY doc_id, char_len""".stripMargin,
     "d_dup_trim" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 16),
         |pos AS (

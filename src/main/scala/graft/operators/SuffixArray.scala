@@ -49,17 +49,7 @@ object SuffixArray {
     * suffix rank.
     */
   def ranks(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val rows = docs
-      .filter(col("text").isNotNull)
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val cps = text.codePoints().toArray
-        Iterator.tabulate(cps.length)(i => (id, (i + 1).toLong, cps(i).toLong))
-      }
-      .toDF("doc_id", "pos", "cp")
+    val rows = explodeCodepoints(docs)
     val maxLen = docs
       .agg(coalesce(max(length(col("text"))), lit(0)).cast("long")).head()
       .getLong(0)
@@ -81,6 +71,52 @@ object SuffixArray {
       done = k >= maxLen || distinctRanks(cur) == nRows
     }
     cur
+  }
+
+  /** Ranks ordered by only the first L codepoints (L a power of two):
+    * the doubling loop runs a FIXED 1+log2(L) rounds — no convergence
+    * counting — so positions with ≥ L codepoints remaining share a rank
+    * iff their first L codepoints are identical (shorter suffixes rank
+    * by their full content, termination-first, as in [[ranks]]). This is
+    * the exact, collision-free form of the hashed 16-cp grams the sketch
+    * passes ([[graft.Queries.dDupSpans]]) key on: 5 bounded shuffle
+    * rounds instead of full convergence, Θ(corpus) fixed-width rows.
+    */
+  def prefixRanks(docs: DataFrame, L: Long): DataFrame = {
+    require(L >= 1 && (L & (L - 1)) == 0, s"L must be a power of two, got $L")
+    val rows = explodeCodepoints(docs)
+    var cur = denseRank(rows, col("cp"), lit(0L))
+      .select(col("doc_id"), col("pos"), col("srank"))
+      .localCheckpoint(true)
+    var k = 1L
+    while (k < L) {
+      val shifted = cur.select(col("doc_id"),
+        (col("pos") - k).as("pos"), col("srank").as("r2"))
+      val keyed = cur.join(shifted, Seq("doc_id", "pos"), "left")
+        .na.fill(0L, Seq("r2"))
+      cur = denseRank(keyed, col("srank"), col("r2"))
+        .select(col("doc_id"), col("pos"), col("srank"))
+        .localCheckpoint(true)
+      k *= 2
+    }
+    cur
+  }
+
+  /** (doc_id, text) → one (doc_id, pos, cp) row per codepoint; pos is
+    * 1-based in codepoint coordinates (SQL substr semantics).
+    */
+  private def explodeCodepoints(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val cps = text.codePoints().toArray
+        Iterator.tabulate(cps.length)(i => (id, (i + 1).toLong, cps(i).toLong))
+      }
+      .toDF("doc_id", "pos", "cp")
   }
 
   private def distinctRanks(cur: DataFrame): Long =

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
 import graft.SparkTestSession
 
 /** The distributed suffix array must equal the sequential definition:
@@ -51,6 +52,59 @@ class SuffixArraySpec extends AnyFunSuite {
       id -> Array.fill(len)("ab".charAt(rng.nextInt(2))).mkString
     }.filter(_._2.nonEmpty)
     assert(rankMap(docs) === brute(docs))
+  }
+
+  test("prefixRanks(L) ties exactly on true L-codepoint prefix equality") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abcdXXefgh"), (2L, "abcdYYefgh"), (3L, "abcdXXefgZ"), (4L, "ab"))
+    val got = SuffixArray.prefixRanks(docs.toDF("doc_id", "text"), 4L)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val text = docs.toMap
+    // positions with >= 4 cps remaining: same rank iff same first 4 cps
+    val deep = for {
+      (id, t) <- docs; i <- 1 to t.length - 3
+    } yield ((id, i.toLong), t.substring(i - 1, i + 3))
+    for {
+      ((ka, pa), (kb, pb)) <- deep.combinations(2).map { case Seq(a, b) => (a, b) }
+    } assert((got(ka._1 -> ka._2) == got(kb._1 -> kb._2)) === (pa == pb),
+      s"$ka($pa) vs $kb($pb)")
+    // shorter suffixes still rank, by full content: doc 4 "ab"/"b"
+    assert(got.contains((4L, 1L)) && got.contains((4L, 2L)))
+    assert(got((4L, 1L)) !== got((1L, 1L)), "short 'ab' != deep 'abcd...'")
+  }
+
+  test("d_sa_gram_stats matches a brute-force exact-gram count") {
+    import spark.implicits._
+    val shared = "0123456789abcdef" // one exact 16-gram planted in two docs
+    val docs = Seq(
+      (1L, "A" * 8 + shared + "B" * 8),
+      (2L, "C" * 5 + shared + "D" * 11),
+      (3L, "unique text with no repeats at all among these"),
+      (4L, "short"))
+    val d = docs.toDF("doc_id", "text")
+    val lens = d.select(col("doc_id"), length(col("text")).as("char_len"))
+      .filter(col("char_len") >= 16)
+    val pos16 = SuffixArray.prefixRanks(d, 16L)
+      .join(lens, "doc_id").filter(col("pos") <= col("char_len") - 15)
+    val cls = pos16.groupBy("srank")
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("nd"))
+    val got = pos16.join(cls, "srank").groupBy("doc_id")
+      .agg(sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("xdoc_grams"),
+        count(lit(1)).as("n_grams"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // brute force over true gram strings
+    val grams = docs.filter(_._2.length >= 16).flatMap { case (id, t) =>
+      (0 to t.length - 16).map(i => (id, t.substring(i, i + 16)))
+    }
+    val byGram = grams.groupBy(_._2).view.mapValues(_.map(_._1).distinct.size)
+    val expect = grams.groupBy(_._1).map { case (id, g) =>
+      id -> ((g.count(x => byGram(x._2) >= 2).toLong, g.size.toLong))
+    }
+    assert(got === expect)
+    assert(got(1L)._1 === 1L, "exactly the planted gram is cross-doc")
+    assert(!got.contains(4L), "sub-gram doc contributes nothing")
   }
 
   test("max cross-doc LCP via rank-adjacency equals the suffix-automaton LCS") {
