@@ -107,6 +107,23 @@ class SuffixArraySpec extends AnyFunSuite {
     assert(!got.contains(4L), "sub-gram doc contributes nothing")
   }
 
+  test("ranks survive a downstream coalesce(1) unchanged") {
+    import spark.implicits._
+    // regression: the lazy rank pass must read its partition offset from
+    // the row (frozen at checkpoint), not TaskContext — a narrow
+    // coalesce merges parent partitions into one task id
+    val rng = new scala.util.Random(11)
+    val docs = (1L to 12L)
+      .map(id => id -> Array.fill(60)("abcd".charAt(rng.nextInt(4))).mkString)
+    val df = SuffixArray.ranks(docs.toDF("doc_id", "text"))
+    val plain = df.as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val coalesced = df.coalesce(1).as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(coalesced === plain)
+    assert(plain.values.max > 12L, "sanity: many distinct ranks")
+  }
+
   test("max cross-doc LCP via rank-adjacency equals the suffix-automaton LCS") {
     val planted = "sharedplantedrun17"
     val docs = Seq(
