@@ -107,6 +107,36 @@ class SuffixArraySpec extends AnyFunSuite {
     assert(!got.contains(4L), "sub-gram doc contributes nothing")
   }
 
+  test("SA-exact census equals the hash64 gram census on the real corpus") {
+    import spark.implicits._
+    // collision-freedom evidence: the d_dup_spans surface keys 16-cp
+    // grams by Hash64; on the sf0.001 slice the hashed census must agree
+    // with the suffix-array's true-prefix-equality census exactly
+    val dir = "/root/testdata/sf0.001"
+    val exact = graft.SparkEntry.queries("d_sa_gram_stats")(spark, dir)
+      .select("doc_id", "dup_grams", "xdoc_grams")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val occ = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("text").isNotNull &&
+        substring(md5(col("text").cast("binary")), 1, 1) === "0" &&
+        length(col("text")) >= 16)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val cps = text.codePoints().toArray
+        Iterator.tabulate(cps.length - 15) { i =>
+          (graft.functions.Hash64.hashString(new String(cps, i, 16)), id)
+        }
+      }.collect()
+    val byHash = occ.groupBy(_._1)
+      .map { case (h, xs) => h -> ((xs.length, xs.map(_._2).distinct.length)) }
+    val hashed = occ.groupBy(_._2).map { case (id, xs) =>
+      id -> ((xs.count(x => byHash(x._1)._1 >= 2).toLong,
+        xs.count(x => byHash(x._1)._2 >= 2).toLong))
+    }
+    assert(exact === hashed)
+    assert(exact.values.map(_._1).sum > 0, "sanity: slice has duplicated grams")
+  }
+
   test("ranks survive a downstream coalesce(1) unchanged") {
     import spark.implicits._
     // regression: the lazy rank pass must read its partition offset from
