@@ -66,6 +66,23 @@ object Queries {
       .select(col("o_custkey"), col("o_orderkey"), col("rk"))
   }
 
+  /** T1/T2 top-k per group via the native bounded-heap aggregate
+    * ([[graft.functions.TopKBy]]): same semantics as `q_topk_per_group`'s
+    * window formulation but map-side combinable — each input partition
+    * forwards at most k rows per customer and no per-group sort exists
+    * anywhere in the plan (ObjectHashAggregate partial/final instead of
+    * WindowExec). Integer cents keep the ordering oracle-exact.
+    */
+  def qTopkAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    o.groupBy(col("o_custkey"))
+      .agg(graft.functions.TopKBy(
+        cents(col("o_totalprice")), col("o_orderkey"), 3).as("topk"))
+      .select(col("o_custkey"), posexplode(col("topk")))
+      .select(col("o_custkey"), col("col.id").as("o_orderkey"),
+        (col("pos") + 1).cast("long").as("rk"), col("col.score").as("cents"))
+  }
+
   /** W2 sessionization: runs of equal event_type per user (CFL run windows). */
   def qSessionRuns(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "events")
@@ -2607,6 +2624,7 @@ object Queries {
     "q1_agg" -> (q1Agg _),
     "q_first_writer" -> (qFirstWriter _),
     "q_topk_per_group" -> (qTopkPerGroup _),
+    "q_topk_agg" -> (qTopkAgg _),
     "q_session_runs" -> (qSessionRuns _),
     "q_cum_packing" -> (qCumPacking _),
     "q_broadcast_join" -> (qBroadcastJoin _),
@@ -3157,6 +3175,12 @@ object Queries {
       """SELECT o_custkey, o_orderkey, rk FROM (
         |  SELECT o_custkey, o_orderkey,
         |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+        |  FROM orders) WHERE rk <= 3""".stripMargin,
+    "q_topk_agg" ->
+      """SELECT o_custkey, o_orderkey, rk, cents FROM (
+        |  SELECT o_custkey, o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY CAST(round(o_totalprice*100) AS BIGINT) DESC, o_orderkey) AS BIGINT) AS rk
         |  FROM orders) WHERE rk <= 3""".stripMargin,
     "q_session_runs" ->
       """SELECT user_id, CAST(sum(isNew) AS BIGINT) AS n_runs, count(*) AS n_events FROM (

@@ -87,17 +87,25 @@ object SimilaritySelection {
 
   /** Plain shared-feature top-k WITHOUT trimming (the reference's
     * selection when greedy re-ranking is disabled; SQL-expressible).
+    *
+    * Uses the native bounded-heap [[graft.functions.TopKBy]] aggregate
+    * instead of a `row_number` window: the per-seg top-k partially
+    * aggregates map-side (each partition forwards ≤k candidates per
+    * seg), so a hot segment with 10^6 candidates never funnels a full
+    * per-group sort through one WindowExec task. Tie order is
+    * (shared DESC, candId DESC) — the FIFO-newest rule — hence the id
+    * negation through the heap.
     */
   def topKPlain(segFeatures: DataFrame, index: DataFrame, k: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("segId"))
-      .orderBy(col("shared").desc, col("candId").desc)
     segFeatures
       .join(index, Seq("feature"))
       .filter(col("segId") =!= col("candId"))
       .groupBy(col("segId"), col("candId"))
       .agg(countDistinct(col("feature")).as("shared"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+      .groupBy(col("segId"))
+      .agg(graft.functions.TopKBy(col("shared"), -col("candId"), k).as("topk"))
+      .select(col("segId"), posexplode(col("topk")))
+      .select(col("segId"), (-col("col.id")).as("candId"),
+        (col("pos") + 1).cast("long").as("rank"), col("col.score").as("shared"))
   }
 }

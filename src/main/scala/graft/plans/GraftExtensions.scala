@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSim, IntersectSorted, JaccardSorted}
+import graft.functions.{CosineSim, IntersectSorted, JaccardSorted, TopKBy}
 
 /** Engine extensions: registers the native codegen'd expressions with the
   * session so they are callable from SQL.
@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.jaccardSorted)
     ext.injectFunction(GraftExtensions.cosineSim)
     ext.injectFunction(GraftExtensions.intersectSorted)
+    ext.injectFunction(GraftExtensions.topKBy)
   }
 }
 
@@ -50,6 +51,15 @@ object GraftExtensions {
       IntersectSorted(children.head, children(1))
     })
 
+  private val topKBy = (
+    new FunctionIdentifier("top_k_by"),
+    new ExpressionInfo(classOf[TopKBy].getName, "top_k_by"),
+    (children: Seq[Expression]) => {
+      require(children.length == 3,
+        "top_k_by(score, id, k) takes two bigint args and a literal int k")
+      TopKBy(children.head, children(1), children(2))
+    })
+
   /** Register on an existing session (same builder the extension injects). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
@@ -58,5 +68,7 @@ object GraftExtensions {
       cosineSim._1, cosineSim._2, cosineSim._3)
     spark.sessionState.functionRegistry.registerFunction(
       intersectSorted._1, intersectSorted._2, intersectSorted._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      topKBy._1, topKBy._2, topKBy._3)
   }
 }

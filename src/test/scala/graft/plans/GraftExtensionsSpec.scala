@@ -89,4 +89,49 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "SELECT cosine_sim(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D)) AS c")
       .head().isNullAt(0))
   }
+
+  test("top_k_by: window-rank parity, partition invariance, window-free plan") {
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // hot group 0 (2000 rows incl. score ties), cold tail, singleton group
+    val rows = Seq.tabulate(2000)(i => (0L, rnd.nextInt(40).toLong, i.toLong)) ++
+      Seq.tabulate(300)(i => ((1 + i % 17).toLong, rnd.nextInt(900).toLong, (10000 + i).toLong)) :+
+      ((99L, 5L, 777L))
+    val k = 5
+    def run(nPart: Int) = rows.toDF("g", "score", "id").repartition(nPart)
+      .groupBy($"g")
+      .agg(graft.functions.TopKBy($"score", $"id", k).as("topk"))
+      .select($"g", posexplode($"topk"))
+      .select($"g", $"col.score".as("score"), $"col.id".as("id"),
+        ($"pos" + 1).cast("long").as("rk"))
+    val expected = rows.toDF("g", "score", "id")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"g").orderBy($"score".desc, $"id")).cast("long"))
+      .filter($"rk" <= k)
+      .select($"g", $"score", $"id", $"rk")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    for (nPart <- Seq(1, 7, 32)) {
+      val got = run(nPart).as[(Long, Long, Long, Long)].collect().sorted.toSeq
+      assert(got === expected, s"nPart=$nPart")
+    }
+    // the aggregate plan has no window/sort operator — partial heaps
+    // combine map-side (ObjectHashAggregate), nothing globally sorted
+    val plan = run(32).queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(400))
+    assert(!plan.contains("Window"), "top_k_by plan must be window-free")
+    // SQL-callable and analysis-time validation of k
+    val viaSql = spark.sql(
+      "SELECT top_k_by(s, i, 2) AS t FROM VALUES (3L, 1L), (3L, 0L), (9L, 4L) AS v(s, i)")
+      .selectExpr("t[0].id", "t[0].score", "t[1].id", "t[1].score")
+      .as[(Long, Long, Long, Long)].head()
+    assert(viaSql === ((4L, 9L, 0L, 3L))) // ties → smaller id first
+    intercept[Exception](spark.sql("SELECT top_k_by(1L, 2L)").collect())
+    intercept[Exception](
+      spark.sql("SELECT top_k_by(s, i, 0) FROM VALUES (1L, 1L) AS v(s, i)").collect())
+    intercept[Exception]( // non-literal k rejected at analysis
+      spark.sql("SELECT top_k_by(s, i, CAST(i AS INT)) FROM VALUES (1L, 1L) AS v(s, i)").collect())
+  }
 }
