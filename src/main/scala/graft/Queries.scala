@@ -1489,6 +1489,79 @@ object Queries {
       .select(col("fileId").as("doc_id"), col("clusterId").as("cluster_id"))
   }
 
+  /** Deterministic north-rule-shaped files table (repo, path, content)
+    * derived from the documents corpus: docs shard into 40 repos per
+    * source, paths derive from the content digest (so repos holding the
+    * same texts lay them out identically — the fork/vendoring structure
+    * repo-granularity dedup detects), and every repo gets a "_fork"
+    * sibling carrying the ⅔ of its files with doc_id % 3 ≠ 0 — a
+    * genuine partial fork with Jaccard ≈ ⅔ against its base. The DuckDB
+    * oracles rebuild the identical table, so the whole repo layer is
+    * value-checked end to end.
+    */
+  private def repoFiles(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), col("text"), md5(col("text")).as("m"))
+    val path = concat(lit("d"), substring(col("m"), 1, 1), lit("/e"),
+      substring(col("m"), 2, 1), lit("/"), substring(col("m"), 1, 10), lit(".txt"))
+    val base = d.select(
+      concat(col("source"), lit("_r"), (col("doc_id") % 40).cast("string")).as("repo"),
+      path.as("path"), col("text").as("content"))
+    val fork = d.filter(col("doc_id") % 3 =!= 0).select(
+      concat(col("source"), lit("_r"), (col("doc_id") % 40).cast("string"),
+        lit("_fork")).as("repo"),
+      path.as("path"), col("text").as("content"))
+    base.unionAll(fork)
+  }
+
+  private val repoFilesSql =
+    """docs AS MATERIALIZED (
+      |  SELECT doc_id, source, text, md5(text) AS m
+      |  FROM documents WHERE text IS NOT NULL),
+      |files AS MATERIALIZED (
+      |  SELECT source || '_r' || CAST(doc_id % 40 AS VARCHAR) AS repo,
+      |    'd' || substr(m, 1, 1) || '/e' || substr(m, 2, 1) || '/' ||
+      |      substr(m, 1, 10) || '.txt' AS path,
+      |    m AS h
+      |  FROM docs
+      |  UNION ALL
+      |  SELECT source || '_r' || CAST(doc_id % 40 AS VARCHAR) || '_fork',
+      |    'd' || substr(m, 1, 1) || '/e' || substr(m, 2, 1) || '/' ||
+      |      substr(m, 1, 10) || '.txt',
+      |    m
+      |  FROM docs WHERE doc_id % 3 <> 0)""".stripMargin
+
+  /** DuckDB twin of [[operators.RepoDedup]]'s 48-bit digest prefix:
+    * Horner sum over the first 12 hex nibbles of an md5 column (DuckDB
+    * has no conv(); Spark's `conv(substr(md5, 1, 12), 16, 10)` computes
+    * the same value).
+    */
+  private def h48Sql(m: String): String =
+    (1 to 12).map { p =>
+      val pow = 1L << (4 * (12 - p))
+      s"(strpos('0123456789abcdef', substr($m, $p, 1)) - 1) * ${pow}"
+    }.mkString("(", " + ", ")")
+
+  /** Repo-granularity fork detection over the derived (repo, path,
+    * content) table — [[operators.RepoDedup.forkPairs]] at θ = 0.5. The
+    * oracle is the UNFILTERED brute-force set join, so hash-green
+    * certifies the prefix filter lossless at repo granularity too.
+    */
+  def dRepoForks(spark: SparkSession, dir: String): DataFrame =
+    operators.RepoDedup.forkPairs(repoFiles(spark, dir), 50)
+
+  /** Fork families: connected components over the fork edges; family =
+    * lexicographically smallest member repo. */
+  def dForkFamilies(spark: SparkSession, dir: String): DataFrame =
+    operators.RepoDedup.forkFamilies(repoFiles(spark, dir), 50)
+
+  /** Merkle-style directory-subtree census over the derived files table
+    * ([[operators.RepoDedup.dirCensus]]): order-independent 48-bit
+    * subtree signatures, cross-location share counts.
+    */
+  def dMerkleDirs(spark: SparkSession, dir: String): DataFrame =
+    operators.RepoDedup.dirCensus(repoFiles(spark, dir))
+
   /** A5-analog rollup aggregation (grouping sets over the doc corpus). */
   def dRollupStats(spark: SparkSession, dir: String): DataFrame = {
     val d = t(spark, dir, "documents")
@@ -2700,6 +2773,9 @@ object Queries {
     "d_decontam" -> (dDecontam _),
     "d_clone_pairs" -> (dClonePairs _),
     "d_clone_groups" -> (dCloneGroups _),
+    "d_repo_forks" -> (dRepoForks _),
+    "d_fork_families" -> (dForkFamilies _),
+    "d_merkle_dirs" -> (dMerkleDirs _),
     "d_fingerprint" -> (dFingerprint _),
     "d_doc_clusters" -> (dDocClusters _),
     "d_minhash_cluster" -> (dMinhashCluster _),
@@ -4224,6 +4300,64 @@ object Queries {
         |  WHERE r.label < s.y)
         |SELECT node AS doc_id, min(label) AS cluster_id
         |FROM reach GROUP BY node""".stripMargin,
+    // brute-force repo-set join, NO prefix filter: hash-green proves the
+    // repo-granularity prefix filtering loses no pair either
+    "d_repo_forks" ->
+      s"""WITH $repoFilesSql,
+        |sets AS MATERIALIZED (SELECT DISTINCT repo, h FROM files),
+        |sizes AS (SELECT repo, count(*) AS n FROM sets GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.repo AS repo_a, b.repo AS repo_b, count(*) AS inter
+        |  FROM sets a JOIN sets b ON b.h = a.h AND a.repo < b.repo
+        |  GROUP BY 1, 2)
+        |SELECT repo_a, repo_b, sa.n AS n_a, sb.n AS n_b, inter
+        |FROM pairs
+        |JOIN sizes sa ON sa.repo = repo_a
+        |JOIN sizes sb ON sb.repo = repo_b
+        |WHERE inter * 100 >= (sa.n + sb.n - inter) * 50""".stripMargin,
+    "d_fork_families" ->
+      s"""WITH RECURSIVE $repoFilesSql,
+        |sets AS MATERIALIZED (SELECT DISTINCT repo, h FROM files),
+        |sizes AS (SELECT repo, count(*) AS n FROM sets GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.repo AS repo_a, b.repo AS repo_b, count(*) AS inter
+        |  FROM sets a JOIN sets b ON b.h = a.h AND a.repo < b.repo
+        |  GROUP BY 1, 2),
+        |edges AS MATERIALIZED (
+        |  SELECT repo_a AS a, repo_b AS b FROM pairs
+        |  JOIN sizes sa ON sa.repo = repo_a
+        |  JOIN sizes sb ON sb.repo = repo_b
+        |  WHERE inter * 100 >= (sa.n + sb.n - inter) * 50),
+        |sym AS (SELECT a AS x, b AS y FROM edges UNION SELECT b, a FROM edges),
+        |reach(node, label) AS (
+        |  SELECT repo, repo FROM sizes
+        |  UNION
+        |  SELECT s.y, r.label FROM reach r JOIN sym s ON s.x = r.node
+        |  WHERE r.label < s.y),
+        |lab AS (SELECT node AS repo, min(label) AS cl FROM reach GROUP BY node),
+        |fam AS (SELECT cl, min(repo) AS family, count(*) AS family_size
+        |        FROM lab GROUP BY cl)
+        |SELECT l.repo, f.family, f.family_size
+        |FROM lab l JOIN fam f USING (cl)""".stripMargin,
+    "d_merkle_dirs" ->
+      s"""WITH $repoFilesSql,
+        |uf AS (SELECT DISTINCT repo, path, h FROM files),
+        |anc AS (
+        |  SELECT repo,
+        |    CASE WHEN i = 0 THEN '' ELSE array_to_string(p[1:i], '/') END AS dir,
+        |    md5(array_to_string(p[i+1:len(p)], '/') || ':' || h) AS mm
+        |  FROM (SELECT repo, h, p, unnest(range(0, len(p))) AS i
+        |        FROM (SELECT repo, h, string_split(path, '/') AS p FROM uf))),
+        |terms AS (SELECT DISTINCT repo, dir, ${h48Sql("mm")} AS term FROM anc),
+        |census AS (
+        |  SELECT repo, dir, count(*) AS n_files,
+        |    CAST(sum(CAST(term AS HUGEINT)) % 281474976710656 AS BIGINT) AS sig
+        |  FROM terms GROUP BY 1, 2),
+        |shares AS (SELECT sig, n_files, count(*) AS n_locations,
+        |    count(DISTINCT repo) AS n_repos
+        |  FROM census GROUP BY 1, 2)
+        |SELECT c.repo, c.dir, c.n_files, c.sig, s.n_locations, s.n_repos
+        |FROM census c JOIN shares s USING (sig, n_files)""".stripMargin,
     "d_winnow" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 8),
         |grams AS (

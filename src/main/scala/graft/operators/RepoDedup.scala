@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Repo-granularity dedup over the north-rule input shape
+  * `(repo, path, content)` — the curation layer ABOVE file/chunk dedup:
+  * when the corpus is 10^12 files of source code, whole forked
+  * repositories and vendored directory subtrees are the dominant
+  * duplication mode (The Stack / CodeParrot curate at exactly this
+  * granularity before any file-level pass).
+  *
+  * Two operators:
+  *  - [[forkPairs]] — fork / near-fork detection: repos as SETS of file
+  *    content digests, Jaccard ≥ θ via the same lossless prefix-filter +
+  *    length-filter + codegen'd merge-scan verify the token-bag clone
+  *    detector uses ([[graft.Queries.dClonePairs]] — Sajnani et al.,
+  *    ICSE 2016 adapted from bags to sets). One df-keyed join for
+  *    rarity, one prefix-keyed candidate join, doc-keyed verify joins;
+  *    file content never shuffles (only 16-byte digests). Boilerplate
+  *    files shared by every repo fall out of every repo's prefix, so
+  *    the hot-key skew a digest-keyed pair join would create never
+  *    forms.
+  *  - [[dirCensus]] — Merkle-style subtree dedup: every directory of
+  *    every repo gets an order-independent signature of its entire
+  *    subtree {(relative path, content digest)}; identical signatures
+  *    across locations = vendored/copied subtrees, at the root ("") =
+  *    whole-repo clones. The signature is a COMMUTATIVE 48-bit set-sum
+  *    (exact decimal accumulation, reduced mod 2^48), deliberately not
+  *    a sorted-concat hash: the rollup stays one combinable aggregation
+  *    with no per-directory sort and no collect_list on a hot key — a
+  *    10^8-file vendored tree aggregates map-side. Equal multisets ⇒
+  *    equal signatures by construction; unequal ones collide with
+  *    probability ~2^-48 per pair (the DuckDB oracle replays the sums
+  *    exactly, so any collision on test data would surface as a hash
+  *    mismatch).
+  *
+  * Reference tie-in: destor dedups a backup STREAM against itself; the
+  * repo/subtree layer is the equivalent of its per-backup version
+  * chains (same fork-like sharing across backups — SURVEY.md §2.10
+  * training-data ops row).
+  */
+object RepoDedup {
+
+  /** 48-bit integer from the first 12 hex nibbles of md5(s) — small
+    * enough that decimal set-sums stay exact, wide enough that pairwise
+    * collisions need ~2^24 members (conv() is codegen'd; the DuckDB
+    * oracle replays it with a 12-nibble Horner sum).
+    */
+  private def h48(c: Column): Column =
+    conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+
+  /** files(repo, path, content) → one row per (repo, ancestor dir,
+    * relative path, content digest). A path `a/b/f.c` contributes to
+    * dirs "" (root), "a" and "a/b"; amplification = path depth (bounded
+    * by the filesystem, typically ≤ 10 — map-side only, no shuffle).
+    */
+  private def ancestorTerms(files: DataFrame): DataFrame = {
+    val parts = split(col("path"), "/")
+    files
+      .filter(col("content").isNotNull)
+      .select(col("repo"), col("path"), md5(col("content")).as("h"), parts.as("parts"))
+      .select(col("repo"), col("h"),
+        posexplode(transform(sequence(lit(0), size(col("parts")) - 1),
+          i => struct(
+            array_join(slice(col("parts"), lit(1), i), "/").as("dir"),
+            array_join(slice(col("parts"), i + 1, size(col("parts")) - i), "/")
+              .as("rel")))))
+      .select(col("repo"), col("col.dir").as("dir"), col("col.rel").as("rel"),
+        col("h"))
+  }
+
+  /** Per-directory subtree census: (repo, dir, n_files, sig,
+    * n_locations, n_repos) where sig is the subtree signature and
+    * n_locations / n_repos count how many (repo, dir) locations /
+    * distinct repos carry an identical subtree (≥2 ⇒ vendored or
+    * forked copy; the dir="" row compares whole repos).
+    *
+    * Identical FILES inside one directory collapse to one set element
+    * (relative path is part of the element, so two different paths with
+    * equal content still count separately — tree shape matters, like a
+    * real Merkle tree).
+    */
+  def dirCensus(files: DataFrame): DataFrame = {
+    val mod48 = lit(java.math.BigDecimal.valueOf(1L << 48))
+    val census = ancestorTerms(files)
+      .select(col("repo"), col("dir"),
+        h48(concat(col("rel"), lit(":"), col("h"))).as("term"))
+      .distinct() // set semantics per (repo, dir)
+      .groupBy(col("repo"), col("dir"))
+      .agg(count(lit(1)).as("n_files"),
+        pmod(sum(col("term").cast("decimal(38,0)")), mod48)
+          .cast("long").as("sig"))
+    val shares = census.groupBy(col("sig"), col("n_files"))
+      .agg(count(lit(1)).as("n_locations"),
+        countDistinct(col("repo")).as("n_repos"))
+    census.join(shares, Seq("sig", "n_files"))
+      .select(col("repo"), col("dir"), col("n_files"), col("sig"),
+        col("n_locations"), col("n_repos"))
+  }
+
+  /** Fork pairs: unordered repo pairs with Jaccard(file-digest sets) ≥
+    * thetaPct/100, emitted as (repo_a, repo_b, n_a, n_b, inter) with
+    * repo_a < repo_b. Lossless prefix filtering (PPJoin lemma, global
+    * document-frequency rarity order): J ≥ t on a size-n set forces
+    * overlap ≥ ⌈t·n⌉, so only the n − ⌈t·n⌉ + 1 globally-rarest
+    * digests of each repo become join keys; the size filter
+    * 100·min ≥ θ·max prunes before the verify join; verify is the
+    * codegen'd [[graft.functions.IntersectSorted]] merge scan over
+    * per-repo sorted digest arrays.
+    */
+  def forkPairs(files: DataFrame, thetaPct: Int): DataFrame = {
+    import files.sparkSession.implicits._
+    require(thetaPct > 0 && thetaPct <= 100, s"thetaPct in (0,100]: $thetaPct")
+    val elems = files
+      .filter(col("content").isNotNull)
+      .select(col("repo"), md5(col("content")).as("h"))
+      .distinct()
+    val dfreq = elems.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val ranked = elems.join(dfreq, Seq("h"))
+      .select(col("repo"), col("df"), col("h"), xxhash64(col("h")).as("hv"))
+    val repos = ranked.as[(String, Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (repo: String, it: Iterator[(String, Long, String, Long)]) =>
+        // buffers one repo's digest set — 24 bytes per distinct file
+        val arr = it.map { case (_, df, h, hv) => (df, h, hv) }.toArray
+        val n = arr.length
+        val alpha = (n * thetaPct + 99) / 100 // ⌈t·n⌉, integer-exact
+        val p = n - alpha + 1
+        scala.util.Sorting.quickSort(arr) // (df, h) global rarity order
+        val prefix = arr.take(p).map(_._3)
+        val sorted = arr.map(_._3)
+        java.util.Arrays.sort(sorted)
+        (repo, n.toLong, sorted, prefix)
+      }
+      .toDF("repo", "n", "hs", "prefix")
+      .localCheckpoint(true) // prefix join and both verify joins read it
+    val pre = repos.select(col("repo"), col("n"), explode(col("prefix")).as("hv"))
+    val cand = pre.toDF("repo_a", "na", "hv")
+      .join(pre.toDF("repo_b", "nb", "hv"), Seq("hv"))
+      .filter(col("repo_a") < col("repo_b") &&
+        least(col("na"), col("nb")) * 100 >=
+          greatest(col("na"), col("nb")) * thetaPct)
+      .select(col("repo_a"), col("repo_b"), col("na"), col("nb"))
+      .distinct()
+    val arrays = repos.select(col("repo"), col("hs"))
+    cand
+      .join(arrays.toDF("repo_a", "ha"), Seq("repo_a"))
+      .join(arrays.toDF("repo_b", "hb"), Seq("repo_b"))
+      .select(col("repo_a"), col("repo_b"), col("na").as("n_a"),
+        col("nb").as("n_b"),
+        graft.functions.IntersectSorted(col("ha"), col("hb")).as("inter"))
+      // Jaccard ≥ t ⟺ 100·inter ≥ t·(n_a + n_b − inter)
+      .filter(col("inter") * 100 >=
+        (col("n_a") + col("n_b") - col("inter")) * thetaPct)
+  }
+
+  /** Fork FAMILIES: connected components over [[forkPairs]] edges;
+    * every repo (singletons included) gets family = the
+    * lexicographically smallest repo name of its component, plus the
+    * component size. CC runs on 48-bit name digests (log-diameter
+    * pointer jumping); the name mapping back out keeps the output
+    * digest-free and deterministic.
+    */
+  def forkFamilies(files: DataFrame, thetaPct: Int): DataFrame = {
+    val names = files.filter(col("content").isNotNull)
+      .select(col("repo")).distinct()
+      .select(col("repo"), h48(col("repo")).as("rid"))
+    val edges = forkPairs(files, thetaPct)
+      .join(names.toDF("repo_a", "a"), Seq("repo_a"))
+      .join(names.toDF("repo_b", "b"), Seq("repo_b"))
+      .select(col("a"), col("b"))
+    val cc = graft.pipeline.ConnectedComponents.run(
+      names.select(col("rid").as("fileId")), edges)
+    val labeled = names
+      .join(cc, names("rid") === cc("fileId"))
+      .select(col("repo"), col("clusterId"))
+    val fam = labeled.groupBy(col("clusterId"))
+      .agg(min(col("repo")).as("family"), count(lit(1)).as("family_size"))
+    labeled.join(fam, Seq("clusterId"))
+      .select(col("repo"), col("family"), col("family_size"))
+  }
+}
