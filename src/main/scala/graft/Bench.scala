@@ -26,7 +26,8 @@ object Bench {
     "e_lsh_dedup", "d_ngram_jaccard_pairs", "q_quantile", "d_curation",
     "d_winnow_pairs", "e_quantize_stats", "d_backup_stats", "e_pq_topk",
     "e_pq_adc", "d_dup_spans", "d_dup_span_pairs", "d_dup_trim",
-    "d_decontam", "d_clone_pairs", "d_self_rep", "d_suffix_rank")
+    "d_decontam", "d_clone_pairs", "d_self_rep", "d_suffix_rank",
+    "q_topk_agg", "d_repo_forks", "d_merkle_dirs")
 
   /** Materialize the synthetic corpus as a parquet table once (this is
     * input scaffolding, not the engine — the north-rule job reads an

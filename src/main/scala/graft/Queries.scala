@@ -1562,6 +1562,30 @@ object Queries {
   def dMerkleDirs(spark: SparkSession, dir: String): DataFrame =
     operators.RepoDedup.dirCensus(repoFiles(spark, dir))
 
+  /** Commit-chain dedup ([[operators.RepoDedup.commitDeltas]]) over a
+    * derived 4-commit history: each repo grows (docs arrive at commit
+    * doc_id % 4) and every fifth doc mutates at commit 2 — so the
+    * deltas exercise arrival, carry-over AND modification. Fully
+    * integer/md5-deterministic; the oracle replays the whole chain.
+    */
+  def dCommitDeltas(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").filter(col("text").isNotNull)
+    val files = d
+      .select(col("doc_id"), col("source"), col("text"),
+        explode(sequence(lit(0L), lit(3L))).as("cseq"))
+      .filter(col("doc_id") % 4 <= col("cseq"))
+      .select(
+        concat(col("source"), lit("_r"), (col("doc_id") % 40).cast("string"))
+          .as("repo"),
+        col("cseq"),
+        concat(lit("f"), col("doc_id").cast("string"), lit(".txt")).as("path"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit("#v"),
+            floor(col("cseq") / 2).cast("string")))
+          .otherwise(col("text")).as("content"))
+    operators.RepoDedup.commitDeltas(files)
+  }
+
   /** A5-analog rollup aggregation (grouping sets over the doc corpus). */
   def dRollupStats(spark: SparkSession, dir: String): DataFrame = {
     val d = t(spark, dir, "documents")
@@ -2776,6 +2800,7 @@ object Queries {
     "d_repo_forks" -> (dRepoForks _),
     "d_fork_families" -> (dForkFamilies _),
     "d_merkle_dirs" -> (dMerkleDirs _),
+    "d_commit_deltas" -> (dCommitDeltas _),
     "d_fingerprint" -> (dFingerprint _),
     "d_doc_clusters" -> (dDocClusters _),
     "d_minhash_cluster" -> (dMinhashCluster _),
@@ -4358,6 +4383,27 @@ object Queries {
         |  FROM census GROUP BY 1, 2)
         |SELECT c.repo, c.dir, c.n_files, c.sig, s.n_locations, s.n_repos
         |FROM census c JOIN shares s USING (sig, n_files)""".stripMargin,
+    "d_commit_deltas" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT doc_id, source, text FROM documents WHERE text IS NOT NULL),
+        |files AS MATERIALIZED (
+        |  SELECT source || '_r' || CAST(doc_id % 40 AS VARCHAR) AS repo,
+        |    cseq,
+        |    'f' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+        |    md5(CASE WHEN doc_id % 5 = 0
+        |        THEN text || '#v' || CAST(CAST(floor(cseq / 2) AS BIGINT) AS VARCHAR)
+        |        ELSE text END) AS h
+        |  FROM d, (SELECT unnest(range(0, 4)) AS cseq)
+        |  WHERE doc_id % 4 <= cseq),
+        |v AS (SELECT DISTINCT repo, cseq, path, h FROM files),
+        |fs AS (SELECT repo, path, h, min(cseq) AS intro FROM v GROUP BY 1, 2, 3),
+        |agg AS (
+        |  SELECT v.repo, v.cseq, count(*) AS n_files,
+        |    CAST(sum(CASE WHEN v.cseq = fs.intro THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+        |  FROM v JOIN fs USING (repo, path, h) GROUP BY 1, 2)
+        |SELECT repo, cseq, n_files, n_new, n_files - n_new AS n_carried,
+        |  CAST(floor(n_new * 100 / n_files) AS BIGINT) AS new_ratio_pct
+        |FROM agg""".stripMargin,
     "d_winnow" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 8),
         |grams AS (

@@ -91,6 +91,9 @@ object RepoDedup {
       .agg(count(lit(1)).as("n_files"),
         pmod(sum(col("term").cast("decimal(38,0)")), mod48)
           .cast("long").as("sig"))
+      // one row per directory; both the share count and the join back
+      // read it — checkpoint so the full ancestor-terms scan runs once
+      .localCheckpoint(true)
     val shares = census.groupBy(col("sig"), col("n_files"))
       .agg(count(lit(1)).as("n_locations"),
         countDistinct(col("repo")).as("n_repos"))
@@ -153,6 +156,42 @@ object RepoDedup {
       // Jaccard ≥ t ⟺ 100·inter ≥ t·(n_a + n_b − inter)
       .filter(col("inter") * 100 >=
         (col("n_a") + col("n_b") - col("inter")) * thetaPct)
+  }
+
+  /** Commit-chain dedup: the destor backup-version-chain analog at repo
+    * granularity, over the full north-rule shape `(repo, path, commit,
+    * content)` with a total order on each repo's commits (`cseq`). For
+    * every commit of every repo: how many live file versions it holds
+    * (`n_files`), how many of those versions it INTRODUCED (`n_new` —
+    * first commit where that (path, content digest) appears in the
+    * repo), and how many it carries unchanged from earlier commits
+    * (`n_carried`); `new_ratio_pct` is the integer novelty percentage —
+    * the repo-history dedup ratio an incremental snapshot store (or a
+    * training-data curator deciding which snapshots to keep) needs.
+    *
+    * Plan shape: one min-aggregation per (repo, path, digest) — the
+    * first-writer rule, exactly [[graft.pipeline.DedupPipeline]]'s
+    * uniqueChunks shape one level up — then one join back on the same
+    * key and one per-(repo, commit) count rollup. Everything is
+    * map-side combinable; no windows, no per-repo sort: commit order
+    * arrives as data (`cseq`), not as a sort, so a repo with 10^6
+    * commits never funnels one task.
+    */
+  def commitDeltas(files: DataFrame): DataFrame = {
+    val versions = files
+      .filter(col("content").isNotNull)
+      .select(col("repo"), col("cseq"), col("path"), md5(col("content")).as("h"))
+      .distinct()
+    val firstSeen = versions
+      .groupBy(col("repo"), col("path"), col("h"))
+      .agg(min(col("cseq")).as("intro"))
+    versions.join(firstSeen, Seq("repo", "path", "h"))
+      .groupBy(col("repo"), col("cseq"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("cseq") === col("intro"), 1L).otherwise(0L)).as("n_new"))
+      .withColumn("n_carried", col("n_files") - col("n_new"))
+      // floor of an IEEE double division is bit-identical across engines
+      .withColumn("new_ratio_pct", floor(col("n_new") * lit(100) / col("n_files")))
   }
 
   /** Fork FAMILIES: connected components over [[forkPairs]] edges;

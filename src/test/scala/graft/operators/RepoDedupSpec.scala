@@ -105,6 +105,30 @@ class RepoDedupSpec extends AnyFunSuite {
     assert(census(("A", "s")) !== census(("C", "s")))
   }
 
+  test("commitDeltas: arrival, carry-over, modification, full-rewrite ratios") {
+    import spark.implicits._
+    // repo R: c0 = {a=1, b=2}; c1 = {a=1, b=2', c=3} (b modified, c new);
+    // c2 = {a=1, b=2', c=3} (pure carry); repo S: one commit, all new
+    val rows = Seq(
+      ("R", 0L, "a", "1"), ("R", 0L, "b", "2"),
+      ("R", 1L, "a", "1"), ("R", 1L, "b", "2x"), ("R", 1L, "c", "3"),
+      ("R", 2L, "a", "1"), ("R", 2L, "b", "2x"), ("R", 2L, "c", "3"),
+      ("S", 0L, "a", "other"), ("S", 0L, "nul", null))
+    val got = RepoDedup.commitDeltas(rows.toDF("repo", "cseq", "path", "content"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got(("R", 0L)) === ((2L, 2L, 0L, 100L)))
+    assert(got(("R", 1L)) === ((3L, 2L, 1L, 66L))) // b' + c new, a carried
+    assert(got(("R", 2L)) === ((3L, 0L, 3L, 0L)))  // pure carry-over
+    assert(got(("S", 0L)) === ((1L, 1L, 0L, 100L))) // null content dropped
+    // reverting b back to "2" in a later commit is NOT new again — the
+    // version (path, digest) was already introduced at c0
+    val revert = rows :+ (("R", 3L, "b", "2"))
+    val g2 = RepoDedup.commitDeltas(revert.toDF("repo", "cseq", "path", "content"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(3))).toMap
+    assert(g2(("R", 3L)) === 0L)
+  }
+
   test("forkFamilies: transitive families, singletons, lexicographic canon") {
     // A≈B, B≈C (chain), D alone
     val a = (0 until 9).map(i => ("rA", s"f$i.c", s"c-$i"))

@@ -34,7 +34,13 @@ object ExplainPlans {
         "d_clone_pairs",
         // near-dup retention action: the clustering plan + ONE combinable
         // agg and one cluster-keyed join — no windows, no per-cluster sort
-        "d_neardup_prune")) {
+        "d_neardup_prune",
+        // native top-k aggregate: ObjectHashAggregate partial/final,
+        // zero Window/Sort operators anywhere in the plan
+        "q_topk_agg",
+        // repo layer: digest-keyed joins only (text pruned at the scan),
+        // census rollup is one combinable agg — no windows, no cartesians
+        "d_repo_forks", "d_merkle_dirs")) {
       println(s"\n===== $name =====")
       println(graft.Queries.all(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
