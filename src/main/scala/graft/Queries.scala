@@ -1402,15 +1402,39 @@ object Queries {
     * set case. Tokens are lowercase [a-z0-9_]+ runs (the code-ish
     * tokenizer DuckDB replays with string_split_regex).
     */
-  private def cloneElems(spark: SparkSession, dir: String): DataFrame =
+  private def cloneElems(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // A doc's whole token bag lives in ONE input row, so tokenize +
+    // multiset-count + element hashing are all map-side: no exploded
+    // token-string row ever shuffles (round-4 rewrite — the previous
+    // groupBy(doc_id, tok) shuffled the full token stream as strings).
+    // The element hash chains exactly like the SQL xxhash64(tok, k).
     t(spark, dir, "documents")
-      .select(col("doc_id"),
-        explode(split(lower(col("text")), "[^a-z0-9_]+")).as("tok"))
-      .filter(col("tok") =!= "")
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("c"))
-      .select(col("doc_id"), col("tok"),
-        explode(sequence(lit(1L), col("c"))).as("k"))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          if (text == null) Iterator.empty
+          else {
+            val counts = scala.collection.mutable.HashMap.empty[String, Int]
+            text.toLowerCase.split("[^a-z0-9_]+").foreach { tok =>
+              if (tok.nonEmpty) counts(tok) = counts.getOrElse(tok, 0) + 1
+            }
+            counts.iterator.flatMap { case (tok, c) =>
+              val b = tok.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              val th = org.apache.spark.sql.catalyst.expressions.XXH64
+                .hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+                  b.length, 42L)
+              (1 to c).iterator.map { k =>
+                (id, org.apache.spark.sql.catalyst.expressions.XXH64
+                  .hashLong(k.toLong, th))
+              }
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "h")
+  }
 
   /** SourcererCC-style code-clone pairs (Sajnani et al., ICSE 2016 —
     * the token-bag clone detector for source code, the published
@@ -1418,41 +1442,46 @@ object Queries {
     * are clones iff their token-bag overlap Σ min(count_a, count_b) ≥
     * θ·max(|A|,|B|), θ = 0.7, integer-exact as 100·inter ≥ 70·max.
     *
-    * Candidate generation is PREFIX FILTERING: bag elements (tok, k)
-    * get a global rarity order (document frequency asc, tok, k) and
+    * Candidate generation is PREFIX FILTERING: bag elements (tok, k) —
+    * hashed to 8 bytes map-side, tokens never shuffle as strings — get
+    * a global rarity order (document frequency asc, element hash) and
     * only each doc's first n − ⌈θn⌉ + 1 elements in that order — its
     * RAREST tokens — become join keys. Any pair meeting θ must share a
-    * prefix element (PPJoin's prefix lemma), so recall is lossless: the
-    * DuckDB oracle is the UNFILTERED brute-force bag join, and
-    * hash-green proves no pair is dropped. The scale win is structural:
-    * a boilerplate token in every doc is in almost no doc's prefix, so
-    * the join-key frequency distribution self-flattens — the skew the
-    * gram-keyed near-dup family needs an explicit df cap for
-    * ([[dDupSpanPairs]]) never forms. Length filter 100·min ≥ 70·max
-    * prunes candidates before the verify join; verify intersects the
-    * per-doc sorted element-hash arrays with the codegen'd
+    * prefix element (PPJoin's prefix lemma — any consistent total order
+    * works), so recall is lossless: the DuckDB oracle is the UNFILTERED
+    * brute-force bag join over the token STRINGS, and hash-green proves
+    * both that no pair is dropped and that no element-hash collision
+    * perturbed a count. The scale win is structural: a boilerplate
+    * token in every doc is in almost no doc's prefix, so the join-key
+    * frequency distribution self-flattens — the skew the gram-keyed
+    * near-dup family needs an explicit df cap for ([[dDupSpanPairs]])
+    * never forms. Length filter 100·min ≥ 70·max prunes candidates
+    * before the verify join; verify intersects the per-doc sorted
+    * element-hash arrays with the codegen'd
     * [[graft.functions.IntersectSorted]] merge scan (doc-keyed joins,
     * text never shuffles past tokenization).
     */
   def dClonePairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val elems = cloneElems(spark, dir)
-    val dfreq = elems.groupBy(col("tok"), col("k"))
-      .agg(count(lit(1)).as("df"))
-    val ranked = elems.join(dfreq, Seq("tok", "k"))
-      .select(col("doc_id"), col("df"), col("tok"), col("k"),
-        xxhash64(col("tok"), col("k")).as("h"))
-    val docs = ranked.as[(Long, Long, String, Long, Long)]
+    // element hashes are 8 bytes — df count, rarity join and the per-doc
+    // regroup shuffle nothing wider (token strings never leave the map
+    // stage); global rarity order is (df, h), any consistent total order
+    // satisfies the prefix lemma
+    val dfreq = elems.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val ranked = elems.join(dfreq, Seq("h"))
+      .select(col("doc_id"), col("df"), col("h"))
+    val docs = ranked.as[(Long, Long, Long)]
       .groupByKey(_._1)
-      .mapGroups { (id: Long, it: Iterator[(Long, Long, String, Long, Long)]) =>
+      .mapGroups { (id: Long, it: Iterator[(Long, Long, Long)]) =>
         // buffers one doc's elements — bounded by the doc's token count
-        val arr = it.map { case (_, df, tok, k, h) => (df, tok, k, h) }.toArray
+        val arr = it.map { case (_, df, h) => (df, h) }.toArray
         val n = arr.length
         val alpha = (n * CloneThetaPct + 99) / 100 // ⌈θn⌉, integer-exact
         val p = n - alpha + 1
-        scala.util.Sorting.quickSort(arr) // (df, tok, k) rarity order
-        val prefix = arr.take(p).map(_._4)
-        val sorted = arr.map(_._4)
+        scala.util.Sorting.quickSort(arr) // (df, h) rarity order
+        val prefix = arr.take(p).map(_._2)
+        val sorted = arr.map(_._2)
         java.util.Arrays.sort(sorted)
         (id, n.toLong, sorted, prefix)
       }
