@@ -311,6 +311,56 @@ object StreamIngest {
         coalesce(col("bestEst"), lit(0.0)).as("bestEst"))
   }
 
+  /** One streamed file version for [[commitStream]]: a (repo, commit,
+    * path) observation carrying the content digest.
+    */
+  final case class VersionEvent(repo: String, cseq: Long, path: String,
+    h: String)
+
+  /** Streaming commit-chain verdict: `introduced` iff this (repo, path,
+    * digest) version was never seen in any earlier micro-batch (or
+    * earlier within this batch); `introCseq` is the commit that
+    * introduced it.
+    */
+  final case class VersionDecision(repo: String, cseq: Long, path: String,
+    introduced: Boolean, introCseq: Long)
+
+  /** [[graft.operators.RepoDedup.commitDeltas]] as a STATEFUL streaming
+    * operator: commits arrive as micro-batches of file-version rows;
+    * keyed GroupState per (repo, path, digest) holds the introducing
+    * commit, so each arrival is classified introduced vs carried exactly
+    * like the batch first-writer min — the repo-layer twin of
+    * [[dedupStream]]'s fingerprint index. Within a micro-batch events
+    * fold in cseq order (deterministic); across batches the state store
+    * persists the version index (arrival-order first-writer — commit
+    * streams replay in order, like destor's backup jobs). Aggregating
+    * the verdicts per (repo, cseq) yields commitDeltas' n_new/n_carried
+    * incrementally.
+    */
+  def commitStream(versions: Dataset[VersionEvent]): Dataset[VersionDecision] = {
+    import versions.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    versions
+      .groupByKey(v => (v.repo, v.path, v.h))
+      .flatMapGroupsWithState[Long, VersionDecision](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: (String, String, String), events: Iterator[VersionEvent],
+            state: GroupState[Long]) =>
+          val ordered = events.toSeq.sortBy(_.cseq)
+          var intro = state.getOption.getOrElse(Long.MinValue)
+          val out = ordered.map { e =>
+            if (intro == Long.MinValue) {
+              intro = e.cseq
+              VersionDecision(e.repo, e.cseq, e.path, introduced = true, intro)
+            } else {
+              VersionDecision(e.repo, e.cseq, e.path, introduced = false, intro)
+            }
+          }
+          if (intro != Long.MinValue) state.update(intro)
+          out.iterator
+      }
+  }
+
   def dedupStream(chunks: Dataset[ChunkEvent]): Dataset[DedupDecision] = {
     import chunks.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}

@@ -193,4 +193,36 @@ class PropertySpec extends AnyFunSuite {
       assert(got == expect)
     }
   }
+
+  test("top_k_by equals sort-take for arbitrary longs incl. extremes (property)") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val rows: Gen[List[(Long, Long)]] = for {
+      n <- Gen.chooseNum(0, 200)
+      groups <- Gen.chooseNum(1, 4)
+      xs <- Gen.listOfN(n, for {
+        g <- Gen.chooseNum(0, groups - 1)
+        s <- Gen.oneOf(Gen.chooseNum(Long.MinValue, Long.MaxValue),
+          Gen.chooseNum(-3L, 3L)) // force score ties too
+      } yield (g.toLong, s))
+    } yield xs
+    forAll(Gen.zip(rows, Gen.chooseNum(1, 7)), n = 12) { case (xs, k) =>
+      // unique id per row so the (score DESC, id ASC) order is total
+      val data = xs.zipWithIndex.map { case ((g, s), i) => (g, s, i.toLong) }
+      if (data.nonEmpty) {
+        val got = data.toDF("g", "s", "id").repartition(5)
+          .groupBy($"g")
+          .agg(graft.functions.TopKBy($"s", $"id", k).as("t"))
+          .select($"g", org.apache.spark.sql.functions.explode($"t"))
+          .select($"g", $"col.score", $"col.id")
+          .as[(Long, Long, Long)].collect().toSet
+        val expect = data.groupBy(_._1).flatMap { case (g, rs) =>
+          rs.map(r => (r._2, r._3)) // NB: no -s negation (Long.MinValue!)
+            .sortWith((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+            .take(k).map { case (s, i) => (g, s, i) }
+        }.toSet
+        assert(got == expect)
+      }
+    }
+  }
 }

@@ -124,6 +124,38 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(rows.toSeq.filter(_._3).map(_._1).sorted === Seq("A", "B", "C"))
   }
 
+  test("streaming commit chain: introduced vs carried across micro-batches") {
+    import StreamIngest.{VersionEvent, VersionDecision}
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[VersionEvent]
+    val out = StreamIngest.commitStream(stream.toDS())
+    val q = out.writeStream.format("memory").queryName("scommit")
+      .outputMode("append").start()
+    // batch 1 = commit 0 of repo R: two fresh files
+    stream.addData(
+      VersionEvent("R", 0, "a.c", "h1"), VersionEvent("R", 0, "b.c", "h2"))
+    q.processAllAvailable()
+    // batch 2 = commit 1: a carried, b modified, c new; same digest in a
+    // DIFFERENT repo is its own version chain
+    stream.addData(
+      VersionEvent("R", 1, "a.c", "h1"), VersionEvent("R", 1, "b.c", "h2x"),
+      VersionEvent("R", 1, "c.c", "h3"), VersionEvent("S", 1, "a.c", "h1"))
+    q.processAllAvailable()
+    // batch 3 = commit 2: b reverted to the ORIGINAL digest — carried,
+    // introCseq points back to commit 0 (state survived two boundaries)
+    stream.addData(VersionEvent("R", 2, "b.c", "h2"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql(
+      "SELECT repo, cseq, path, introduced, introCseq FROM scommit")
+      .as[(String, Long, String, Boolean, Long)].collect().toSet
+    assert(rows === Set(
+      ("R", 0L, "a.c", true, 0L), ("R", 0L, "b.c", true, 0L),
+      ("R", 1L, "a.c", false, 0L), ("R", 1L, "b.c", true, 1L),
+      ("R", 1L, "c.c", true, 1L), ("S", 1L, "a.c", true, 1L),
+      ("R", 2L, "b.c", false, 0L)))
+  }
+
   test("streaming near-dup: keep-first curation across micro-batches") {
     import StreamIngest.DocEvent
     implicit val sqlCtx = spark.sqlContext
