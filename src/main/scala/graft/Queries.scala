@@ -1413,11 +1413,14 @@ object Queries {
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
+        val sep = java.util.regex.Pattern.compile("[^a-z0-9_]+")
         it.flatMap { case (id, text) =>
           if (text == null) Iterator.empty
           else {
             val counts = scala.collection.mutable.HashMap.empty[String, Int]
-            text.toLowerCase.split("[^a-z0-9_]+").foreach { tok =>
+            // Locale.ROOT: locale-independent like the SQL lower() this
+            // replaced (a tr_TR JVM default would fold I→ı)
+            sep.split(text.toLowerCase(java.util.Locale.ROOT)).foreach { tok =>
               if (tok.nonEmpty) counts(tok) = counts.getOrElse(tok, 0) + 1
             }
             counts.iterator.flatMap { case (tok, c) =>

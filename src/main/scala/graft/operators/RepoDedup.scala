@@ -56,7 +56,9 @@ object RepoDedup {
     * by the filesystem, typically ≤ 10 — map-side only, no shuffle).
     */
   private def ancestorTerms(files: DataFrame): DataFrame = {
-    val parts = split(col("path"), "/")
+    // strip leading slashes: otherwise "/a/f.c"'s first component is ""
+    // and the "/" directory would collide with the root dir ""
+    val parts = split(regexp_replace(col("path"), "^/+", ""), "/")
     files
       .filter(col("content").isNotNull)
       .select(col("repo"), col("path"), md5(col("content")).as("h"), parts.as("parts"))

@@ -101,6 +101,12 @@ class RepoDedupSpec extends AnyFunSuite {
       .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(3))).toMap
     assert(census(("A", "")) === census(("B", "")))
     assert(census(("A", "")) !== census(("C", "")))
+    // leading slashes normalize away: "/s/x.c" is the same tree as "s/x.c"
+    val slashed = Seq(("E", "/s/x.c", "1"), ("E", "/s/y.c", "2"))
+    val c2 = RepoDedup.dirCensus(filesDf(a ++ slashed))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(3))).toMap
+    assert(c2(("E", "")) === c2(("A", "")))
+    assert(c2(("E", "s")) === c2(("A", "s")))
     // C's s/ dir (just y.c) differs from A's s/ (x.c + y.c)
     assert(census(("A", "s")) !== census(("C", "s")))
   }
