@@ -1587,6 +1587,11 @@ object Queries {
   def dForkFamilies(spark: SparkSession, dir: String): DataFrame =
     operators.RepoDedup.forkFamilies(repoFiles(spark, dir), 50)
 
+  /** Fork retention action: one canonical repo per family (most files,
+    * ties → smallest name), keep/drop per repo. */
+  def dForkPrune(spark: SparkSession, dir: String): DataFrame =
+    operators.RepoDedup.forkPrune(repoFiles(spark, dir), 50)
+
   /** Merkle-style directory-subtree census over the derived files table
     * ([[operators.RepoDedup.dirCensus]]): order-independent 48-bit
     * subtree signatures, cross-location share counts.
@@ -2831,6 +2836,7 @@ object Queries {
     "d_clone_groups" -> (dCloneGroups _),
     "d_repo_forks" -> (dRepoForks _),
     "d_fork_families" -> (dForkFamilies _),
+    "d_fork_prune" -> (dForkPrune _),
     "d_merkle_dirs" -> (dMerkleDirs _),
     "d_commit_deltas" -> (dCommitDeltas _),
     "d_fingerprint" -> (dFingerprint _),
@@ -4396,6 +4402,40 @@ object Queries {
         |        FROM lab GROUP BY cl)
         |SELECT l.repo, f.family, f.family_size
         |FROM lab l JOIN fam f USING (cl)""".stripMargin,
+    "d_fork_prune" ->
+      s"""WITH RECURSIVE $repoFilesSql,
+        |sets AS MATERIALIZED (SELECT DISTINCT repo, h FROM files),
+        |sizes AS (SELECT repo, count(*) AS n FROM sets GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.repo AS repo_a, b.repo AS repo_b, count(*) AS inter
+        |  FROM sets a JOIN sets b ON b.h = a.h AND a.repo < b.repo
+        |  GROUP BY 1, 2),
+        |edges AS MATERIALIZED (
+        |  SELECT repo_a AS a, repo_b AS b FROM pairs
+        |  JOIN sizes sa ON sa.repo = repo_a
+        |  JOIN sizes sb ON sb.repo = repo_b
+        |  WHERE inter * 100 >= (sa.n + sb.n - inter) * 50),
+        |sym AS (SELECT a AS x, b AS y FROM edges UNION SELECT b, a FROM edges),
+        |reach(node, label) AS (
+        |  SELECT repo, repo FROM sizes
+        |  UNION
+        |  SELECT s.y, r.label FROM reach r JOIN sym s ON s.x = r.node
+        |  WHERE r.label < s.y),
+        |lab AS (SELECT node AS repo, min(label) AS cl FROM reach GROUP BY node),
+        |fam AS (SELECT cl, min(repo) AS family, count(*) AS family_size
+        |        FROM lab GROUP BY cl),
+        |fs AS (
+        |  SELECT l.repo, f.family, f.family_size, s.n AS n_files
+        |  FROM lab l JOIN fam f USING (cl) JOIN sizes s ON s.repo = l.repo),
+        |best AS (SELECT family, max(n_files) AS canon_files FROM fs GROUP BY 1),
+        |canon AS (
+        |  SELECT fs.family, min(fs.repo) AS canon
+        |  FROM fs JOIN best ON best.family = fs.family
+        |    AND fs.n_files = best.canon_files
+        |  GROUP BY 1)
+        |SELECT fs.repo, fs.family, fs.family_size, fs.n_files, c.canon,
+        |  fs.repo = c.canon AS keep
+        |FROM fs JOIN canon c USING (family)""".stripMargin,
     "d_merkle_dirs" ->
       s"""WITH $repoFilesSql,
         |uf AS (SELECT DISTINCT repo, path, h FROM files),

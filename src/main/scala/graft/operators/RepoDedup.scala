@@ -196,6 +196,33 @@ object RepoDedup {
       .withColumn("new_ratio_pct", floor(col("n_new") * lit(100) / col("n_files")))
   }
 
+  /** Fork retention ACTION (the repo-level [[graft.Queries.dNeardupPrune]]
+    * analog): per fork family keep ONE canonical repo — the one with the
+    * most distinct file contents, ties broken by lexicographically
+    * smallest name — and emit the keep/drop decision per repo. One
+    * combinable max(struct) per family plus one family-keyed join; no
+    * windows, no per-family sort.
+    */
+  def forkPrune(files: DataFrame, thetaPct: Int): DataFrame = {
+    val sizes = files.filter(col("content").isNotNull)
+      .select(col("repo"), md5(col("content")).as("h")).distinct()
+      .groupBy(col("repo")).agg(count(lit(1)).as("n_files"))
+    val fams = forkFamilies(files, thetaPct).join(sizes, Seq("repo"))
+      .localCheckpoint(true) // one row per repo; three consumers below
+    // two-phase arg-max, both phases combinable aggs (a mixed-direction
+    // (max size, min name) arg-pick cannot ride one min/max(struct))
+    val best = fams.groupBy(col("family"))
+      .agg(max(col("n_files")).as("canon_files"))
+    val canon = fams.join(best, Seq("family"))
+      .filter(col("n_files") === col("canon_files"))
+      .groupBy(col("family"))
+      .agg(min(col("repo")).as("canon"))
+    fams.join(canon, Seq("family"))
+      .select(col("repo"), col("family"), col("family_size"),
+        col("n_files"), col("canon"),
+        (col("repo") === col("canon")).as("keep"))
+  }
+
   /** Fork FAMILIES: connected components over [[forkPairs]] edges;
     * every repo (singletons included) gets family = the
     * lexicographically smallest repo name of its component, plus the

@@ -111,6 +111,28 @@ class RepoDedupSpec extends AnyFunSuite {
     assert(census(("A", "s")) !== census(("C", "s")))
   }
 
+  test("forkPrune: biggest member wins, name breaks ties, singletons keep") {
+    // family {rA(9), rB(9), rC(10)}: rC biggest → canon; family {rX(5),
+    // rY(5)}: tie → min name rX; rD singleton keeps itself.
+    // NB rX/rXtra are prefix-pair names — guards the arg-min tie-break
+    val a = (0 until 9).map(i => ("rA", s"f$i.c", s"c-$i"))
+    val b = (1 until 10).map(i => ("rB", s"f$i.c", s"c-$i"))
+    val c = (0 until 10).map(i => ("rC", s"f$i.c", s"c-$i"))
+    val x = (0 until 5).map(i => ("rX", s"g$i.c", s"x-$i"))
+    val y = (0 until 5).map(i => ("rXtra", s"g$i.c", s"x-$i"))
+    val d = Seq(("rD", "f.c", "solo"))
+    val got = RepoDedup.forkPrune(filesDf(a ++ b ++ c ++ x ++ y ++ d), 50)
+      .collect().map(r => (r.getString(0),
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getString(4),
+          r.getBoolean(5)))).toMap
+    assert(got("rC") === (("rA", 3L, 10L, "rC", true)))
+    assert(got("rA") === (("rA", 3L, 9L, "rC", false)))
+    assert(got("rB") === (("rA", 3L, 9L, "rC", false)))
+    assert(got("rX") === (("rX", 2L, 5L, "rX", true)))
+    assert(got("rXtra") === (("rX", 2L, 5L, "rX", false)))
+    assert(got("rD") === (("rD", 1L, 1L, "rD", true)))
+  }
+
   test("commitDeltas: arrival, carry-over, modification, full-rewrite ratios") {
     import spark.implicits._
     // repo R: c0 = {a=1, b=2}; c1 = {a=1, b=2', c=3} (b modified, c new);
