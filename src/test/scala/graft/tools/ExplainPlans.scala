@@ -39,8 +39,9 @@ object ExplainPlans {
         // zero Window/Sort operators anywhere in the plan
         "q_topk_agg",
         // repo layer: digest-keyed joins only (text pruned at the scan),
-        // census rollup is one combinable agg — no windows, no cartesians
-        "d_repo_forks", "d_merkle_dirs")) {
+        // census rollup is one combinable agg — no windows, no cartesians;
+        // prune/deltas are combinable aggs + keyed joins
+        "d_repo_forks", "d_merkle_dirs", "d_fork_prune", "d_commit_deltas")) {
       println(s"\n===== $name =====")
       println(graft.Queries.all(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
