@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * duplication mode (The Stack / CodeParrot curate at exactly this
   * granularity before any file-level pass).
   *
-  * Two operators:
+  * The operator family:
   *  - [[forkPairs]] — fork / near-fork detection: repos as SETS of file
   *    content digests, Jaccard ≥ θ via the same lossless prefix-filter +
   *    length-filter + codegen'd merge-scan verify the token-bag clone
@@ -34,6 +34,12 @@ import org.apache.spark.sql.functions._
   *    probability ~2^-48 per pair (the DuckDB oracle replays the sums
   *    exactly, so any collision on test data would surface as a hash
   *    mismatch).
+  *  - [[forkFamilies]] / [[forkPrune]] — fork families via connected
+  *    components and the retention action (one canonical repo kept per
+  *    family).
+  *  - [[commitDeltas]] — per-commit introduced/carried version counts
+  *    over the commit dimension (the backup-version-chain analog);
+  *    streaming twin: `graft.streaming.StreamIngest.commitStream`.
   *
   * Reference tie-in: destor dedups a backup STREAM against itself; the
   * repo/subtree layer is the equivalent of its per-backup version
