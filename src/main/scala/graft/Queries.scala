@@ -1599,6 +1599,12 @@ object Queries {
   def dMerkleDirs(spark: SparkSession, dir: String): DataFrame =
     operators.RepoDedup.dirCensus(repoFiles(spark, dir))
 
+  /** Subtree retention action over the derived files table
+    * ([[operators.RepoDedup.dirPrune]]): one canonical location per
+    * identical-subtree class, every other location marked prunable. */
+  def dMerklePrune(spark: SparkSession, dir: String): DataFrame =
+    operators.RepoDedup.dirPrune(repoFiles(spark, dir))
+
   /** Commit-chain dedup ([[operators.RepoDedup.commitDeltas]]) over a
     * derived 4-commit history: each repo grows (docs arrive at commit
     * doc_id % 4) and every fifth doc mutates at commit 2 — so the
@@ -2838,6 +2844,7 @@ object Queries {
     "d_fork_families" -> (dForkFamilies _),
     "d_fork_prune" -> (dForkPrune _),
     "d_merkle_dirs" -> (dMerkleDirs _),
+    "d_merkle_prune" -> (dMerklePrune _),
     "d_commit_deltas" -> (dCommitDeltas _),
     "d_fingerprint" -> (dFingerprint _),
     "d_doc_clusters" -> (dDocClusters _),
@@ -4455,6 +4462,27 @@ object Queries {
         |  FROM census GROUP BY 1, 2)
         |SELECT c.repo, c.dir, c.n_files, c.sig, s.n_locations, s.n_repos
         |FROM census c JOIN shares s USING (sig, n_files)""".stripMargin,
+    "d_merkle_prune" ->
+      s"""WITH $repoFilesSql,
+        |uf AS (SELECT DISTINCT repo, path, h FROM files),
+        |anc AS (
+        |  SELECT repo,
+        |    CASE WHEN i = 0 THEN '' ELSE array_to_string(p[1:i], '/') END AS dir,
+        |    md5(array_to_string(p[i+1:len(p)], '/') || ':' || h) AS mm
+        |  FROM (SELECT repo, h, p, unnest(range(0, len(p))) AS i
+        |        FROM (SELECT repo, h, string_split(path, '/') AS p FROM uf))),
+        |terms AS (SELECT DISTINCT repo, dir, ${h48Sql("mm")} AS term FROM anc),
+        |census AS (
+        |  SELECT repo, dir, count(*) AS n_files,
+        |    CAST(sum(CAST(term AS HUGEINT)) % 281474976710656 AS BIGINT) AS sig
+        |  FROM terms GROUP BY 1, 2),
+        |shares AS (SELECT sig, n_files, count(*) AS n_locations,
+        |    min(struct_pack(r := repo, d := dir)) AS c
+        |  FROM census GROUP BY 1, 2)
+        |SELECT census.repo, census.dir, census.n_files, census.sig,
+        |  s.n_locations, s.c.r AS canon_repo, s.c.d AS canon_dir,
+        |  census.repo = s.c.r AND census.dir = s.c.d AS keep
+        |FROM census JOIN shares s USING (sig, n_files)""".stripMargin,
     "d_commit_deltas" ->
       """WITH d AS MATERIALIZED (
         |  SELECT doc_id, source, text FROM documents WHERE text IS NOT NULL),

@@ -110,6 +110,34 @@ object RepoDedup {
         col("n_locations"), col("n_repos"))
   }
 
+  /** Subtree retention ACTION on top of [[dirCensus]]: for every class
+    * of identical subtrees (same signature + element count) keep ONE
+    * canonical location — the lexicographically smallest (repo, dir) —
+    * and mark every other location a prunable duplicate (the
+    * vendored-copy cleanup a code-corpus curator runs before file-level
+    * dedup). One combinable min(struct) per class + one class-keyed
+    * join; no windows.
+    *
+    * NOTE a kept directory's descendants are themselves duplicate
+    * CLASSES with their own canonical location inside the kept copy, so
+    * filtering `keep` keeps exactly one copy of every subtree level;
+    * pruning should act on the OUTERMOST dropped dirs (drop rows whose
+    * ancestor is already dropped are redundant).
+    */
+  def dirPrune(files: DataFrame): DataFrame = {
+    val census = dirCensus(files)
+    val canon = census.groupBy(col("sig"), col("n_files"))
+      .agg(min(struct(col("repo"), col("dir"))).as("c"))
+      .select(col("sig"), col("n_files"),
+        col("c.repo").as("canon_repo"), col("c.dir").as("canon_dir"))
+    census.join(canon, Seq("sig", "n_files"))
+      .select(col("repo"), col("dir"), col("n_files"), col("sig"),
+        col("n_locations"),
+        col("canon_repo"), col("canon_dir"),
+        (col("repo") === col("canon_repo") && col("dir") === col("canon_dir"))
+          .as("keep"))
+  }
+
   /** Fork pairs: unordered repo pairs with Jaccard(file-digest sets) ≥
     * thetaPct/100, emitted as (repo_a, repo_b, n_a, n_b, inter) with
     * repo_a < repo_b. Lossless prefix filtering (PPJoin lemma, global

@@ -111,6 +111,26 @@ class RepoDedupSpec extends AnyFunSuite {
     assert(census(("A", "s")) !== census(("C", "s")))
   }
 
+  test("dirPrune: one canonical location per identical subtree") {
+    val lib = Seq(("util.c", "lib-util"), ("deep/io.c", "lib-io"))
+    def mount(repo: String, at: String) =
+      lib.map { case (p, c) => (repo, s"$at/$p", c) }
+    val rows = mount("X", "vendor/lib") ++ mount("Y", "third_party/lib") ++
+      mount("Z", "a/lib") :+ (("X", "main.c", "x-main"))
+    val got = RepoDedup.dirPrune(filesDf(rows))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getString(5), r.getString(6), r.getBoolean(7)))).toMap
+    // lib class: canonical = min of (X,vendor/lib), (Y,third_party/lib),
+    // (Z,a/lib) → ("X","vendor/lib")? No: struct order compares repo
+    // first, so ("X","vendor/lib") < ("Y",...) < ("Z",...)
+    assert(got(("X", "vendor/lib")) === (("X", "vendor/lib", true)))
+    assert(got(("Y", "third_party/lib")) === (("X", "vendor/lib", false)))
+    assert(got(("Z", "a/lib")) === (("X", "vendor/lib", false)))
+    // unique subtrees keep themselves (X root has the extra main.c)
+    assert(got(("X", ""))._3 === true)
+    assert(got(("Y", ""))._3 === true)
+  }
+
   test("forkPrune: biggest member wins, name breaks ties, singletons keep") {
     // family {rA(9), rB(9), rC(10)}: rC biggest → canon; family {rX(5),
     // rY(5)}: tie → min name rX; rD singleton keeps itself.
