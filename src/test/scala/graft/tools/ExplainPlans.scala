@@ -41,7 +41,8 @@ object ExplainPlans {
         // repo layer: digest-keyed joins only (text pruned at the scan),
         // census rollup is one combinable agg — no windows, no cartesians;
         // prune/deltas are combinable aggs + keyed joins
-        "d_repo_forks", "d_merkle_dirs", "d_fork_prune", "d_commit_deltas")) {
+        "d_repo_forks", "d_merkle_dirs", "d_fork_prune", "d_commit_deltas",
+        "d_merkle_prune")) {
       println(s"\n===== $name =====")
       println(graft.Queries.all(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
