@@ -1093,9 +1093,16 @@ object Queries {
       .select(col("doc_id"), length(col("text")).cast("long").as("char_len"))
       .join(agg, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_spans", "dup_chars"))
-      .withColumn("dup_frac", round(col("dup_chars") / col("char_len"), 6))
+      // Duplicated fraction in integer PARTS-PER-MILLION via exact
+      // round-half-up long division ((2a·10^6 + b) div 2b) — the
+      // micro-unit rule (e_lsh_buckets/e_pq_adc): a raw round(double, 6)
+      // is value-equal but not bit-stable across engines (Spark BigDecimal
+      // HALF_UP vs DuckDB double round differ in the last ULP), which
+      // kills the driver's hash even when every printed value matches.
+      .withColumn("dup_ppm",
+        expr("(dup_chars * 2000000 + char_len) div (2 * char_len)"))
       .select(col("doc_id"), col("n_spans"), col("dup_chars"),
-        col("char_len"), col("dup_frac"))
+        col("char_len"), col("dup_ppm"))
   }
 
   /** WITHIN-document repetitiveness — the self-analog of [[dDupSpans]]
@@ -1106,7 +1113,7 @@ object Queries {
     * maximal runs of [[DupSpanGram]]-cp grams occurring ≥2 times WITHIN
     * that document (same G-gap merge rule as the corpus-level spans, so
     * the two fractions are directly comparable). Output one row per doc
-    * ≥G cp: (doc_id, rep_spans, rep_chars, char_len, rep_frac).
+    * ≥G cp: (doc_id, rep_spans, rep_chars, char_len, rep_ppm).
     *
     * Scale: strictly MAP-ONLY — gram counting, position filtering and
     * the interval merge all happen inside one pass over the document in
@@ -1154,7 +1161,9 @@ object Queries {
       }
       .toDF("doc_id", "rep_spans", "rep_chars", "char_len")
       .filter(col("rep_spans") >= 0L) // docs shorter than G carry no signal
-      .withColumn("rep_frac", round(col("rep_chars") / col("char_len"), 6))
+      // Integer ppm, exact half-up division — see dDupSpanStats.
+      .withColumn("rep_ppm",
+        expr("(rep_chars * 2000000 + char_len) div (2 * char_len)"))
   }
 
   /** Distributed generalized SUFFIX ARRAY over a deterministic 1/16
@@ -2548,6 +2557,18 @@ object Queries {
 
   /** Brute-force cosine top-k ANN (baseline path). Dot products in double
     * precision, sequential array order — deterministic.
+    *
+    * Top-k selection is the WINDOW-FREE [[graft.functions.TopKBy]]
+    * bounded heap: each scan partition forwards ≤k rows per query and
+    * nothing is globally sorted — the former
+    * `row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC)`
+    * funneled the ENTIRE scored corpus through one task per query (the
+    * per-query straggler at 100×). The double cosine rides through the
+    * integer-only heap via the lossless order-preserving
+    * [[graft.functions.SortableBits]] encoding, so the ranking (and the
+    * DuckDB oracle, which ranks the raw doubles) is bit-for-bit the
+    * window's: ties break on the double itself, never on a lossy
+    * micro-unit surrogate.
     */
   def eAnnTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
@@ -2556,15 +2577,17 @@ object Queries {
     val cands = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("v"))
     // the 20-row query side is the build side: broadcast it and stream the
     // corpus past it — the reverse (corpus broadcast) OOMs at any real size
-    val joined = broadcast(queries).crossJoin(cands)
+    broadcast(queries).crossJoin(cands)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", graft.functions.CosineSim(col("q"), col("v")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    joined.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= 5)
-      .select(col("query_id"), col("neighbor_id"), col("rk"),
-        round(col("cosine"), 4).as("cosine_r"))
+      .withColumn("s", graft.functions.SortableBits(
+        graft.functions.CosineSim(col("q"), col("v"))))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKBy(col("s"), col("neighbor_id"), 5).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rk"),
+        round(graft.functions.SortableBits.invert(col("col.score")), 4)
+          .as("cosine_r"))
   }
 
   /** Int8 scalar-quantization audit — per dimension: code range actually
@@ -4166,7 +4189,8 @@ object Queries {
         |SELECT d.doc_id, COALESCE(a.n_spans, 0) AS n_spans,
         |  COALESCE(a.dup_chars, 0) AS dup_chars,
         |  length(d.text) AS char_len,
-        |  round(COALESCE(a.dup_chars, 0) / length(d.text), 6) AS dup_frac
+        |  (COALESCE(a.dup_chars, 0) * 2000000 + length(d.text))
+        |    // (2 * length(d.text)) AS dup_ppm
         |FROM d LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "d_self_rep" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 16),
@@ -4198,7 +4222,8 @@ object Queries {
         |SELECT d.doc_id, COALESCE(a.rep_spans, 0) AS rep_spans,
         |  COALESCE(a.rep_chars, 0) AS rep_chars,
         |  length(d.text) AS char_len,
-        |  round(COALESCE(a.rep_chars, 0) / length(d.text), 6) AS rep_frac
+        |  (COALESCE(a.rep_chars, 0) * 2000000 + length(d.text))
+        |    // (2 * length(d.text)) AS rep_ppm
         |FROM d LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "d_suffix_rank" ->
       """WITH d AS (SELECT doc_id, text FROM documents

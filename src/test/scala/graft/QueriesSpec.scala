@@ -263,12 +263,13 @@ class QueriesSpec extends AnyFunSuite {
     Seq((0L, doc0), (1L, doc1), (2L, doc2)).toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val got = Queries.dDupSpanStats(spark, tmp)
-      .as[(Long, Long, Long, Long, Double)].collect()
+      .as[(Long, Long, Long, Long, Long)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
     val len0 = doc0.length.toLong
+    // dup_ppm = round-half-up(1e6 * dup_chars / char_len) in exact ints
     assert(got(0L) === ((1L, 30L, len0,
-      BigDecimal(30.0 / len0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
-    assert(got(2L) === ((0L, 0L, doc2.length.toLong, 0.0)),
+      (30L * 2000000L + len0) / (2L * len0))))
+    assert(got(2L) === ((0L, 0L, doc2.length.toLong, 0L)),
       "span-free doc still reports zero coverage")
     assert(got.size === 3)
   }
