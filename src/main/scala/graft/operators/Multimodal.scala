@@ -77,26 +77,33 @@ object Multimodal {
   def encodeVideo(w: Int, h: Int, frames: Int, seed: Long): Array[Byte] =
     (0 until frames).toArray.flatMap(f => encodePpm(w, h, seed * 31L + f))
 
+  /** One deterministic synthetic media row — the single source of truth
+    * shared by the distributed [[synthesize]] map and the SEQUENTIAL
+    * fixture generator ([[graft.tools.MediaFixtureGen]]) that freezes the
+    * m_* driver-oracle literals, so the two can never drift apart.
+    */
+  def synthOne(i: Long): MediaRow = {
+    val w = 16 + (i % 4).toInt * 8
+    val h = 16
+    // videos always have ≥2 frames: a 1-frame PPM stream is
+    // indistinguishable from (and sniffs as) a plain image
+    val frames = 2 + (i % 4).toInt
+    (i % 3).toInt match {
+      case 0 => MediaRow(i, MediaMeta("image", w, h, 1, 0), encodePpm(w, h, i))
+      case 1 =>
+        val ns = 256 + (Hash64.hashLong(i, 7L) & 0xff).toInt
+        MediaRow(i, MediaMeta("audio", 0, 0, 0, 16000), encodeWav(16000, ns, i))
+      case _ => MediaRow(i, MediaMeta("video", w, h, frames, 0),
+        encodeVideo(w, h, frames, i))
+    }
+  }
+
   /** Deterministic synthetic media table with REAL format payloads
     * (kinds cycle image/audio/video).
     */
   def synthesize(spark: SparkSession, n: Long): Dataset[MediaRow] = {
     import spark.implicits._
-    spark.range(n).map { i =>
-      val w = 16 + (i % 4).toInt * 8
-      val h = 16
-      // videos always have ≥2 frames: a 1-frame PPM stream is
-      // indistinguishable from (and sniffs as) a plain image
-      val frames = 2 + (i % 4).toInt
-      (i % 3).toInt match {
-        case 0 => MediaRow(i, MediaMeta("image", w, h, 1, 0), encodePpm(w, h, i))
-        case 1 =>
-          val ns = 256 + (Hash64.hashLong(i, 7L) & 0xff).toInt
-          MediaRow(i, MediaMeta("audio", 0, 0, 0, 16000), encodeWav(16000, ns, i))
-        case _ => MediaRow(i, MediaMeta("video", w, h, frames, 0),
-          encodeVideo(w, h, frames, i))
-      }
-    }
+    spark.range(n).map(i => synthOne(i))
   }
 
   // ------------------------------------------------------------------
@@ -193,6 +200,35 @@ object Multimodal {
     }
   }
 
+  /** Integer 8-bin luma histogram of one PPM frame's pixels — the exact
+    * counts (shared by [[sampleFrames]] and the sequential fixture
+    * generator, so the float feature and the frozen integer oracle derive
+    * from one binning).
+    */
+  def frameHistCounts(b: Array[Byte], pix: Int, w: Int, h: Int): Array[Long] = {
+    val hist = new Array[Long](8)
+    var i = pix
+    val end = pix + w * h * 3
+    while (i < end) {
+      val l = lumaOf(b(i) & 0xff, b(i + 1) & 0xff, b(i + 2) & 0xff)
+      hist(math.min(7, (l * 8).toInt)) += 1L
+      i += 3
+    }
+    hist
+  }
+
+  /** Parse a PPM stream into per-frame (w, h, pixelOff) descriptors. */
+  def parseFrames(b: Array[Byte]): Array[(Int, Int, Int)] = {
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+    var off = 0
+    while (off < b.length) {
+      val (w, h, pix, end) = parsePpmHeader(b, off)
+      frames += ((w, h, pix))
+      off = end
+    }
+    frames.toArray
+  }
+
   /** Frame sampling: parse the PPM stream, take every `stride`-th frame,
     * feature = 8-bin luma histogram of the REAL pixels (normalized).
     */
@@ -201,25 +237,13 @@ object Multimodal {
     import spark.implicits._
     media.filter(_.meta.kind == "video").flatMap { r =>
       val b = r.payload
-      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
-      var off = 0
-      while (off < b.length) {
-        val (w, h, pix, end) = parsePpmHeader(b, off)
-        frames += ((w, h, pix))
-        off = end
-      }
+      val frames = parseFrames(b)
       (0 until frames.length by stride).iterator.map { f =>
         val (w, h, pix) = frames(f)
+        val counts = frameHistCounts(b, pix, w, h)
         val hist = new Array[Float](8)
-        var i = pix
-        val end = pix + w * h * 3
-        while (i < end) {
-          val l = lumaOf(b(i) & 0xff, b(i + 1) & 0xff, b(i + 2) & 0xff)
-          hist(math.min(7, (l * 8).toInt)) += 1f
-          i += 3
-        }
         var k = 0
-        while (k < 8) { hist(k) /= (w * h).toFloat; k += 1 }
+        while (k < 8) { hist(k) = counts(k).toFloat / (w * h).toFloat; k += 1 }
         FrameRow(r.mediaId, f, hist)
       }
     }
@@ -272,18 +296,21 @@ object Multimodal {
     require(maxDim > 0, s"resize: maxDim must be positive, got $maxDim")
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions { it =>
-      it.map { r =>
-        val b = r.payload
-        if (b.length >= 2 && b(0) == 'P' && b(1) == '6' &&
-            r.meta.kind == "image") {
-          val (w, h, w2, h2, out) = resizePpm(b, maxDim)
-          ResizedRow(r.mediaId, "image", w, h, w2, h2, out)
-        } else
-          ResizedRow(r.mediaId, r.meta.kind, r.meta.width, r.meta.height,
-            r.meta.width, r.meta.height, b)
-      }
-    }
+    media.mapPartitions(it => it.map(r => resizeOne(r, maxDim)))
+  }
+
+  /** Resize one row — shared by [[resize]] and the sequential fixture
+    * generator.
+    */
+  def resizeOne(r: MediaRow, maxDim: Int): ResizedRow = {
+    val b = r.payload
+    if (b.length >= 2 && b(0) == 'P' && b(1) == '6' &&
+        r.meta.kind == "image") {
+      val (w, h, w2, h2, out) = resizePpm(b, maxDim)
+      ResizedRow(r.mediaId, "image", w, h, w2, h2, out)
+    } else
+      ResizedRow(r.mediaId, r.meta.kind, r.meta.width, r.meta.height,
+        r.meta.width, r.meta.height, b)
   }
 
   /** Media-level dedup: exact payload hash groupBy (the binary analog of

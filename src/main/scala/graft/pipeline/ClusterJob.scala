@@ -565,8 +565,62 @@ object ClusterJob {
     * sha256 verification tally, the reference's `-r` + md5-check mode.
     * The config's chunk-* directives select the chunker, exactly as the
     * backup-mode config does.
+    *
+    * Trace mode (`destor -t /path`, reference src/destor.c:347-357 →
+    * make_trace in src/trace_phase.c):
+    * ClusterJob trace <corpusParquet> <outTraceFile> [destor.config]
+    * — chunks + hashes the corpus with the configured chunker and writes
+    * the reference-format text `.trace` file ([[graft.sources
+    * .TraceSource.write]], byte-exact both ways), completing the
+    * reference's four-job command surface (backup/restore/expire/trace).
+    * The emitted trace feeds the simulation-level pipeline
+    * ([[TracePipeline]]) the same way the reference's traces feed
+    * `simulation-level all` runs.
     */
+  /** `destor -t` body, shared by the CLI arm and TraceCliSpec: chunk +
+    * hash the corpus with the configured chunker and write the
+    * reference-format `.trace` file (one `repo@path@commit` stream per
+    * file version — commit is part of the key, or two versions of one
+    * path would merge into a single block with colliding chunk indices).
+    * Returns the chunk count the CLI reports.
+    */
+  def trace(corpus: Dataset[CorpusFile], outFile: String,
+      cfg: DedupConfig): Long = {
+    val chunks = DedupPipeline.chunkTableDF(
+        DedupPipeline.featurize(corpus, cfg).toDF())
+      .select(concat_ws("@", col("repo"), col("path"), col("commit"))
+          .as("path"),
+        col("chunkIdx"), col("fp"), col("size"))
+    val n = chunks.count()
+    graft.sources.TraceSource.write(chunks, outFile)
+    n
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("trace")) {
+      val Array(_, corpusPath, outFile) = args.take(3)
+      val cfg = args.lift(3).map { cfgPath =>
+        val text = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(cfgPath)),
+          java.nio.charset.StandardCharsets.UTF_8)
+        DestorConfig.parse(text).dedupConfig
+      }.getOrElse(DedupConfig())
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+      val spark = SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      import spark.implicits._
+      val corpus = spark.read.parquet(corpusPath).as[CorpusFile]
+      val n = trace(corpus, outFile, cfg)
+      println(s"[clusterjob] trace chunks=$n out=$outFile")
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("restore")) {
       val Array(_, corpusPath, outDir) = args.take(3)
       val cfg = args.lift(3).map { cfgPath =>

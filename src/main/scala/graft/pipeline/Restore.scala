@@ -22,11 +22,42 @@ object Restore {
   def verifyRestore(corpus: Dataset[CorpusFile], cfg: DedupConfig): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-
     val features = DedupPipeline.featurize(corpus, cfg).toDF().persist()
+    val restored = restoreDigests(features, corpus, "SHA-256")
+    val res = features.select($"fileId", $"sha256")
+      .join(restored, Seq("fileId"), "left")
+      .agg(count(lit(1)).as("files"),
+        sum(when($"sha256" === $"restoredSha", 1L).otherwise(0L)).as("restored_ok"),
+        sum(when($"restoredSha".isNull || $"sha256" =!= $"restoredSha", 1L)
+          .otherwise(0L)).as("restored_bad"))
+    // aggregate-to-one-row forces the restored plan before unpersist
+    val out = res.collect()
+    features.unpersist()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toIndexedSeq, 1), res.schema)
+  }
+
+  /** Per-file digest of the restore reassembly — the shared core of
+    * [[verifyRestore]] and the driver-oracled `d_restore_md5` twin:
+    * recipe rows join their first-writer owner slices, shuffle on fileId
+    * with a (fileId, chunkIdx) secondary sort, and each task STREAMS the
+    * pre-sorted contiguous chunk run of one file straight into a digest —
+    * O(1) chunk memory per task off Spark's external sorter (the same
+    * discipline as [[materialize]]'s writer; the former formulation
+    * buffered a whole file's chunks in an array, so one multi-GB file
+    * could OOM the verify task but not the materialize task).
+    *
+    * `algo` is any MessageDigest name; MD5 is what DuckDB can recompute
+    * (`md5(text)`), SHA-256 matches the featurize self-check column.
+    * Zero-chunk (empty) files never reach the chunk writer, so callers
+    * either left-join (verify) or filter empties (oracle twin).
+    */
+  def restoreDigests(features: DataFrame, corpus: Dataset[CorpusFile],
+      algo: String): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val chunks = DedupPipeline.chunkTableDF(features)
     val unique = DedupPipeline.uniqueChunks(chunks.as[ChunkRow])
-
     // bytes of each unique fp from its first-writer file slice
     val corpusBin = corpus.select($"repo", $"path", $"commit",
       encode($"content", "UTF-8").as("bin"))
@@ -37,31 +68,27 @@ object Restore {
         Seq("fp", "repo", "path", "commit", "chunkIdx"))
       .join(corpusBin, Seq("repo", "path", "commit"))
       .select($"fp", expr("substring(bin, offset + 1, size)").as("bytes"))
-
-    // recipe rows → owner bytes → per-file reassembly
-    val restored = chunks
+    chunks
       .select($"fileId", $"chunkIdx", $"fp")
       .join(ownerSlices, Seq("fp"))
       .select($"fileId", $"chunkIdx", $"bytes")
+      .repartition(col("fileId"))
+      .sortWithinPartitions(col("fileId"), col("chunkIdx"))
       .as[(Long, Int, Array[Byte])]
-      .groupByKey(_._1)
-      .mapGroups { (fileId: Long, it: Iterator[(Long, Int, Array[Byte])]) =>
-        val parts = it.map(r => (r._2, r._3)).toArray.sortBy(_._1)
-        val out = new java.io.ByteArrayOutputStream()
-        parts.foreach(p => out.write(p._2))
-        val sha = java.security.MessageDigest.getInstance("SHA-256")
-        (fileId, DedupPipeline.toHex(sha.digest(out.toByteArray)))
+      .mapPartitions { it =>
+        val peek = it.buffered
+        new Iterator[(Long, String)] {
+          def hasNext: Boolean = peek.hasNext
+          def next(): (Long, String) = {
+            val fileId = peek.head._1
+            val dig = java.security.MessageDigest.getInstance(algo)
+            while (peek.hasNext && peek.head._1 == fileId)
+              dig.update(peek.next()._3)
+            (fileId, DedupPipeline.toHex(dig.digest()))
+          }
+        }
       }
       .toDF("fileId", "restoredSha")
-
-    val res = features.select($"fileId", $"sha256")
-      .join(restored, Seq("fileId"), "left")
-      .agg(count(lit(1)).as("files"),
-        sum(when($"sha256" === $"restoredSha", 1L).otherwise(0L)).as("restored_ok"),
-        sum(when($"restoredSha".isNull || $"sha256" =!= $"restoredSha", 1L)
-          .otherwise(0L)).as("restored_bad"))
-    features.unpersist()
-    res
   }
 
   /** MATERIALIZING restore — the reference's actual restore writer

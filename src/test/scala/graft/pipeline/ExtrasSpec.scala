@@ -216,6 +216,21 @@ class ExtrasSpec extends AnyFunSuite {
     assert(dedup.count() === 30) // payloads all distinct by construction
   }
 
+  test("multimodal: committed MediaFixtures literals match the sequential codecs") {
+    // the m_* driver oracles join these frozen literals — re-derive all
+    // four tables from the scalar codecs so any engine change that moves
+    // a value fails here instead of silently drifting the oracle
+    import graft.tools.MediaFixtureGen
+    assert(MediaFixtureGen.mediaStatsRows().mkString(",\n") ===
+      graft.MediaFixtures.mediaStats)
+    assert(MediaFixtureGen.audioBytesRows().mkString(",\n") ===
+      graft.MediaFixtures.audioBytes)
+    assert(MediaFixtureGen.resizedLumaRows().mkString(",\n") ===
+      graft.MediaFixtures.resizedLuma)
+    assert(MediaFixtureGen.frameHistRows().mkString(",\n") ===
+      graft.MediaFixtures.frameHists)
+  }
+
   test("multimodal: nearest-neighbor resize emits valid P6 a decoder re-parses") {
     val media = Multimodal.synthesize(spark, 30)
     val resized = Multimodal.resize(media, maxDim = 12).collect()
