@@ -33,6 +33,16 @@ import org.apache.spark.sql.types._
   * (DuckDB replays it as a window rank). Need a descending id tie-break
   * (the reference's FIFO-newest rule)? Negate the id at the call site.
   *
+  * NULL semantics: rows where score OR id is NULL are SKIPPED (standard
+  * aggregate-function null handling, like max/sum), which DIVERGES from
+  * the `row_number() OVER (ORDER BY score DESC)` pattern this replaces —
+  * a window ranks NULL-score rows (NULLS LAST in Spark, so they can
+  * still surface when a group has fewer than k non-null rows). SQL
+  * callers of the registered `top_k_by` who need window parity on
+  * nullable scores must coalesce NULLs to a sentinel (e.g.
+  * Long.MinValue) at the call site; all engine call sites feed non-null
+  * columns.
+  *
   * Buffer is two primitive long arrays forming a worst-at-root binary
   * heap; serialization is a flat ByteBuffer — no boxing, no Scala
   * collections on the hot path.

@@ -145,8 +145,13 @@ object RepoDedup {
     * overlap ≥ ⌈t·n⌉, so only the n − ⌈t·n⌉ + 1 globally-rarest
     * digests of each repo become join keys; the size filter
     * 100·min ≥ θ·max prunes before the verify join; verify is the
-    * codegen'd [[graft.functions.IntersectSorted]] merge scan over
-    * per-repo sorted digest arrays.
+    * codegen'd [[graft.functions.IntersectSortedPairs]] merge scan over
+    * per-repo sorted arrays of FULL 128-bit digests (md5 packed as two
+    * longs) — exact, no hash truncation, so a candidate admitted by an
+    * xxhash64 prefix-key collision is always rejected here. Only the
+    * candidate-generation keys are 64-bit (collisions there add
+    * spurious candidates, never lose true ones: equal digests always
+    * hash equal).
     */
   def forkPairs(files: DataFrame, thetaPct: Int): DataFrame = {
     import files.sparkSession.implicits._
@@ -161,15 +166,29 @@ object RepoDedup {
     val repos = ranked.as[(String, Long, String, Long)]
       .groupByKey(_._1)
       .mapGroups { (repo: String, it: Iterator[(String, Long, String, Long)]) =>
-        // buffers one repo's digest set — 24 bytes per distinct file
+        // buffers one repo's digest set — 32 bytes per distinct file
         val arr = it.map { case (_, df, h, hv) => (df, h, hv) }.toArray
         val n = arr.length
         val alpha = (n * thetaPct + 99) / 100 // ⌈t·n⌉, integer-exact
         val p = n - alpha + 1
         scala.util.Sorting.quickSort(arr) // (df, h) global rarity order
         val prefix = arr.take(p).map(_._3)
-        val sorted = arr.map(_._3)
-        java.util.Arrays.sort(sorted)
+        // full 128-bit digests packed (hi, lo), unsigned-sorted for the
+        // exact merge-scan verify
+        val pairs = arr.map { case (_, h, _) =>
+          (java.lang.Long.parseUnsignedLong(h.substring(0, 16), 16),
+            java.lang.Long.parseUnsignedLong(h.substring(16, 32), 16))
+        }
+        java.util.Arrays.sort(pairs, (x: (Long, Long), y: (Long, Long)) => {
+          val c = java.lang.Long.compareUnsigned(x._1, y._1)
+          if (c != 0) c else java.lang.Long.compareUnsigned(x._2, y._2)
+        })
+        val sorted = new Array[Long](2 * n)
+        var i = 0
+        while (i < n) {
+          sorted(2 * i) = pairs(i)._1; sorted(2 * i + 1) = pairs(i)._2
+          i += 1
+        }
         (repo, n.toLong, sorted, prefix)
       }
       .toDF("repo", "n", "hs", "prefix")
@@ -188,7 +207,7 @@ object RepoDedup {
       .join(arrays.toDF("repo_b", "hb"), Seq("repo_b"))
       .select(col("repo_a"), col("repo_b"), col("na").as("n_a"),
         col("nb").as("n_b"),
-        graft.functions.IntersectSorted(col("ha"), col("hb")).as("inter"))
+        graft.functions.IntersectSortedPairs(col("ha"), col("hb")).as("inter"))
       // Jaccard ≥ t ⟺ 100·inter ≥ t·(n_a + n_b − inter)
       .filter(col("inter") * 100 >=
         (col("n_a") + col("n_b") - col("inter")) * thetaPct)
@@ -260,14 +279,24 @@ object RepoDedup {
   /** Fork FAMILIES: connected components over [[forkPairs]] edges;
     * every repo (singletons included) gets family = the
     * lexicographically smallest repo name of its component, plus the
-    * component size. CC runs on 48-bit name digests (log-diameter
+    * component size. CC runs on 64-bit name hashes (log-diameter
     * pointer jumping); the name mapping back out keeps the output
-    * digest-free and deterministic.
+    * digest-free and deterministic. Because a silent rid collision
+    * would merge two unrelated repos into one family — and forkPrune
+    * would then DROP a non-fork repo — uniqueness is asserted loudly
+    * up front (one O(#repos) aggregate on the tiny names table; #repos
+    * ≪ #files, and 64-bit collisions need ~2^32 repos).
     */
   def forkFamilies(files: DataFrame, thetaPct: Int): DataFrame = {
     val names = files.filter(col("content").isNotNull)
       .select(col("repo")).distinct()
-      .select(col("repo"), h48(col("repo")).as("rid"))
+      .select(col("repo"), xxhash64(col("repo")).as("rid"))
+      .localCheckpoint(true) // collision check + CC + label join read it
+    val collided = names.groupBy(col("rid"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).count()
+    require(collided == 0L,
+      "forkFamilies: rid hash collision across repo names — CC node ids " +
+        "not unique; two unrelated repos would silently merge")
     val edges = forkPairs(files, thetaPct)
       .join(names.toDF("repo_a", "a"), Seq("repo_a"))
       .join(names.toDF("repo_b", "b"), Seq("repo_b"))

@@ -53,7 +53,13 @@ object GraftExtensions {
 
   private val topKBy = (
     new FunctionIdentifier("top_k_by"),
-    new ExpressionInfo(classOf[TopKBy].getName, "top_k_by"),
+    new ExpressionInfo(classOf[TopKBy].getName, null, "top_k_by",
+      "top_k_by(score, id, k) - top-k (score, id) pairs per group, " +
+        "best-first, ties -> smallest id. Rows with NULL score or id " +
+        "are SKIPPED (aggregate null semantics, unlike a row_number " +
+        "window which ranks NULL scores) - coalesce to a sentinel for " +
+        "window parity.",
+      "", "", "", "agg_funcs", "", "", ""),
     (children: Seq[Expression]) => {
       require(children.length == 3,
         "top_k_by(score, id, k) takes two bigint args and a literal int k")

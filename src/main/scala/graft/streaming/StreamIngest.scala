@@ -347,16 +347,25 @@ object StreamIngest {
         (key: (String, String, String), events: Iterator[VersionEvent],
             state: GroupState[Long]) =>
           val ordered = events.toSeq.sortBy(_.cseq)
-          var intro = state.getOption.getOrElse(Long.MinValue)
+          // intro = min cseq seen so far (batch commitDeltas' global
+          // min(cseq) first-writer, computed incrementally): an
+          // out-of-order replay whose cseq undercuts the stored intro is
+          // itself the (new) first writer, so it classifies introduced
+          // and lowers the state — never introduced=false with an
+          // introCseq above its own cseq. Earlier emitted verdicts are
+          // not retracted (Append mode); exact parity with commitDeltas
+          // still requires in-order commit replay, but per-event
+          // classification is now min-consistent either way.
+          var intro = state.getOption.getOrElse(Long.MaxValue)
           val out = ordered.map { e =>
-            if (intro == Long.MinValue) {
+            if (e.cseq < intro) {
               intro = e.cseq
               VersionDecision(e.repo, e.cseq, e.path, introduced = true, intro)
             } else {
               VersionDecision(e.repo, e.cseq, e.path, introduced = false, intro)
             }
           }
-          if (intro != Long.MinValue) state.update(intro)
+          if (intro != Long.MaxValue) state.update(intro)
           out.iterator
       }
   }

@@ -50,6 +50,46 @@ class GraftExtensionsSpec extends AnyFunSuite {
     intercept[Exception](spark.sql("SELECT intersect_sorted(array(1L))").collect())
   }
 
+  test("intersect_sorted_pairs: unsigned 128-bit merge counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // md5s are 128-bit UNSIGNED values packed as (hi, lo) long pairs:
+    // high-bit-set longs are NEGATIVE signed, so a signed merge scan
+    // would mis-order them — pin the unsigned compare on both limbs
+    def pack(ps: (Long, Long)*): Array[Long] = ps.flatMap(p => Seq(p._1, p._2)).toArray
+    val hi = java.lang.Long.parseUnsignedLong("ffffffffffffffff", 16)
+    val cases = Seq(
+      // unsigned order: (1,5) < (1,hi) < (hi,2) < (hi,hi)
+      (pack((1L, 5L), (1L, hi), (hi, 2L)), pack((1L, hi), (hi, 2L), (hi, hi)), 2L),
+      // same hi limb, lo limbs differ only in sign bit
+      (pack((3L, 1L), (3L, hi)), pack((3L, hi)), 1L),
+      (pack((1L, 1L)), Array.empty[Long], 0L),
+      // equal pairs count once each; (2,2) on one side only
+      (pack((1L, 1L), (2L, 2L), (hi, 0L)), pack((1L, 1L), (hi, 0L)), 2L))
+    val got = cases.map(c => (c._1, c._2)).toDF("a", "b")
+      .select(graft.functions.IntersectSortedPairs(col("a"), col("b")).as("n"))
+      .as[Long].collect()
+    assert(got.toSeq === cases.map(_._3))
+    // randomized parity vs a Scala-side set intersection of (hi, lo)
+    // tuples, sorted unsigned exactly like RepoDedup.forkPairs packs them
+    val rnd = new scala.util.Random(11)
+    def rndSet(): Array[(Long, Long)] = {
+      val s = Set.fill(rnd.nextInt(30))((rnd.nextLong() % 4, rnd.nextLong() % 4))
+      s.toArray.sortWith { (x, y) =>
+        val c = java.lang.Long.compareUnsigned(x._1, y._1)
+        if (c != 0) c < 0 else java.lang.Long.compareUnsigned(x._2, y._2) < 0
+      }
+    }
+    val rpairs = Seq.fill(40)((rndSet(), rndSet()))
+    val rgot = rpairs.map { case (a, b) => (pack(a.toSeq: _*), pack(b.toSeq: _*)) }
+      .toDF("a", "b")
+      .select(graft.functions.IntersectSortedPairs(col("a"), col("b")).as("n"))
+      .as[Long].collect()
+    rpairs.zip(rgot).foreach { case ((a, b), g) =>
+      assert(g === a.toSet.intersect(b.toSet).size.toLong)
+    }
+  }
+
   test("cosine_sim matches the scalar implementation and is SQL-callable") {
     GraftExtensions.register(spark)
     import spark.implicits._

@@ -156,6 +156,36 @@ class StreamIngestSpec extends AnyFunSuite {
       ("R", 2L, "b.c", false, 0L)))
   }
 
+  test("commit chain: out-of-order replay classifies against min(cseq)") {
+    import StreamIngest.VersionEvent
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[VersionEvent]
+    val out = StreamIngest.commitStream(stream.toDS())
+    val q = out.writeStream.format("memory").queryName("scommit_ooo")
+      .outputMode("append").start()
+    // batch 1 arrives LATE commits first: commit 5 holds (a.c, h1)
+    stream.addData(VersionEvent("R", 5, "a.c", "h1"))
+    q.processAllAvailable()
+    // batch 2 replays the EARLIER commit 2 of the same version: it
+    // undercuts the stored intro, so it is the new first writer —
+    // introduced=true, introCseq=2 (never introduced=false with an
+    // introCseq above its own cseq, the batch-parity divergence fixed
+    // this round) — and a later arrival classifies against the min
+    stream.addData(VersionEvent("R", 2, "a.c", "h1"))
+    q.processAllAvailable()
+    stream.addData(VersionEvent("R", 7, "a.c", "h1"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql(
+      "SELECT repo, cseq, path, introduced, introCseq FROM scommit_ooo")
+      .as[(String, Long, String, Boolean, Long)].collect().toSet
+    assert(rows === Set(
+      ("R", 5L, "a.c", true, 5L),
+      ("R", 2L, "a.c", true, 2L),
+      ("R", 7L, "a.c", false, 2L)))
+  }
+
   test("streaming near-dup: keep-first curation across micro-batches") {
     import StreamIngest.DocEvent
     implicit val sqlCtx = spark.sqlContext
