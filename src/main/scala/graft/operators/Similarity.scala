@@ -74,17 +74,23 @@ object Similarity {
     // it instead of recomputing candidate generation twice
     val pairs = coldPairs.union(hotPairs).distinct().localCheckpoint(true)
     val sym = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("a")).orderBy(col("cosine").desc, col("b"))
+    // nearest-candidate pick per vector: top_k_by(k=1) over the lossless
+    // sortable-bits cosine — one map-side-combinable ObjectHashAggregate
+    // (ties → smallest b, same total order as the row_number window it
+    // replaces; SortableBits.invert returns the bit-exact double back)
     sym
       .join(e.select(col("vec_id").as("a"), col("embedding").as("q")), Seq("a"))
       .join(e.select(col("vec_id").as("b"), col("embedding").as("v")), Seq("b"))
       .withColumn("cosine", graft.functions.CosineSim(col("q"), col("v")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("a").as("vec_id"), col("b").as("nearest"),
-        round(col("cosine"), 4).as("cosine_r"),
-        (col("cosine") >= tau).as("is_dup"))
+      .groupBy(col("a"))
+      .agg(graft.functions.TopKBy(
+        graft.functions.SortableBits(col("cosine")), col("b"), 1).as("topk"))
+      .select(col("a").as("vec_id"), col("topk")(0).getField("id").as("nearest"),
+        graft.functions.SortableBits.invert(col("topk")(0).getField("score"))
+          .as("cos"))
+      .select(col("vec_id"), col("nearest"),
+        round(col("cos"), 4).as("cosine_r"),
+        (col("cos") >= tau).as("is_dup"))
   }
 
   /** Int8 scalar quantization — the standard 4× compression step before

@@ -1,0 +1,106 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Shared physical-plan audit for the headline queries: the round-3/4
+  * window-elimination and join-shape wins are asserted here so they cannot
+  * silently regress. [[ExplainPlans]] prints the full plans for eyeballs
+  * (and exits nonzero on violations); [[graft.plans.PlanAuditSpec]] wires
+  * the same checks into `sbt test`.
+  *
+  * Violations:
+  *  - `CartesianProduct` — never allowed (all pair fan-out in the engine is
+  *    keyed: gram-, band-, prefix- or digest-keyed).
+  *  - `BroadcastNestedLoopJoin` — allowed only where the build side is a
+  *    documented O(1)-row scalar (crossJoin with a 1-2 row aggregate).
+  *  - `Window` — allowed only where the partition key is compound and
+  *    per-group cardinality is bounded by construction (the round-3 rule:
+  *    no `Window.partitionBy(stream)` over unbounded streams).
+  *  - a full-width `documents` scan (all 5 columns) — every audited query
+  *    needs a strict subset, so reading the full row means column pruning
+  *    broke.
+  */
+object PlanAudit {
+
+  /** Headline queries under audit. Keep in sync with the comments below —
+    * each group documents what its plans must NOT contain.
+    */
+  val audited: Seq[String] = Seq(
+    "q1_agg", "q_broadcast_join", "q_semi_join",
+    "q_first_writer", "d_token_count", "e_ann_topk",
+    "e_lsh_dedup", "d_ngram_jaccard_pairs", "q_quantile",
+    "d_winnow", "e_lsh_buckets", "d_backup_stats",
+    // round-4 audit: no Window.partitionBy(stream) may appear here —
+    // run detection/lag/max are two-phase distributed (streamRuns);
+    // cbr's remaining window partitions by (stream, containerId)
+    "r_cfl_runs", "r_cbr_rewrite", "r_access_records",
+    // chained-store retention: (fp, cid)-keyed shuffles + the
+    // two-phase prefix sum only — no windows, no cartesians
+    "g_chain_expire", "g_chain_recipes",
+    // exact-substring surface: scans must prune to (doc_id, text);
+    // no windows (island merges are typed flatMapGroups), no
+    // cartesians (pair fan-out is inside the capped gram group)
+    "d_dup_spans", "d_dup_span_pairs", "d_decontam",
+    // clone detection: prefix-filtered candidate join + sorted-array
+    // merge verify — no cartesians; both joins are h-/doc-keyed
+    "d_clone_pairs",
+    // near-dup retention action: the clustering plan + ONE combinable
+    // agg and one cluster-keyed join — no windows, no per-cluster sort
+    "d_neardup_prune",
+    // native top-k aggregate: ObjectHashAggregate partial/final,
+    // zero Window/Sort operators anywhere in the plan
+    "q_topk_agg",
+    // repo layer: digest-keyed joins only (text pruned at the scan),
+    // census rollup is one combinable agg — no windows, no cartesians;
+    // prune/deltas are combinable aggs + keyed joins
+    "d_repo_forks", "d_merkle_dirs", "d_fork_prune", "d_commit_deltas",
+    "d_merkle_prune")
+
+  /** Queries whose plans may contain Window operators: every window here
+    * partitions by a compound key whose per-group size is bounded by the
+    * engine's own construction (cbr: (stream, containerId) inside one
+    * rewrite buffer; cap: (stream, bufferId) with buffer size ≤ capping
+    * window) — the grain the round-3 directive explicitly allows.
+    */
+  val windowAllowed: Set[String] = Set("r_cbr_rewrite")
+
+  /** Queries whose plans may contain BroadcastNestedLoopJoin: only
+    * documented bounded-build-side crossJoins — d_backup_stats joins a
+    * checkpointed ≤2-row aggregate, e_ann_topk (the labeled brute-force
+    * baseline) broadcasts its 20-row query side and streams the corpus
+    * past it (brute-force scoring is all-pairs by definition; the scale
+    * path is e_ivf_topk / e_lsh_dedup).
+    */
+  val bnljAllowed: Set[String] = Set("d_backup_stats", "e_ann_topk")
+
+  final case class Audit(name: String, plan: String, violations: Seq[String])
+
+  /** All five `documents` columns in one ReadSchema line ⇒ pruning broke. */
+  private val fullDocScan =
+    Seq("doc_id", "text", "lang", "source", "n_chars")
+
+  def audit(spark: SparkSession, dir: String, name: String): Audit = {
+    val plan = graft.Queries.all(name)(spark, dir)
+      .queryExecution.explainString(FormattedMode)
+    val v = Seq.newBuilder[String]
+    if (plan.contains("CartesianProduct"))
+      v += "CartesianProduct in plan"
+    if (plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name))
+      v += "BroadcastNestedLoopJoin in plan (not an allowed scalar crossJoin)"
+    // FormattedMode gives every physical node a "(n) NodeName" detail
+    // header — match those, not free text (a column named "window" in a
+    // schema line must not trip the gate).
+    val hasWindow =
+      "(?m)^\\(\\d+\\) (Window|WindowGroupLimit)\\b".r.findFirstIn(plan).isDefined
+    if (hasWindow && !windowAllowed(name))
+      v += "Window operator in plan (round-3 rule: windows only on bounded compound keys)"
+    for (line <- plan.linesIterator if line.contains("ReadSchema:")
+         if fullDocScan.forall(line.contains))
+      v += s"unpruned full-width documents scan: ${line.trim}"
+    Audit(name, plan, v.result())
+  }
+
+  def auditAll(spark: SparkSession, dir: String): Seq[Audit] =
+    audited.map(audit(spark, dir, _))
+}
