@@ -43,11 +43,19 @@ run_leg() { # $1=jar $2=tag — same memory/conf as the sbt bench (Xmx48g)
 }
 
 : > /tmp/pipe_ab.jsonl
+# ABBA palindrome order: a linearly ramping co-tenant storm hits both
+# sides with the same average position, unlike a fixed A,B,A,B order
+# that always flatters whichever side runs first on a rising ramp.
 for r in $(seq 1 "$ROUNDS"); do
-  echo "[pipe_ab] round $r: r3 jar ..." >&2
-  run_leg "$R3JAR" r3 >> /tmp/pipe_ab.jsonl
-  echo "[pipe_ab] round $r: head jar ..." >&2
-  run_leg "$HEADJAR" head >> /tmp/pipe_ab.jsonl
+  if [ $((r % 2)) -eq 1 ]; then
+    echo "[pipe_ab] round $r: r3 then head ..." >&2
+    run_leg "$R3JAR" r3 >> /tmp/pipe_ab.jsonl
+    run_leg "$HEADJAR" head >> /tmp/pipe_ab.jsonl
+  else
+    echo "[pipe_ab] round $r: head then r3 ..." >&2
+    run_leg "$HEADJAR" head >> /tmp/pipe_ab.jsonl
+    run_leg "$R3JAR" r3 >> /tmp/pipe_ab.jsonl
+  fi
 done
 
 python3 - "$NBASES" "$ROUNDS" "$R3REF" <<'EOF'

@@ -91,20 +91,20 @@ object Rewrite {
     // (src/cbr_rewrite.c:38-55). Utilities are pre-rounded to 1e-6, so the
     // histogram is ≤1e6 rows regardless of input size and the quantile is
     // engine-independent (no interpolation): threshold = the smallest
-    // utility whose cumulative count reaches ceil((1-limit)·n).
+    // utility whose cumulative count reaches ceil((1-limit)·n). The
+    // cumulative scan is the two-phase distributed prefix
+    // ([[DedupPipeline.streamPrefix]], one synthetic stream — range
+    // partitioning spreads the histogram, offsets are O(partitions)), so
+    // only O(1) scalars ever reach the driver — never the histogram rows.
     val hist = withUtil.groupBy(col("utility")).agg(count(lit(1)).as("cnt"))
-      .orderBy(col("utility")).collect()
-    val n = hist.iterator.map(_.getLong(1)).sum
+      .withColumn("s", lit("h"))
+    val cum = DedupPipeline.streamPrefix(hist, "s", Seq("utility"), "cnt", "cumBefore")
+    val n = cum.agg(coalesce(sum(col("cnt")), lit(0L))).first().getLong(0)
     val k = math.ceil((1.0 - limit) * n).toLong
-    var cum = 0L
-    var threshold = 0.0
-    val itH = hist.iterator
-    var found = false
-    while (itH.hasNext && !found) {
-      val r = itH.next()
-      cum += r.getLong(1)
-      if (cum >= k) { threshold = r.getDouble(0); found = true }
-    }
+    val threshold = Option(
+      cum.filter(col("cumBefore") + col("cnt") >= k)
+        .agg(min(col("utility"))).first().get(0))
+      .map(_.asInstanceOf[Double]).getOrElse(0.0)
     val tEff = math.max(minUtility, threshold)
     // neighbor propagation: record runs of each container's duplicates
     // (gap ≤ bufferSize keeps the containerRecord buffered), then the
