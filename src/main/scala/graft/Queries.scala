@@ -102,11 +102,23 @@ object Queries {
     * prefix ([[pipeline.DedupPipeline.streamPrefix]]) instead.
     */
   def qCumPacking(spark: SparkSession, dir: String): DataFrame = {
+    // Per-stream running sum via the PRODUCTION two-phase prefix
+    // ([[graft.pipeline.DedupPipeline.streamPrefix]]: range-partition on
+    // the full ordering + O(partitions) boundary offsets), not a
+    // `Window.partitionBy(l_suppkey)` — one hot supplier would funnel its
+    // whole history through a single window-sort task at scale. Total
+    // order matches the former window exactly, so the oracle (a window
+    // rank in DuckDB) is unchanged; rows whose full sort key ties are
+    // identical in every output column except cum_qty, so the row
+    // MULTISET is order-independent either way.
     val li = t(spark, dir, "lineitem")
-    val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    li.withColumn("cum_qty", sum(col("l_quantity").cast("long")).over(w))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_shipdate"),
+        col("l_quantity").cast("long").as("qty"))
+    graft.pipeline.DedupPipeline.streamPrefix(li, "l_suppkey",
+        Seq("l_shipdate", "l_orderkey", "l_linenumber", "l_partkey"),
+        "qty", "cum_before")
+      .withColumn("cum_qty", col("cum_before") + col("qty"))
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         col("l_partkey"), col("cum_qty"),
         ((col("cum_qty") - 1) / 500).cast("long").as("bin"))

@@ -436,13 +436,17 @@ object Similarity {
         Seq.empty[(Long, Long, Long)]
           .toDF("query_id", "neighbor_id", "approx_ip")
       else candParts.reduce(_.union(_))
-    val wA = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("approx_ip").desc, col("neighbor_id"))
+    // global top-`keep` per query via the map-side-combinable top_k_by
+    // heap (ties: ip DESC, id ASC — the window's total order): per-query
+    // candidate volume is keep × partitions, which grows with cluster
+    // width, so a per-query window sort would widen with the cluster
+    // while the heap always forwards ≤ keep rows per partition
     val shortlist = cands
-      .withColumn("ark", row_number().over(wA))
-      .filter(col("ark") <= keep)
-      .select(col("query_id"), col("neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKBy(
+        col("approx_ip"), col("neighbor_id"), keep).as("topk"))
+      .select(col("query_id"), explode(col("topk")).as("e"))
+      .select(col("query_id"), col("e.id").as("neighbor_id"))
     // exact INTEGER inner-product rerank of the shortlist — the same
     // shape as pqTopK's cosine rerank, but engine-exact
     val rer = shortlist
@@ -458,14 +462,16 @@ object Similarity {
         (q, n, s)
       }
       .toDF("query_id", "neighbor_id", "exact_ip")
-    val wE = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("exact_ip").desc, col("neighbor_id"))
+    // final top-k rank: same heap (input is ≤ keep rows per query, but
+    // uniform window-free selection keeps the whole PQ path sort-free)
     val out = rer
-      .withColumn("rk", row_number().over(wE).cast("long"))
-      .filter(col("rk") <= topK)
-      .select(col("query_id"), col("neighbor_id"), col("rk"),
-        col("exact_ip"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKBy(
+        col("exact_ip"), col("neighbor_id"), topK).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rk"),
+        col("col.score").as("exact_ip"))
       .localCheckpoint(true)
     bcB.destroy(); codes.unpersist()
     out
@@ -546,27 +552,35 @@ object Similarity {
         Seq.empty[(Long, Long, Double)]
           .toDF("query_id", "neighbor_id", "approx_ip")
       else candParts.reduce(_.union(_))
-    // global top-`keep` per query (tiny: queries × keep × partitions rows)
-    val wA = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("approx_ip").desc, col("neighbor_id"))
+    // global top-`keep` per query via the map-side-combinable top_k_by
+    // heap over the lossless sortable-bits double encoding (ties:
+    // approx_ip DESC, id ASC — the window's exact total order): per-query
+    // candidate volume is keep × partitions, which grows with cluster
+    // width, so a per-query window sort would widen with the cluster
+    // while the heap always forwards ≤ keep rows per partition
     val shortlist = cands
-      .withColumn("ark", row_number().over(wA))
-      .filter(col("ark") <= keep)
-      .select(col("query_id"), col("neighbor_id"))
-    // exact-cosine rerank of the shortlist
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKBy(
+        graft.functions.SortableBits(col("approx_ip")),
+        col("neighbor_id"), keep).as("topk"))
+      .select(col("query_id"), explode(col("topk")).as("e"))
+      .select(col("query_id"), col("e.id").as("neighbor_id"))
+    // exact-cosine rerank of the shortlist (≤ keep rows per query; same
+    // window-free heap for uniformity)
     val e = embeddings.select(col("vec_id"), col("embedding"))
-    val wE = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
     val out = shortlist
       .join(e.select(col("vec_id").as("query_id"), col("embedding").as("q")),
         Seq("query_id"))
       .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("v")),
         Seq("neighbor_id"))
-      .withColumn("cos", graft.functions.CosineSim(col("q"), col("v")))
-      .withColumn("rk", row_number().over(wE).cast("long"))
-      .filter(col("rk") <= topK)
+      .withColumn("s", graft.functions.SortableBits(
+        graft.functions.CosineSim(col("q"), col("v"))))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKBy(col("s"), col("neighbor_id"), topK).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rk"),
+        graft.functions.SortableBits.invert(col("col.score")).as("cos"))
       .select(col("query_id"), col("neighbor_id"), col("rk"),
         round(col("cos"), 4).as("cosine_r"))
       .localCheckpoint(true)
@@ -677,18 +691,25 @@ object Similarity {
           .iterator.map { case (listId, _) => (qid, q, listId) }
       }
       .toDF("query_id", "q", "listId")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
+    // top-k per query via the map-side-combinable top_k_by heap over the
+    // lossless sortable-bits cosine (ties: cos DESC, id ASC — the former
+    // window's exact total order): each query's probed-candidate volume
+    // is (nProbe/nlist)·corpus — unbounded at scale — so a per-query
+    // window sort would funnel it through one task, while the heap
+    // forwards ≤ k rows per (partition, query)
     val out = queries
       .join(assigned.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("v"), col("listId")), Seq("listId"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", graft.functions.CosineSim(col("q"), col("v")))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rk"),
-        round(col("cos"), 4).as("cosine_r"))
+      .withColumn("s", graft.functions.SortableBits(
+        graft.functions.CosineSim(col("q"), col("v"))))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKBy(col("s"), col("neighbor_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rk"),
+        round(graft.functions.SortableBits.invert(col("col.score")), 4)
+          .as("cosine_r"))
       .localCheckpoint(true) // materialize (small: k rows/query) → free cache
     assigned.unpersist()
     out

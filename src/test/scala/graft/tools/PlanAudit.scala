@@ -20,6 +20,14 @@ import org.apache.spark.sql.execution.FormattedMode
   *  - a full-width `documents` scan (all 5 columns) — every audited query
   *    needs a strict subset, so reading the full row means column pruning
   *    broke.
+  *
+  * Caveat: a query whose result is eagerly localCheckpoint-materialized
+  * exposes only its FINAL stage's plan here (the checkpoint truncates the
+  * lineage) — the audit asserts that stage, and the stages behind the
+  * checkpoint are covered by the `grep -rn "Window.partitionBy" src/main`
+  * review rule (every remaining site partitions by a bounded or compound
+  * key, or is a labeled small-n baseline — see the table in SURVEY.md
+  * §2.10 and the round-5 rewires in Similarity).
   */
 object PlanAudit {
 
@@ -55,7 +63,17 @@ object PlanAudit {
     // census rollup is one combinable agg — no windows, no cartesians;
     // prune/deltas are combinable aggs + keyed joins
     "d_repo_forks", "d_merkle_dirs", "d_fork_prune", "d_commit_deltas",
-    "d_merkle_prune")
+    "d_merkle_prune",
+    // round-5 additions: exact dedup + the composed curation pass are
+    // md5-keyed combinable aggs; self-rep is strictly map-only; the trim
+    // action re-joins spans doc-keyed; the restore twin is fp-/fileId-
+    // keyed joins + an in-partition secondary sort (SortExec within
+    // partitions is fine — the rule bans WindowExec, not local sort);
+    // IVF probes via bucket-keyed joins with broadcast centroids; the
+    // packing cumsum is two-phase (no global window); media stats are a
+    // map-only decode
+    "d_exact_dedup", "d_curation", "d_self_rep", "d_dup_trim",
+    "d_restore_md5", "e_ivf_topk", "q_cum_packing", "m_media_stats")
 
   /** Queries whose plans may contain Window operators: every window here
     * partitions by a compound key whose per-group size is bounded by the
