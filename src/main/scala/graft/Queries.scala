@@ -2207,6 +2207,111 @@ object Queries {
         col("restoredSha").as("restored_md5"))
   }
 
+  /** FILE-LEVEL chunking (P8, reference src/chunk_phase.c:161-171)
+    * driven end-to-end with driver values: the documents corpus chunked
+    * by the reference's file-level chunker (fixed cuts at the container
+    * payload capacity 4 MiB − 32 KiB, so virtually every doc is ONE
+    * whole-file chunk), deduped, and restored through the same
+    * recipe⋈owner-slice machinery as [[dRestoreMd5]]. Emits per doc the
+    * chunk COUNT and byte SUM straight off the chunk table — the oracle
+    * restates the chunker's geometry closed-form (ceil-div by the payload
+    * capacity + octet_length) — plus the restored-bytes md5 (oracle:
+    * md5(text)), value-certifying the file chunker's boundary geometry
+    * AND its byte extraction, not just a roundtrip flag.
+    */
+  def dFileRestoreMd5(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val files = t(spark, dir, "documents")
+      .filter(length(col("text")) > 0)
+      .select(col("source").as("repo"),
+        concat(lit("doc/"), col("doc_id")).as("path"),
+        lit("0").as("commit"), col("lang"), col("text").as("content"))
+      .as[CorpusFile]
+    val cfg = DedupConfig(chunker = graft.chunking.ChunkerConfig("file"))
+    val features = DedupPipeline.featurize(files, cfg).toDF()
+    val geom = DedupPipeline.chunkTableDF(features)
+      .groupBy(col("fileId"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("size")).as("bytes"))
+    Restore.restoreDigests(features, files, "MD5")
+      .join(geom, Seq("fileId"))
+      .join(features.select(col("fileId"), col("path")), Seq("fileId"))
+      .select(expr("CAST(substring(path, 5) AS BIGINT)").as("doc_id"),
+        col("n_chunks"), col("bytes"), col("restoredSha").as("restored_md5"))
+  }
+
+  /** The RECIPE/CONTAINER SINK contract (S5/S6) driven with driver
+    * values: one REAL `ClusterJob.backup` over the documents corpus
+    * (fixed-256 chunks, rewrite off, HAR off — the minimal store) writes
+    * its checkpointed stage tables to a scratch root; the query then
+    * reads the COMMITTED `final_recipe` parquet back OFF DISK (the sink
+    * itself, not the in-memory job result) and reports per container the
+    * written-chunk count/bytes plus the duplicate references resolved to
+    * it. The oracle replays the whole store in SQL — fixed-256 chunk
+    * geometry, first-writer dedup in stream order (ORDER BY path string,
+    * chunkIdx = the engine's seq), straddling cumulative packing
+    * (cid = (cum−1) div payload) and dup→first-copy container pointers —
+    * value-certifying WHAT the sink persisted, not just that it wrote.
+    */
+  def dBackupSink(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val files = t(spark, dir, "documents")
+      .filter(length(col("text")) > 0)
+      .select(col("source").as("repo"),
+        concat(lit("doc/"), col("doc_id")).as("path"),
+        lit("0").as("commit"), col("lang"), col("text").as("content"))
+      .as[CorpusFile]
+    val settings = pipeline.DestorSettings(
+      chunker = graft.chunking.ChunkerConfig("fixed", avgSize = 256))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sink")
+    val root = tmp.resolve("b1").toString
+    ClusterJob.backup(files, root, "sinkrun", settings, None,
+      payload = 16384L)
+    val out = spark.read.parquet(s"$root/final_recipe")
+      .groupBy(col("containerId").as("container_id"))
+      .agg(sum(when(col("write"), 1L).otherwise(0L)).as("written_chunks"),
+        sum(when(col("write"), col("size").cast("long")).otherwise(0L))
+          .as("written_bytes"),
+        sum(when(!col("write"), 1L).otherwise(0L)).as("dup_refs"))
+      .localCheckpoint(true)
+    deleteRecursively(tmp)
+    out
+  }
+
+  /** The STAT SINK contract (S9, reference backup.log/destor.stat —
+    * src/do_backup.c:155-186): the same minimal on-disk backup as
+    * [[dBackupSink]], but the query reads back the METRICS table the job
+    * appended ([[TableIO.appendMetrics]]) and emits the backup.log
+    * line's (metric, value) rows. The oracle recomputes every value
+    * closed-form — chunk/byte totals off fixed-256 geometry, unique
+    * counts off distinct chunk content, containers_written off the
+    * straddling-packing closed form ((unique_size − 1) div payload + 1) —
+    * so the persisted run log is value-checked, not just row-counted.
+    * All values are integral with rewrite/HAR/simulation off (the
+    * float-valued speed_factor/cfl rows are exactly 0.0), so both sides
+    * emit BIGINT.
+    */
+  def dBackupMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val files = t(spark, dir, "documents")
+      .filter(length(col("text")) > 0)
+      .select(col("source").as("repo"),
+        concat(lit("doc/"), col("doc_id")).as("path"),
+        lit("0").as("commit"), col("lang"), col("text").as("content"))
+      .as[CorpusFile]
+    val settings = pipeline.DestorSettings(
+      chunker = graft.chunking.ChunkerConfig("fixed", avgSize = 256))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_statsink")
+    val root = tmp.resolve("b1").toString
+    ClusterJob.backup(files, root, "statrun", settings, None,
+      payload = 16384L)
+    val out = spark.read.parquet(s"$root/metrics")
+      .filter(col("stage") === "backup")
+      .select(col("metric"), col("value").cast("long").as("value"))
+      .localCheckpoint(true)
+    deleteRecursively(tmp)
+    out
+  }
+
   /** S3 destor text-trace round trip: the documents chunk stream is
     * written as a reference-format `.trace` file and read back; output is
     * both sides' aggregate plus a strict set-equality flag (rows-only:
@@ -2895,6 +3000,9 @@ object Queries {
     "g_chain_recipes" -> (gChainRecipes _),
     "d_restore_verify" -> (dRestoreVerify _),
     "d_restore_md5" -> (dRestoreMd5 _),
+    "d_file_restore_md5" -> (dFileRestoreMd5 _),
+    "d_backup_sink" -> (dBackupSink _),
+    "d_backup_metrics" -> (dBackupMetrics _),
     "d_trace_roundtrip" -> (dTraceRoundtrip _),
     "d_trace_pipeline" -> (dTracePipeline _),
     "s_backup_chain" -> (sBackupChain _),
@@ -3450,6 +3558,99 @@ object Queries {
     // truth directly off the parquet text
     "d_restore_md5" ->
       """SELECT doc_id, md5(text) AS restored_md5
+        |FROM documents WHERE length(text) > 0""".stripMargin,
+    // stat-sink roundtrip: the backup.log metrics block recomputed
+    // closed-form (fixed-256 geometry; containers_written =
+    // (unique_size − 1) div 16384 + 1 by the straddling packing)
+    "d_backup_metrics" ->
+      """WITH d AS (
+        |  SELECT 'doc/' || doc_id AS path, text, length(text) AS len
+        |  FROM documents WHERE length(text) > 0),
+        |chunks AS (
+        |  SELECT path,
+        |    CAST(least(256, len - i * 256) AS BIGINT) AS size,
+        |    sha256(substr(text, CAST(i * 256 + 1 AS INTEGER), 256)) AS sha
+        |  FROM (SELECT path, text, len,
+        |          unnest(generate_series(0,
+        |            CAST(ceil(len / 256.0) AS BIGINT) - 1)) AS i
+        |        FROM d)),
+        |agg AS (
+        |  SELECT CAST(count(DISTINCT path) AS BIGINT) AS files,
+        |    CAST(count(*) AS BIGINT) AS chunks,
+        |    CAST(sum(size) AS BIGINT) AS data_size
+        |  FROM chunks),
+        |uq AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS unique_chunks,
+        |    CAST(sum(size) AS BIGINT) AS unique_size
+        |  FROM (SELECT sha, min(size) AS size FROM chunks GROUP BY 1))
+        |SELECT metric, value FROM (
+        |  SELECT 'backup_id' AS metric, CAST(1 AS BIGINT) AS value
+        |  UNION ALL SELECT 'files', files FROM agg
+        |  UNION ALL SELECT 'chunks', chunks FROM agg
+        |  UNION ALL SELECT 'data_size', data_size FROM agg
+        |  UNION ALL SELECT 'unique_chunks', unique_chunks FROM uq
+        |  UNION ALL SELECT 'unique_size', unique_size FROM uq
+        |  UNION ALL SELECT 'rewritten_chunks', 0
+        |  UNION ALL SELECT 'rewritten_size', 0
+        |  UNION ALL SELECT 'stored_size', unique_size FROM uq
+        |  UNION ALL SELECT 'containers_written',
+        |    (unique_size - 1) // 16384 + 1 FROM uq
+        |  UNION ALL SELECT 'sparse_containers', 0
+        |  UNION ALL SELECT 'container_reads', 0
+        |  UNION ALL SELECT 'speed_factor', 0
+        |  UNION ALL SELECT 'cfl', 0)""".stripMargin,
+    // sink roundtrip: full store replay (fixed-256 chunks, first-writer
+    // dedup in (path, chunkIdx) stream order, straddling cumulative
+    // packing at payload 16384, dup→first-copy pointers) — compared
+    // against the final_recipe parquet READ BACK OFF DISK
+    "d_backup_sink" ->
+      """WITH d AS (
+        |  SELECT source || '@doc/' || doc_id || '@0' AS path,
+        |    text, length(text) AS len
+        |  FROM documents WHERE length(text) > 0),
+        |chunks AS (
+        |  SELECT path, CAST(i AS BIGINT) AS idx,
+        |    CAST(least(256, len - i * 256) AS BIGINT) AS size,
+        |    sha256(substr(text, CAST(i * 256 + 1 AS INTEGER), 256)) AS sha
+        |  FROM (SELECT path, text, len,
+        |          unnest(generate_series(0,
+        |            CAST(ceil(len / 256.0) AS BIGINT) - 1)) AS i
+        |        FROM d)),
+        |seqd AS (
+        |  SELECT *, row_number() OVER (ORDER BY path, idx) AS seq
+        |  FROM chunks),
+        |firsts AS (SELECT sha, min(seq) AS first_seq FROM seqd GROUP BY 1),
+        |m AS (
+        |  SELECT s.*, s.seq > f.first_seq AS dup
+        |  FROM seqd s JOIN firsts f USING (sha)),
+        |packed AS (
+        |  SELECT seq, sha,
+        |    CAST((sum(size) OVER (ORDER BY seq
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)
+        |      // 16384 AS BIGINT) AS cid
+        |  FROM m WHERE NOT dup),
+        |fc AS (SELECT sha, min(cid) AS first_cid FROM packed GROUP BY 1),
+        |rec AS (
+        |  SELECT m.seq, m.size, NOT m.dup AS write,
+        |    COALESCE(p.cid, fc.first_cid) AS container_id
+        |  FROM m LEFT JOIN packed p USING (seq)
+        |    LEFT JOIN fc ON m.sha = fc.sha)
+        |SELECT container_id,
+        |  CAST(sum(CASE WHEN write THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS written_chunks,
+        |  CAST(sum(CASE WHEN write THEN size ELSE 0 END) AS BIGINT)
+        |    AS written_bytes,
+        |  CAST(sum(CASE WHEN write THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS dup_refs
+        |FROM rec GROUP BY 1""".stripMargin,
+    // file-level chunker twin: geometry closed-form (payload capacity
+    // 4 MiB − 32 KiB = 4161536 B), bytes + md5 straight off the text
+    "d_file_restore_md5" ->
+      """SELECT doc_id,
+        |  CAST((octet_length(encode(text)) + 4161535) // 4161536 AS BIGINT)
+        |    AS n_chunks,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS bytes,
+        |  md5(text) AS restored_md5
         |FROM documents WHERE length(text) > 0""".stripMargin,
     "s_backup_chain" -> traceTwoOracle(noAlgo),
     "d_trace_cfl" -> traceTwoOracle(cflAlgo),
