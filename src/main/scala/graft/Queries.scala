@@ -2893,6 +2893,28 @@ object Queries {
   def eLshDedup(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.lshDedup(t(spark, dir, "embeddings"))
 
+  /** SemDeDup semantic dedup ([[graft.operators.Similarity.semDedup]]):
+    * integer-Lloyd k-means partitions the embedding space, near-dup
+    * duels run INSIDE clusters only, and each duel drops the member
+    * closer to its centroid (keep-the-rim). Fully value-oracled: the
+    * DuckDB replay reuses the e_ivf_kmeans CTE chain (micro-unit Lloyd
+    * rounds are engine-exact) and re-runs the intra-cluster duel join —
+    * kept flags, list ids and rounded centroid similarities must all
+    * match. Same nlist/iters as e_ivf_kmeans so the two oracles
+    * cross-check the same centroids.
+    *
+    * tau is CORPUS-CALIBRATED: real embedding models put near-dups at
+    * cosine ≥0.95, but the driver's synthetic embeddings are
+    * near-orthogonal (max intra-cluster cosine 0.51 at sf0.01), so 0.95
+    * would never fire a duel and the victim logic would ride the oracle
+    * untested. 0.30 sits in this corpus's near-dup tail — 236/270/3106
+    * duels at sf0.001/0.01/0.1 — so the kept flags genuinely exercise
+    * the pair scan and keep rule at every sf.
+    */
+  def eSemDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.semDedup(
+      t(spark, dir, "embeddings"), nlist = 16, iters = 5, tau = 0.30)
+
   /** LSH-bucketed ANN scale path, fully value-oracled: 16 pseudo-random
     * hyperplanes whose coefficients derive from md5("p:i") (byte 0 as
     * unsigned minus 128 → an integer in [-128, 127]) — SQL-replayable, so
@@ -3060,7 +3082,8 @@ object Queries {
     "e_norm_stats" -> (eNormStats _),
     "e_quantize_stats" -> (eQuantizeStats _),
     "e_lsh_buckets" -> (eLshBuckets _),
-    "e_lsh_dedup" -> (eLshDedup _)
+    "e_lsh_dedup" -> (eLshDedup _),
+    "e_semdedup" -> (eSemDedup _)
   )
 
   /** DuckDB cosine between two FLOAT lists, elementwise-in-order double
@@ -3117,8 +3140,13 @@ object Queries {
     * lists keep their centroid), then replays the nProbe=4 probe + exact
     * rerank like [[ivfProbeSql]].
     */
-  private val ivfKmeansSql: String = {
-    val rounds = 5
+  /** Shared CTE chain for the integer-Lloyd k-means oracles
+    * (e_ivf_kmeans, e_semdedup): seeds = the `nlist` lowest vec_ids,
+    * `rounds` refinement rounds with micro-unit bigint accumulators,
+    * ending at `asgF` = every vector's final max-cosine assignment
+    * (tiebreak: lowest listId, the engine's first-index-wins).
+    */
+  private def kmeansCteChain(nlist: Int, rounds: Int): String = {
     val roundCtes = (1 to rounds).map { i =>
       s"""asg$i AS (
         |  SELECT vec_id, embedding, listId FROM (
@@ -3141,17 +3169,22 @@ object Queries {
         |  SELECT p.listId, coalesce(nc$i.c, p.c) AS c
         |  FROM cents${i - 1} p LEFT JOIN nc$i USING (listId))""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding FROM embeddings),
       |cents0 AS (
       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS listId, embedding AS c
-      |  FROM e ORDER BY vec_id LIMIT 16),
+      |  FROM e ORDER BY vec_id LIMIT $nlist),
       |$roundCtes,
       |asgF AS (
       |  SELECT vec_id, embedding, listId FROM (
       |    SELECT e.vec_id, e.embedding, cents$rounds.listId,
       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.embedding", s"cents$rounds.c")} DESC, cents$rounds.listId) AS rk
       |    FROM e CROSS JOIN cents$rounds)
-      |  WHERE rk = 1),
+      |  WHERE rk = 1)""".stripMargin
+  }
+
+  private val ivfKmeansSql: String = {
+    val rounds = 5
+    s"""WITH ${kmeansCteChain(16, rounds)},
       |probe AS (
       |  SELECT query_id, listId FROM (
       |    SELECT e.vec_id AS query_id, cents$rounds.listId,
@@ -3169,6 +3202,33 @@ object Queries {
       |  SELECT query_id, neighbor_id, cos,
       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
       |  FROM cand) WHERE rk <= 5""".stripMargin
+  }
+
+  /** SemDeDup replay — oracle for e_semdedup: the e_ivf_kmeans CTE chain
+    * rebuilds the identical Lloyd-5 centroids and final assignment; each
+    * vector's centroid similarity is the cosine to its own (engine-exact
+    * float) centroid; the duel join replays the intra-cluster pair scan
+    * at tau = 0.30 (corpus-calibrated — see [[eSemDedup]]) with the same
+    * victim rule (closer-to-centroid loses, csim ties drop the higher
+    * id).
+    */
+  private val semDedupSql: String = {
+    val rounds = 5
+    s"""WITH ${kmeansCteChain(16, rounds)},
+      |cs AS MATERIALIZED (
+      |  SELECT a.vec_id, a.embedding, a.listId,
+      |    ${cosSql("a.embedding", "c.c")} AS csim
+      |  FROM asgF a JOIN cents$rounds c USING (listId)),
+      |vict AS (
+      |  SELECT DISTINCT CASE WHEN x.csim > y.csim THEN x.vec_id
+      |                       WHEN y.csim > x.csim THEN y.vec_id
+      |                       ELSE greatest(x.vec_id, y.vec_id) END AS victim
+      |  FROM cs x JOIN cs y ON x.listId = y.listId AND x.vec_id < y.vec_id
+      |  WHERE ${cosSql("x.embedding", "y.embedding")} >= 0.30)
+      |SELECT c.vec_id, CAST(c.listId AS BIGINT) AS list_id,
+      |  round(c.csim, 4) AS centroid_sim_r,
+      |  v.victim IS NULL AS kept
+      |FROM cs c LEFT JOIN vict v ON v.victim = c.vec_id""".stripMargin
   }
 
   /** Integer-PQ replay — oracle for e_pq_adc: micro-unit vectors, the
@@ -5105,6 +5165,7 @@ object Queries {
     // Lloyd-refined IVF fully replayed: integer micro-unit accumulators
     // make all 5 k-means rounds engine-exact
     "e_ivf_kmeans" -> ivfKmeansSql,
+    "e_semdedup" -> semDedupSql,
     "e_pq_adc" -> pqAdcSql,
     "r_cbr_rewrite" ->
       s"""WITH r AS ($recipeSql),

@@ -93,6 +93,77 @@ object Similarity {
         (col("cos") >= tau).as("is_dup"))
   }
 
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * k-means-cluster the embedding space, then resolve near-duplicate
+    * pairs INSIDE each cluster only — the pruning that makes
+    * embedding-level dedup tractable at corpus scale without an
+    * all-pairs join.
+    *
+    * Stages:
+    *  1. integer-Lloyd k-means ([[kmeansCentroids]] — micro-unit
+    *     accumulators, so centroids are engine-exact and the whole run is
+    *     DuckDB-replayable); centroids broadcast (nlist×dim floats);
+    *  2. map-only assignment; the argmax cosine IS the vector's
+    *     centroid similarity, so it rides along for free;
+    *  3. ONE listId-keyed self-join emits intra-cluster pairs with
+    *     cosine ≥ tau; per qualifying pair the member CLOSER to the
+    *     centroid is dropped (the paper's keep-the-rim rule — cluster
+    *     cores are semantically redundant, rims carry the diversity);
+    *     ties (identical csim, e.g. exact copies) drop the higher id.
+    *
+    * Output: one row per vector — (vec_id, list_id, centroid_sim_r,
+    * kept). A vector is dropped iff it loses ANY duel, so the kept set
+    * contains no intra-cluster pair at ≥ tau (asserted in
+    * SimilaritySpec).
+    *
+    * Scale: nlist grows with the corpus (the paper runs k ∝ N keeping
+    * expected cluster size c constant), so the pair stage is Σ c_i² ≈
+    * N·c — LINEAR in N for fixed c; the only unbounded shuffle is the
+    * listId-keyed join of narrow (id, vec, csim) rows. Skewed mega-
+    * clusters are a real hazard at 100 TB — the mitigation is the same
+    * as everywhere else in this repo (cap + hub-star linearization,
+    * see [[lshDedup]]); here the Lloyd refinement itself balances list
+    * sizes (SimilaritySpec's skewed-corpus gate).
+    */
+  def semDedup(embeddings: DataFrame, nlist: Int = 16, iters: Int = 5,
+      tau: Double = 0.95): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents = kmeansCentroids(embeddings, nlist, iters)
+    val bc = spark.sparkContext.broadcast(cents)
+    val asg = embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, emb) =>
+        val c = bc.value
+        var best = 0; var bestCos = Double.MinValue; var i = 0
+        while (i < c.length) {
+          val cs = cosine(emb, c(i)._2)
+          if (cs > bestCos) { bestCos = cs; best = i }
+          i += 1
+        }
+        (id, emb, best, bestCos)
+      }
+      .toDF("vec_id", "embedding", "listId", "csim")
+      // materialized once: both sides of the pair join and the final
+      // projection read it (and the k-means lineage is truncated)
+      .localCheckpoint(true)
+    val lhs = asg.select(col("listId"), col("vec_id").as("a"),
+      col("embedding").as("ea"), col("csim").as("ca"))
+    val rhs = asg.select(col("listId"), col("vec_id").as("b"),
+      col("embedding").as("eb"), col("csim").as("cb"))
+    val victims = lhs.join(rhs, Seq("listId"))
+      .filter(col("a") < col("b"))
+      .filter(graft.functions.CosineSim(col("ea"), col("eb")) >= tau)
+      .select(when(col("ca") > col("cb"), col("a"))
+        .when(col("cb") > col("ca"), col("b"))
+        .otherwise(greatest(col("a"), col("b"))).as("victim"))
+      .distinct()
+    asg.join(victims, col("vec_id") === col("victim"), "left_outer")
+      .select(col("vec_id"), col("listId").cast("long").as("list_id"),
+        round(col("csim"), 4).as("centroid_sim_r"),
+        col("victim").isNull.as("kept"))
+  }
+
   /** Int8 scalar quantization — the standard 4× compression step before
     * ANN at scale (100 TB of float32 embeddings → 25 TB of codes): per
     * dimension, linear-map [min, max] onto 0..255. Returns

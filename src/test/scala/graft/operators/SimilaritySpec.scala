@@ -297,4 +297,51 @@ class SimilaritySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("semDedup: exact driver-side replay + kept-set retention invariant") {
+    // different nlist/iters than the driver query (e_semdedup runs 16/5)
+    // so the parameterization is covered, not just the oracled point
+    val (nlist, iters, tau) = (8, 3, 0.30)
+    val out = Similarity.semDedup(emb, nlist, iters, tau)
+      .select($"vec_id", $"list_id", $"kept").as[(Long, Long, Boolean)]
+      .collect()
+    val vecs = emb.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    assert(out.length === vecs.size)
+    val dropped = out.filter(!_._3).map(_._1).toSet
+    assert(dropped.nonEmpty, "tau never fired — duel path untested")
+    assert(dropped.size < vecs.size, "everything dropped")
+
+    // full replay: same centroids, first-index-wins argmax assignment,
+    // per-pair victim rule (closer-to-centroid loses, ties drop max id)
+    val cents = Similarity.kmeansCentroids(emb, nlist, iters)
+    val asg = vecs.map { case (id, v) =>
+      var best = 0; var bestCos = Double.MinValue
+      cents.indices.foreach { i =>
+        val cs = Similarity.cosine(v, cents(i)._2)
+        if (cs > bestCos) { bestCos = cs; best = i }
+      }
+      (id, best, bestCos)
+    }.toSeq
+    assert(out.map(r => r._1 -> r._2).toMap ===
+      asg.map(a => a._1 -> a._2.toLong).toMap)
+    val expectVict = asg.groupBy(_._2).values.flatMap { ms =>
+      val s = ms.toArray.sortBy(_._1)
+      for {
+        i <- s.indices; j <- (i + 1) until s.length
+        if Similarity.cosine(vecs(s(i)._1), vecs(s(j)._1)) >= tau
+      } yield if (s(i)._3 > s(j)._3) s(i)._1
+        else if (s(j)._3 > s(i)._3) s(j)._1
+        else math.max(s(i)._1, s(j)._1)
+    }.toSet
+    assert(dropped === expectVict)
+
+    // retention invariant: the kept set holds no intra-cluster pair ≥ tau
+    out.filter(_._3).groupBy(_._2).values.foreach { ms =>
+      val ids = ms.map(_._1)
+      for (i <- ids.indices; j <- (i + 1) until ids.length)
+        assert(Similarity.cosine(vecs(ids(i)), vecs(ids(j))) < tau,
+          s"kept pair ${ids(i)},${ids(j)} above tau")
+    }
+  }
 }

@@ -73,7 +73,11 @@ object PlanAudit {
     // packing cumsum is two-phase (no global window); media stats are a
     // map-only decode
     "d_exact_dedup", "d_curation", "d_self_rep", "d_dup_trim",
-    "d_restore_md5", "e_ivf_topk", "q_cum_packing", "m_media_stats")
+    "d_restore_md5", "e_ivf_topk", "q_cum_packing", "m_media_stats",
+    // SemDeDup: intra-cluster duels via ONE listId-keyed equi-join of
+    // the checkpointed assignment (k-means lineage truncated) — no
+    // windows, no cartesians, no all-pairs
+    "e_semdedup")
 
   /** Queries whose plans may contain Window operators: every window here
     * partitions by a compound key whose per-group size is bounded by the
