@@ -311,6 +311,98 @@ object StreamIngest {
         coalesce(col("bestEst"), lit(0.0)).as("bestEst"))
   }
 
+  /** One streamed embedding arrival for [[semDedupStream]]. */
+  final case class VecEvent(vecId: Long, embedding: Array[Float])
+
+  /** Streaming semantic-dedup verdict: `keep` iff the vector dueled no
+    * STORED keeper of its k-means list at cosine ≥ tau; `nearestKept` /
+    * `cos` identify the best-cosine stored keeper it was compared
+    * against (itself / 1.0 when its list had no keeper yet); `stored` =
+    * whether the keeper set absorbed it (false past the cap).
+    */
+  final case class SemVerdict(vecId: Long, listId: Int, csim: Double,
+    keep: Boolean, nearestKept: Long, cos: Double, stored: Boolean)
+
+  /** Per-list keeper state for [[semDedupStream]]: parallel arrays of
+    * keeper ids and their embeddings, capped at maxReps entries.
+    */
+  final case class SemListState(ids: Array[Long], vecs: Array[Array[Float]])
+
+  /** [[graft.operators.Similarity.semDedup]] as a STATEFUL streaming
+    * operator — the embedding-space twin of [[neardupStream]]: vectors
+    * arrive as micro-batches, a map-only pass assigns each to its
+    * max-cosine centroid (centroids come from a TRAINED SNAPSHOT — the
+    * faiss pattern the batch PQ/IVF paths already use — broadcast once,
+    * nlist×dim floats), and ONE flatMapGroupsWithState keyed by listId
+    * duels each arrival against the list's stored keepers.
+    *
+    * Discipline: KEEP-FIRST. The batch twin's keep-the-rim rule can
+    * retract an earlier keeper when a better-centered duplicate arrives
+    * later; Append-mode streaming cannot retract emitted verdicts, so —
+    * exactly like [[neardupStream]]'s hub-star and [[commitStream]]'s
+    * first-writer — the first arrival of a semantic neighborhood stays
+    * the keeper forever and later near-dups drop against it.
+    *
+    * Bounded state: per list at most `maxReps` keeper embeddings
+    * (maxReps·dim floats — RocksDB-friendly). A vector that survives
+    * its duels when the list is full is emitted keep=true but
+    * stored=false: later duplicates of such an unstored keeper can slip
+    * through — the same documented-truncation trade every capped
+    * surface in this repo makes (lshDedup maxBucket, dup-span gram
+    * caps); size nlist ∝ corpus so lists stay under the cap, exactly
+    * the batch twin's cluster-size argument.
+    *
+    * Determinism: within a micro-batch arrivals fold in vecId order;
+    * duel ties (equal cosine) pick the lowest keeper id.
+    */
+  def semDedupStream(vecs: Dataset[VecEvent],
+      cents: Array[(Long, Array[Float])], tau: Double = 0.95,
+      maxReps: Int = 64): Dataset[SemVerdict] = {
+    import vecs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val bc = vecs.sparkSession.sparkContext.broadcast(cents)
+    vecs
+      .map { v =>
+        val c = bc.value
+        var best = 0; var bestCos = Double.MinValue; var i = 0
+        while (i < c.length) {
+          val cs = graft.operators.Similarity.cosine(v.embedding, c(i)._2)
+          if (cs > bestCos) { bestCos = cs; best = i }
+          i += 1
+        }
+        (best, v.vecId, v.embedding, bestCos)
+      }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SemListState, SemVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (listId: Int, events: Iterator[(Int, Long, Array[Float], Double)],
+            state: GroupState[SemListState]) =>
+          val ordered = events.toSeq.sortBy(_._2)
+          var st = state.getOption.getOrElse(
+            SemListState(Array.empty, Array.empty))
+          val out = ordered.map { case (_, id, emb, csim) =>
+            var bestCos = Double.MinValue; var bestId = id
+            var i = 0
+            while (i < st.ids.length) {
+              val cs = graft.operators.Similarity.cosine(emb, st.vecs(i))
+              if (cs > bestCos || (cs == bestCos && st.ids(i) < bestId)) {
+                bestCos = cs; bestId = st.ids(i)
+              }
+              i += 1
+            }
+            val none = st.ids.isEmpty
+            val dup = !none && bestCos >= tau
+            val store = !dup && st.ids.length < maxReps
+            if (store) st = SemListState(st.ids :+ id, st.vecs :+ emb)
+            SemVerdict(id, listId, csim, keep = !dup,
+              if (none) id else bestId,
+              if (none) 1.0 else bestCos, store)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** One streamed file version for [[commitStream]]: a (repo, commit,
     * path) observation carrying the content digest.
     */

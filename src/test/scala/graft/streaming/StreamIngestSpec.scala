@@ -231,4 +231,51 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(got(5L) === ((false, 1L)),
       "near-dup of the OTHER hub canonicalizes to doc 1")
   }
+
+  test("streaming semantic dedup: keep-first duels across batches, capped state") {
+    import StreamIngest.{VecEvent, SemVerdict}
+    implicit val sqlCtx = spark.sqlContext
+    val cents = Array(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f)))
+    val stream = MemoryStream[VecEvent]
+    val out = StreamIngest.semDedupStream(
+      stream.toDS(), cents, tau = 0.95, maxReps = 2)
+    val q = out.writeStream.format("memory").queryName("ssem")
+      .outputMode("append").start()
+    // batch 1: one keeper per list
+    stream.addData(
+      VecEvent(0L, Array(1f, 0f, 0f, 0f)),
+      VecEvent(1L, Array(0f, 1f, 0f, 0f)))
+    q.processAllAvailable()
+    // batch 2: a near-dup of v0 (cos ≈ 0.990 — MUST hit cross-batch
+    // state), and a same-list non-dup (cos 0.8) that fills list 0
+    stream.addData(
+      VecEvent(2L, Array(0.99f, 0.14f, 0f, 0f)),
+      VecEvent(3L, Array(0.8f, 0.6f, 0f, 0f)))
+    q.processAllAvailable()
+    // batch 3: a near-dup of the SECOND keeper (v3, cos ≈ 0.997 — state
+    // grew mid-stream), then a non-dup arriving at a FULL list (kept but
+    // not stored), then its exact copy (slips through — the documented
+    // cap truncation)
+    stream.addData(
+      VecEvent(4L, Array(0.75f, 0.65f, 0f, 0f)),
+      VecEvent(5L, Array(0.9f, -0.4f, 0.17f, 0f)),
+      VecEvent(6L, Array(0.9f, -0.4f, 0.17f, 0f)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT * FROM ssem").as[SemVerdict].collect()
+      .map(v => v.vecId -> v).toMap
+    assert(got(0L).keep && got(0L).stored && got(0L).listId == 0)
+    assert(got(1L).keep && got(1L).stored && got(1L).listId == 1)
+    assert(!got(2L).keep && got(2L).nearestKept == 0L,
+      "near-dup must drop against the keeper elected a batch earlier")
+    assert(got(3L).keep && got(3L).stored && got(3L).listId == 0)
+    assert(!got(4L).keep && got(4L).nearestKept == 3L,
+      "must drop against the keeper stored mid-stream, not just batch-1's")
+    assert(got(5L).keep && !got(5L).stored,
+      "survivor at a full list is kept but not absorbed")
+    assert(got(6L).keep && !got(6L).stored,
+      "duplicate of an unstored keeper slips through — the documented cap trade")
+  }
 }
