@@ -27,7 +27,8 @@ object Bench {
     "d_winnow_pairs", "e_quantize_stats", "d_backup_stats", "e_pq_topk",
     "e_pq_adc", "d_dup_spans", "d_dup_span_pairs", "d_dup_trim",
     "d_decontam", "d_clone_pairs", "d_self_rep", "d_suffix_rank",
-    "q_topk_agg", "d_repo_forks", "d_merkle_dirs", "e_semdedup")
+    "q_topk_agg", "d_repo_forks", "d_merkle_dirs", "e_semdedup",
+    "d_pii_scrub")
 
   /** Materialize the synthetic corpus as a parquet table once (this is
     * input scaffolding, not the engine — the north-rule job reads an

@@ -1699,6 +1699,56 @@ object Queries {
       .agg(countDistinct(col("g")).as("n_shingles"))
   }
 
+  // PII patterns shared verbatim by the engine (Java regex) and the
+  // DuckDB oracle (RE2) — restricted to the dialect-identical subset:
+  // no lookaround, no backrefs, ASCII classes, ASCII \b only.
+  private val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PiiIp = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val PiiPhone = "\\+\\d[\\d-]{7,}\\d"
+
+  /** PII scrubbing — the redaction pass every training-data pipeline
+    * runs before release: count and replace emails / IPv4s / phone
+    * numbers. STRICTLY map-only (one pruned (doc_id, text) scan, zero
+    * shuffles — trivially 100 TB-safe; regexp_count/replace are
+    * codegen'd builtins, no UDF).
+    *
+    * The synthetic corpus contains no PII, so — the m_* precedent —
+    * the query first APPENDS deterministic PII spans (email every 5th
+    * doc, IPv4 every 7th, phone every 11th, all pure SQL arithmetic on
+    * doc_id) and then scrubs them: the DuckDB oracle replays the same
+    * augmentation, so the counts AND the md5 of the scrubbed text
+    * value-check the detection and the replacement — nonzero matches at
+    * every sf, not a vacuously green zero-hit run. Scrub order is part
+    * of the contract: email → IP → phone, globally, both engines.
+    */
+  def dPiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val aug = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        concat(
+          col("text"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@mail-"), (col("doc_id") % 13).cast("string"),
+              lit(".example.com now"))).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" node 10."), (col("doc_id") % 256).cast("string"),
+              lit("."), ((col("doc_id") * 7) % 256).cast("string"),
+              lit("."), (col("doc_id") % 200).cast("string"),
+              lit(" up"))).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            concat(lit(" call +1-555-"),
+              ((col("doc_id") % 9000) + 1000).cast("string"), lit("-"),
+              (((col("doc_id") * 3) % 9000) + 1000).cast("string"),
+              lit(" soon"))).otherwise(lit(""))).as("aug"))
+    aug.select(col("doc_id"),
+      regexp_count(col("aug"), lit(PiiEmail)).cast("long").as("n_email"),
+      regexp_count(col("aug"), lit(PiiIp)).cast("long").as("n_ip"),
+      regexp_count(col("aug"), lit(PiiPhone)).cast("long").as("n_phone"),
+      md5(regexp_replace(regexp_replace(regexp_replace(col("aug"),
+        PiiEmail, "<EMAIL>"), PiiIp, "<IP>"), PiiPhone, "<PHONE>")
+        .cast("binary")).as("scrub_md5"))
+  }
+
   /** Document fingerprinting: gear-shingle MinHash + SimHash signatures
     * (not SQL-expressible — rows-only check).
     */
@@ -3047,6 +3097,7 @@ object Queries {
     "d_ngram_df_stats" -> (dNgramDfStats _),
     "d_rollup_stats" -> (dRollupStats _),
     "d_curation" -> (dCuration _),
+    "d_pii_scrub" -> (dPiiScrub _),
     "d_winnow" -> (dWinnow _),
     "d_winnow_pairs" -> (dWinnowPairs _),
     "d_dup_spans" -> (dDupSpans _),
@@ -4376,6 +4427,23 @@ object Queries {
       """SELECT lang, source, count(*) AS docs,
         |  CAST(sum(length(text)) AS BIGINT) AS chars
         |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
+    // PII scrub: identical augmentation arithmetic, identical patterns
+    // (dialect-identical regex subset), identical email→IP→phone global
+    // scrub order — counts and scrubbed-text md5 must both match
+    "d_pii_scrub" ->
+      s"""WITH aug AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail-' || CAST(doc_id % 13 AS VARCHAR) || '.example.com now' ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' node 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || '.' || CAST(doc_id % 200 AS VARCHAR) || ' up' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0 THEN ' call +1-555-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) || '-' || CAST((doc_id * 3) % 9000 + 1000 AS VARCHAR) || ' soon' ELSE '' END
+        |    AS aug
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(aug, '$PiiEmail')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(aug, '$PiiIp')) AS BIGINT) AS n_ip,
+        |  CAST(len(regexp_extract_all(aug, '$PiiPhone')) AS BIGINT) AS n_phone,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(aug, '$PiiEmail', '<EMAIL>', 'g'), '$PiiIp', '<IP>', 'g'), '$PiiPhone', '<PHONE>', 'g')) AS scrub_md5
+        |FROM aug""".stripMargin,
     "d_curation" ->
       """WITH d AS (
         |  SELECT doc_id, lang, source, text,

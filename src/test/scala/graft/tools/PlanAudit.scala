@@ -77,7 +77,10 @@ object PlanAudit {
     // SemDeDup: intra-cluster duels via ONE listId-keyed equi-join of
     // the checkpointed assignment (k-means lineage truncated) — no
     // windows, no cartesians, no all-pairs
-    "e_semdedup")
+    "e_semdedup",
+    // PII scrub: strictly map-only (pruned (doc_id, text) scan, codegen
+    // regexp builtins, zero shuffles)
+    "d_pii_scrub")
 
   /** Queries whose plans may contain Window operators: every window here
     * partitions by a compound key whose per-group size is bounded by the
