@@ -1749,6 +1749,47 @@ object Queries {
         .cast("binary")).as("scrub_md5"))
   }
 
+  /** Corpus-statistics "LM familiarity" quality score — the offline
+    * proxy for the CCNet/Gopher perplexity filter (model-based
+    * filtering, distinct from [[dCuration]]'s surface heuristics):
+    * score each document by how familiar its char-3-grams are to the
+    * WHOLE corpus's gram distribution. `mean_freq_micro` = per-doc mean
+    * corpus-count over its gram occurrences (×1e6, exact round-half-up
+    * integer division — the micro-unit rule); `rare_ppm` = the fraction
+    * of occurrences whose gram sits under HALF the corpus mean count
+    * (2·cnt·D < T, D = distinct grams, T = total occurrences —
+    * corpus-RELATIVE, so the threshold carries to any corpus size).
+    * Gibberish scores low familiarity / high rarity; boilerplate the
+    * opposite.
+    *
+    * Scale: the model (gram, cnt) is bounded by charset³ independent of
+    * corpus size — one combinable agg, then BROADCAST into the scoring
+    * join so the unbounded occurrence stream never shuffles on gram;
+    * the only other shuffle is the doc-keyed rollup. (D, T) is one
+    * O(1) collected scalar row. All-integer arithmetic end to end.
+    */
+  def dGramQuality(spark: SparkSession, dir: String): DataFrame = {
+    val grams = t(spark, dir, "documents")
+      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - 2)).as("i"),
+        col("text"))
+      .select(col("doc_id"), expr("substring(text, i, 3)").as("gram"))
+    val model = grams.groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // reused: the scalar row + the broadcast side
+    val scal = model.agg(count(lit(1)).as("d"), sum(col("cnt")).as("t")).head()
+    val (dd, tt) = (scal.getLong(0), scal.getLong(1))
+    grams.join(broadcast(model), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("cnt")).as("sc"),
+        sum(when(col("cnt") * lit(2L * dd) < lit(tt), 1L).otherwise(0L))
+          .as("rc"))
+      .select(col("doc_id"), col("n_grams"),
+        expr("(sc * 2000000 + n_grams) div (2 * n_grams)")
+          .as("mean_freq_micro"),
+        expr("(rc * 2000000 + n_grams) div (2 * n_grams)").as("rare_ppm"))
+  }
+
   /** Document fingerprinting: gear-shingle MinHash + SimHash signatures
     * (not SQL-expressible — rows-only check).
     */
@@ -3098,6 +3139,7 @@ object Queries {
     "d_rollup_stats" -> (dRollupStats _),
     "d_curation" -> (dCuration _),
     "d_pii_scrub" -> (dPiiScrub _),
+    "d_gram_quality" -> (dGramQuality _),
     "d_winnow" -> (dWinnow _),
     "d_winnow_pairs" -> (dWinnowPairs _),
     "d_dup_spans" -> (dDupSpans _),
@@ -4427,6 +4469,28 @@ object Queries {
       """SELECT lang, source, count(*) AS docs,
         |  CAST(sum(length(text)) AS BIGINT) AS chars
         |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
+    // gram familiarity: model agg + corpus-relative rarity + the exact
+    // round-half-up micro divisions, all integer — replayed verbatim
+    "d_gram_quality" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 3),
+        |g AS (SELECT doc_id, substr(text, CAST(i AS INTEGER), 3) AS gram
+        |      FROM (SELECT doc_id, text,
+        |              unnest(generate_series(1, len(text) - 2)) AS i
+        |            FROM d)),
+        |m AS (SELECT gram, count(*) AS cnt FROM g GROUP BY 1),
+        |s AS (SELECT count(*) AS dd, sum(cnt) AS tt FROM m),
+        |j AS (SELECT g.doc_id, m.cnt,
+        |        (2 * m.cnt * s.dd < s.tt) AS rare
+        |      FROM g JOIN m USING (gram) CROSS JOIN s),
+        |a AS (SELECT doc_id, count(*) AS n_grams, sum(cnt) AS sc,
+        |        sum(CASE WHEN rare THEN 1 ELSE 0 END) AS rc
+        |      FROM j GROUP BY 1)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        |  CAST((sc * 2000000 + n_grams) // (2 * n_grams) AS BIGINT)
+        |    AS mean_freq_micro,
+        |  CAST((rc * 2000000 + n_grams) // (2 * n_grams) AS BIGINT)
+        |    AS rare_ppm
+        |FROM a""".stripMargin,
     // PII scrub: identical augmentation arithmetic, identical patterns
     // (dialect-identical regex subset), identical email→IP→phone global
     // scrub order — counts and scrubbed-text md5 must both match

@@ -80,7 +80,11 @@ object PlanAudit {
     "e_semdedup",
     // PII scrub: strictly map-only (pruned (doc_id, text) scan, codegen
     // regexp builtins, zero shuffles)
-    "d_pii_scrub")
+    "d_pii_scrub",
+    // gram familiarity: bounded (charset³) model BROADCAST into the
+    // scoring join — the occurrence stream never shuffles on gram; one
+    // model agg + one doc rollup, no windows, no cartesians
+    "d_gram_quality")
 
   /** Queries whose plans may contain Window operators: every window here
     * partitions by a compound key whose per-group size is bounded by the
