@@ -25,11 +25,13 @@ sbt -batch package >/dev/null
 HEADJAR=$(readlink -f "$(ls target/scala-2.13/destorspark_2.13-*.jar | grep -v -- '-tests' | head -1)")
 
 WT=/tmp/graft_r3_ab
-if [ ! -f "$WT/.built" ]; then
+# cache key includes the baseline ref: a rerun with a different ref must
+# rebuild, or the jar under test silently stays the previous baseline's
+if [ "$(cat "$WT/.built" 2>/dev/null)" != "$R3REF" ]; then
   git worktree remove --force "$WT" 2>/dev/null || true
   git worktree add --detach "$WT" "$R3REF" >/dev/null
   cp src/main/scala/graft/PipeOnce.scala "$WT/src/main/scala/graft/PipeOnce.scala"
-  (cd "$WT" && sbt -batch package >/dev/null && touch .built)
+  (cd "$WT" && sbt -batch package >/dev/null && echo "$R3REF" > .built)
 fi
 R3JAR=$(readlink -f "$(ls "$WT"/target/scala-2.13/destorspark_2.13-*.jar | grep -v -- '-tests' | head -1)")
 

@@ -1778,14 +1778,23 @@ object Queries {
     val model = grams.groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true) // reused: the scalar row + the broadcast side
     val scal = model.agg(count(lit(1)).as("d"), sum(col("cnt")).as("t")).head()
-    val (dd, tt) = (scal.getLong(0), scal.getLong(1))
+    // empty filtered corpus → sum is NULL; tt = 0 keeps the (empty)
+    // plan well-typed instead of NPEing at query construction
+    val dd = scal.getLong(0)
+    val tt = if (scal.isNullAt(1)) BigDecimal(0) else BigDecimal(scal.getLong(1))
+    // decimal(38,0) everywhere a product of corpus-scale counts appears:
+    // sc (Σ cnt over a doc) times 2e6, and cnt·2·D in the rare test, both
+    // overflow BIGINT on a corpus a few orders past the test sfs — the
+    // DuckDB twin computes them in HUGEINT, so the engine must not wrap
     grams.join(broadcast(model), Seq("gram"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"), sum(col("cnt")).as("sc"),
-        sum(when(col("cnt") * lit(2L * dd) < lit(tt), 1L).otherwise(0L))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("cnt").cast("decimal(38,0)")).as("sc"),
+        sum(when(col("cnt").cast("decimal(38,0)") * lit(2L * dd)
+            < lit(tt.underlying()), 1L).otherwise(0L))
           .as("rc"))
       .select(col("doc_id"), col("n_grams"),
-        expr("(sc * 2000000 + n_grams) div (2 * n_grams)")
+        expr("cast((sc * 2000000 + n_grams) div (2 * n_grams) as bigint)")
           .as("mean_freq_micro"),
         expr("(rc * 2000000 + n_grams) div (2 * n_grams)").as("rare_ppm"))
   }
@@ -2354,18 +2363,18 @@ object Queries {
     val settings = pipeline.DestorSettings(
       chunker = graft.chunking.ChunkerConfig("fixed", avgSize = 256))
     val tmp = java.nio.file.Files.createTempDirectory("graft_sink")
-    val root = tmp.resolve("b1").toString
-    ClusterJob.backup(files, root, "sinkrun", settings, None,
-      payload = 16384L)
-    val out = spark.read.parquet(s"$root/final_recipe")
-      .groupBy(col("containerId").as("container_id"))
-      .agg(sum(when(col("write"), 1L).otherwise(0L)).as("written_chunks"),
-        sum(when(col("write"), col("size").cast("long")).otherwise(0L))
-          .as("written_bytes"),
-        sum(when(!col("write"), 1L).otherwise(0L)).as("dup_refs"))
-      .localCheckpoint(true)
-    deleteRecursively(tmp)
-    out
+    try {
+      val root = tmp.resolve("b1").toString
+      ClusterJob.backup(files, root, "sinkrun", settings, None,
+        payload = 16384L)
+      spark.read.parquet(s"$root/final_recipe")
+        .groupBy(col("containerId").as("container_id"))
+        .agg(sum(when(col("write"), 1L).otherwise(0L)).as("written_chunks"),
+          sum(when(col("write"), col("size").cast("long")).otherwise(0L))
+            .as("written_bytes"),
+          sum(when(!col("write"), 1L).otherwise(0L)).as("dup_refs"))
+        .localCheckpoint(true)
+    } finally deleteRecursively(tmp)
   }
 
   /** The STAT SINK contract (S9, reference backup.log/destor.stat —
@@ -2392,15 +2401,15 @@ object Queries {
     val settings = pipeline.DestorSettings(
       chunker = graft.chunking.ChunkerConfig("fixed", avgSize = 256))
     val tmp = java.nio.file.Files.createTempDirectory("graft_statsink")
-    val root = tmp.resolve("b1").toString
-    ClusterJob.backup(files, root, "statrun", settings, None,
-      payload = 16384L)
-    val out = spark.read.parquet(s"$root/metrics")
-      .filter(col("stage") === "backup")
-      .select(col("metric"), col("value").cast("long").as("value"))
-      .localCheckpoint(true)
-    deleteRecursively(tmp)
-    out
+    try {
+      val root = tmp.resolve("b1").toString
+      ClusterJob.backup(files, root, "statrun", settings, None,
+        payload = 16384L)
+      spark.read.parquet(s"$root/metrics")
+        .filter(col("stage") === "backup")
+        .select(col("metric"), col("value").cast("long").as("value"))
+        .localCheckpoint(true)
+    } finally deleteRecursively(tmp)
   }
 
   /** S3 destor text-trace round trip: the documents chunk stream is
@@ -2421,20 +2430,21 @@ object Queries {
         col("chunkIdx"), col("fp"), col("size"))
       .persist()
     val tmp = java.nio.file.Files.createTempDirectory("graft_trace")
-    val f = tmp.resolve("docs.trace").toString
-    graft.sources.TraceSource.write(chunks, f)
-    val back = graft.sources.TraceSource.read(spark, f).toDF().persist()
-    val ok = chunks.except(back).isEmpty && back.except(chunks).isEmpty
-    val out = back.agg(
-      countDistinct(col("path")).as("files"),
-      count(lit(1)).as("chunks"),
-      sum(col("size")).cast("long").as("bytes"),
-      countDistinct(col("fp")).as("unique_fps"))
-      .withColumn("roundtrip_ok", lit(ok))
-      .localCheckpoint(true)
-    chunks.unpersist(); back.unpersist()
-    deleteRecursively(tmp)
-    out
+    try {
+      val f = tmp.resolve("docs.trace").toString
+      graft.sources.TraceSource.write(chunks, f)
+      val back = graft.sources.TraceSource.read(spark, f).toDF().persist()
+      val ok = chunks.except(back).isEmpty && back.except(chunks).isEmpty
+      val out = back.agg(
+        countDistinct(col("path")).as("files"),
+        count(lit(1)).as("chunks"),
+        sum(col("size")).cast("long").as("bytes"),
+        countDistinct(col("fp")).as("unique_fps"))
+        .withColumn("roundtrip_ok", lit(ok))
+        .localCheckpoint(true)
+      chunks.unpersist(); back.unpersist()
+      out
+    } finally deleteRecursively(tmp)
   }
 
   /** The trace-driven pipeline end to end (reference `simulation-level
@@ -2476,24 +2486,25 @@ object Queries {
       .select(col("b"), col("path"), col("chunkIdx"), col("fp"), col("size"))
       .persist()
     val tmp = java.nio.file.Files.createTempDirectory("graft_trace_pipe")
-    val jobs = Seq(1, 2, 3).map { b =>
-      val f = tmp.resolve(s"backup$b.trace").toString
-      graft.sources.TraceSource.write(
-        stream0.filter(col("b") === b).drop("b"), f)
-      graft.sources.TraceSource.read(spark, f).toDF()
-    }
-    val shipped = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("/root/reference/destor.config")),
-      java.nio.charset.StandardCharsets.UTF_8)
-    val settings = pipeline.DestorConfig.parse(
-      shipped + "\nsimulation-level all\n")
-    val out = settings.tracePipeline(jobs, payload = 512)
-      .withColumn("speed_factor", round(col("speed_factor"), 6))
-      .withColumn("cfl", round(col("cfl"), 6))
-      .localCheckpoint(true)
-    stream0.unpersist()
-    deleteRecursively(tmp) // replay finished — drop the temp traces
-    out
+    try {
+      val jobs = Seq(1, 2, 3).map { b =>
+        val f = tmp.resolve(s"backup$b.trace").toString
+        graft.sources.TraceSource.write(
+          stream0.filter(col("b") === b).drop("b"), f)
+        graft.sources.TraceSource.read(spark, f).toDF()
+      }
+      val shipped = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/root/reference/destor.config")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val settings = pipeline.DestorConfig.parse(
+        shipped + "\nsimulation-level all\n")
+      val out = settings.tracePipeline(jobs, payload = 512)
+        .withColumn("speed_factor", round(col("speed_factor"), 6))
+        .withColumn("cfl", round(col("cfl"), 6))
+        .localCheckpoint(true)
+      stream0.unpersist()
+      out
+    } finally deleteRecursively(tmp) // replay finished — drop the temp traces
   }
 
   /** Two-backup trace replay under a caller-supplied rewrite directive —
@@ -2561,19 +2572,20 @@ object Queries {
     val settings = pipeline.DestorConfig.parse(
       "rewrite-algorithm no\nrestore-cache lru 30\nsimulation-level all\n")
     val tmp = java.nio.file.Files.createTempDirectory("graft_bkchain")
-    val stats = Seq(1, 2).map { b =>
-      graft.streaming.StreamIngest.backupBatch(
-        stream0.filter(col("b") === b).drop("b"), b - 1L, tmp.toString,
-        settings, payload = 512L)
-    }
-    import spark.implicits._
-    val out = spark.createDataset(stats).toDF()
-      .withColumn("speed_factor", round(col("speed_factor"), 6))
-      .withColumn("cfl", round(col("cfl"), 6))
-      .localCheckpoint(true)
-    stream0.unpersist()
-    deleteRecursively(tmp)
-    out
+    try {
+      val stats = Seq(1, 2).map { b =>
+        graft.streaming.StreamIngest.backupBatch(
+          stream0.filter(col("b") === b).drop("b"), b - 1L, tmp.toString,
+          settings, payload = 512L)
+      }
+      import spark.implicits._
+      val out = spark.createDataset(stats).toDF()
+        .withColumn("speed_factor", round(col("speed_factor"), 6))
+        .withColumn("cfl", round(col("cfl"), 6))
+        .localCheckpoint(true)
+      stream0.unpersist()
+      out
+    } finally deleteRecursively(tmp)
   }
 
   /** Trace replay under `rewrite-algorithm cfl` (W2 selective dedup,
@@ -2636,23 +2648,24 @@ object Queries {
         col("chunkIdx"), col("fp"), col("size"))
       .persist()
     val tmp = java.nio.file.Files.createTempDirectory("graft_fsl")
-    val f = tmp.resolve("docs.hashfile").toString
-    graft.sources.FslSource.write(chunks, f, rootPath = "/graft", sysid = "graft")
-    val back = graft.sources.FslSource.read(spark, tmp.toString)
-      .select(col("path"), col("chunkIdx").cast("int").as("chunkIdx"),
-        col("fp"), col("size").cast("int").as("size"))
-      .persist()
-    val ok = chunks.except(back).isEmpty && back.except(chunks).isEmpty
-    val out = back.agg(
-      countDistinct(col("path")).as("files"),
-      count(lit(1)).as("chunks"),
-      sum(col("size")).cast("long").as("bytes"),
-      countDistinct(col("fp")).as("unique_fps"))
-      .withColumn("roundtrip_ok", lit(ok))
-      .localCheckpoint(true)
-    chunks.unpersist(); back.unpersist()
-    deleteRecursively(tmp)
-    out
+    try {
+      val f = tmp.resolve("docs.hashfile").toString
+      graft.sources.FslSource.write(chunks, f, rootPath = "/graft", sysid = "graft")
+      val back = graft.sources.FslSource.read(spark, tmp.toString)
+        .select(col("path"), col("chunkIdx").cast("int").as("chunkIdx"),
+          col("fp"), col("size").cast("int").as("size"))
+        .persist()
+      val ok = chunks.except(back).isEmpty && back.except(chunks).isEmpty
+      val out = back.agg(
+        countDistinct(col("path")).as("files"),
+        count(lit(1)).as("chunks"),
+        sum(col("size")).cast("long").as("bytes"),
+        countDistinct(col("fp")).as("unique_fps"))
+        .withColumn("roundtrip_ok", lit(ok))
+        .localCheckpoint(true)
+      chunks.unpersist(); back.unpersist()
+      out
+    } finally deleteRecursively(tmp)
   }
 
   /** SimHash near-dup candidate pairs over documents. Rows-only by
@@ -4480,7 +4493,7 @@ object Queries {
         |m AS (SELECT gram, count(*) AS cnt FROM g GROUP BY 1),
         |s AS (SELECT count(*) AS dd, sum(cnt) AS tt FROM m),
         |j AS (SELECT g.doc_id, m.cnt,
-        |        (2 * m.cnt * s.dd < s.tt) AS rare
+        |        (2 * CAST(m.cnt AS HUGEINT) * s.dd < s.tt) AS rare
         |      FROM g JOIN m USING (gram) CROSS JOIN s),
         |a AS (SELECT doc_id, count(*) AS n_grams, sum(cnt) AS sc,
         |        sum(CASE WHEN rare THEN 1 ELSE 0 END) AS rc

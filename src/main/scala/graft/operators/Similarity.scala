@@ -22,6 +22,24 @@ object Similarity {
   def cosine(a: Array[Float], b: Array[Float]): Double =
     dot(a, b) / (norm(a) * norm(b))
 
+  /** Max-cosine centroid of `emb` — THE argmax every assignment path
+    * shares ([[assign]], [[semDedup]], the streaming twin): strict `>`
+    * means the FIRST (lowest) index wins ties, which is exactly the
+    * `ORDER BY cos DESC, listId` rk=1 rule the DuckDB oracles replay.
+    * One definition, so batch, stream and oracle can never drift.
+    * Returns (listId, cosine-to-it).
+    */
+  def nearestCentroid(emb: Array[Float],
+      cents: Array[(Long, Array[Float])]): (Int, Double) = {
+    var best = 0; var bestCos = Double.MinValue; var i = 0
+    while (i < cents.length) {
+      val cs = cosine(emb, cents(i)._2)
+      if (cs > bestCos) { bestCos = cs; best = i }
+      i += 1
+    }
+    (best, bestCos)
+  }
+
   /** Scalable embedding near-dup dedup: banded sign-LSH candidates +
     * exact-cosine rerank — the 100 TB path that replaces the all-pairs
     * crossJoin (which stays only as the small-n oracle baseline).
@@ -134,13 +152,7 @@ object Similarity {
     val asg = embeddings.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .map { case (id, emb) =>
-        val c = bc.value
-        var best = 0; var bestCos = Double.MinValue; var i = 0
-        while (i < c.length) {
-          val cs = cosine(emb, c(i)._2)
-          if (cs > bestCos) { bestCos = cs; best = i }
-          i += 1
-        }
+        val (best, bestCos) = nearestCentroid(emb, bc.value)
         (id, emb, best, bestCos)
       }
       .toDF("vec_id", "embedding", "listId", "csim")
@@ -722,15 +734,7 @@ object Similarity {
     embeddings.select(col("vec_id"), col("embedding"), col("label"))
       .as[(Long, Array[Float], Int)]
       .map { case (id, emb, label) =>
-        val c = bc.value
-        var best = 0; var bestCos = Double.MinValue
-        var i = 0
-        while (i < c.length) {
-          val cs = cosine(emb, c(i)._2)
-          if (cs > bestCos) { bestCos = cs; best = i }
-          i += 1
-        }
-        (id, emb, label, best)
+        (id, emb, label, nearestCentroid(emb, bc.value)._1)
       }
       .toDF("vec_id", "embedding", "label", "listId")
   }

@@ -539,6 +539,25 @@ object ClusterJob {
     stats
   }
 
+  /** `destor -t` body, shared by the CLI arm and TraceCliSpec: chunk +
+    * hash the corpus with the configured chunker and write the
+    * reference-format `.trace` file (one `repo@path@commit` stream per
+    * file version — commit is part of the key, or two versions of one
+    * path would merge into a single block with colliding chunk indices).
+    * Returns the chunk count the CLI reports.
+    */
+  def trace(corpus: Dataset[CorpusFile], outFile: String,
+      cfg: DedupConfig): Long = {
+    val chunks = DedupPipeline.chunkTableDF(
+        DedupPipeline.featurize(corpus, cfg).toDF())
+      .select(concat_ws("@", col("repo"), col("path"), col("commit"))
+          .as("path"),
+        col("chunkIdx"), col("fp"), col("size"))
+    val n = chunks.count()
+    graft.sources.TraceSource.write(chunks, outFile)
+    n
+  }
+
   /** spark-submit entry:
     * ClusterJob <corpusParquet> <checkpointRoot> [runId] [destor.config]
     *   [prevRoot|-]
@@ -577,25 +596,6 @@ object ClusterJob {
     * ([[TracePipeline]]) the same way the reference's traces feed
     * `simulation-level all` runs.
     */
-  /** `destor -t` body, shared by the CLI arm and TraceCliSpec: chunk +
-    * hash the corpus with the configured chunker and write the
-    * reference-format `.trace` file (one `repo@path@commit` stream per
-    * file version — commit is part of the key, or two versions of one
-    * path would merge into a single block with colliding chunk indices).
-    * Returns the chunk count the CLI reports.
-    */
-  def trace(corpus: Dataset[CorpusFile], outFile: String,
-      cfg: DedupConfig): Long = {
-    val chunks = DedupPipeline.chunkTableDF(
-        DedupPipeline.featurize(corpus, cfg).toDF())
-      .select(concat_ws("@", col("repo"), col("path"), col("commit"))
-          .as("path"),
-        col("chunkIdx"), col("fp"), col("size"))
-    val n = chunks.count()
-    graft.sources.TraceSource.write(chunks, outFile)
-    n
-  }
-
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("trace")) {
       val Array(_, corpusPath, outFile) = args.take(3)

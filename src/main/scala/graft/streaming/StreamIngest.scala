@@ -363,13 +363,8 @@ object StreamIngest {
     val bc = vecs.sparkSession.sparkContext.broadcast(cents)
     vecs
       .map { v =>
-        val c = bc.value
-        var best = 0; var bestCos = Double.MinValue; var i = 0
-        while (i < c.length) {
-          val cs = graft.operators.Similarity.cosine(v.embedding, c(i)._2)
-          if (cs > bestCos) { bestCos = cs; best = i }
-          i += 1
-        }
+        val (best, bestCos) =
+          graft.operators.Similarity.nearestCentroid(v.embedding, bc.value)
         (best, v.vecId, v.embedding, bestCos)
       }
       .groupByKey(_._1)
@@ -448,16 +443,19 @@ object StreamIngest {
           // not retracted (Append mode); exact parity with commitDeltas
           // still requires in-order commit replay, but per-event
           // classification is now min-consistent either way.
-          var intro = state.getOption.getOrElse(Long.MaxValue)
+          // Option, not a Long.MaxValue sentinel: a first event whose
+          // cseq IS Long.MaxValue must still classify introduced and be
+          // recorded (a sentinel would silently drop it)
+          var intro: Option[Long] = state.getOption
           val out = ordered.map { e =>
-            if (e.cseq < intro) {
-              intro = e.cseq
-              VersionDecision(e.repo, e.cseq, e.path, introduced = true, intro)
+            if (intro.forall(e.cseq < _)) {
+              intro = Some(e.cseq)
+              VersionDecision(e.repo, e.cseq, e.path, introduced = true, e.cseq)
             } else {
-              VersionDecision(e.repo, e.cseq, e.path, introduced = false, intro)
+              VersionDecision(e.repo, e.cseq, e.path, introduced = false, intro.get)
             }
           }
-          if (intro != Long.MaxValue) state.update(intro)
+          intro.foreach(state.update)
           out.iterator
       }
   }

@@ -66,8 +66,6 @@ object MediaFixtureGen {
       }
     }
 
-  def sqlValues(rows: Seq[String]): String = rows.mkString(",\n      |  ")
-
   def render(): String = {
     val header =
       """package graft
