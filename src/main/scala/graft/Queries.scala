@@ -22,6 +22,20 @@ object Queries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Small-input parallelizer: when a scan yields fewer splits than the
+    * session has cores (the test fixtures are single-row-group parquet
+    * files — ONE split, so everything downstream of the scan runs in one
+    * serial task), hash-repartition the pruned projection on `key` so
+    * the heavy per-row work (gram explodes, tokenization, probes) uses
+    * the whole machine. GUARDED: a production-scale table has millions
+    * of row-group splits and never enters the branch, so no shuffle is
+    * ever added at 100 TB — this only moves kilobytes of fixture rows.
+    */
+  private def par(spark: SparkSession, df: DataFrame, key: String): DataFrame = {
+    val p = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p, col(key)) else df
+  }
+
   private def cents(c: org.apache.spark.sql.Column) =
     round(c * 100).cast("long")
 
@@ -847,7 +861,8 @@ object Queries {
 
   def dNgramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val d = t(spark, dir, "documents").filter(length(col("text")) >= 8)
+    val d = par(spark,
+      t(spark, dir, "documents").filter(length(col("text")) >= 8), "doc_id")
     // Distinct (gram-hash, doc_id) rows built per document in one typed
     // flatMap: the distinct set is bounded by the doc's own gram count
     // (never corpus-global state), and typed groupByKey has NO map-side
@@ -901,7 +916,9 @@ object Queries {
     * The sketch is a PER-DOCUMENT PURE FUNCTION, so the Spark side is a
     * single typed mapPartitions fold — md5 per gram plus a rolling
     * w-window min computed in-JVM, per-doc distinct in bounded local
-    * state — zero shuffle, zero row amplification (round 2 exploded one
+    * state — zero gram-level shuffle, zero row amplification (the only
+    * Exchange is [[par]]'s guarded fixture-split repartition of the doc
+    * rows, a no-op at production split counts; round 2 exploded one
     * row per character position through a shuffle + per-doc window sort:
     * a multi-PB shuffle at 100 TB for values a map can produce). The
     * DuckDB oracle keeps the relational window formulation — it
@@ -910,9 +927,9 @@ object Queries {
   def dWinnow(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val w = 4
-    t(spark, dir, "documents")
-      .filter(length(col("text")) >= 8)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    par(spark, t(spark, dir, "documents")
+        .filter(length(col("text")) >= 8)
+        .select(col("doc_id"), col("text")), "doc_id").as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (id, text) =>
@@ -1003,8 +1020,8 @@ object Queries {
   private def dupGramOcc(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[(Long, Long, Long)] = {
     import spark.implicits._
     val G = DupSpanGram
-    t(spark, dir, "documents").filter(length(col("text")) >= G)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    par(spark, t(spark, dir, "documents").filter(length(col("text")) >= G)
+        .select(col("doc_id"), col("text")), "doc_id").as[(Long, String)]
       .flatMap { case (id, text) =>
         // windows of G CODE POINTS (SQL substr semantics — Java substring
         // counts UTF-16 units and would diverge on non-BMP text)
@@ -1192,10 +1209,10 @@ object Queries {
     * the gram sketches avoid).
     */
   def dSuffixRank(spark: SparkSession, dir: String): DataFrame = {
-    val d = t(spark, dir, "documents")
+    val d = par(spark, t(spark, dir, "documents")
       .filter(col("text").isNotNull &&
         substring(md5(col("text").cast("binary")), 1, 1) === "0")
-      .select(col("doc_id"), col("text"))
+      .select(col("doc_id"), col("text")), "doc_id")
     graft.operators.SuffixArray.ranks(d)
       .select(col("doc_id"), col("pos"), col("srank"))
   }
@@ -1214,10 +1231,10 @@ object Queries {
     * fixed-width rows, no windows, no text shuffled past the explode.
     */
   def dSaGramStats(spark: SparkSession, dir: String): DataFrame = {
-    val d = t(spark, dir, "documents")
+    val d = par(spark, t(spark, dir, "documents")
       .filter(col("text").isNotNull &&
         substring(md5(col("text").cast("binary")), 1, 1) === "0")
-      .select(col("doc_id"), col("text"))
+      .select(col("doc_id"), col("text")), "doc_id")
     val lens = d.select(col("doc_id"), length(col("text")).as("char_len"))
       .filter(col("char_len") >= 16)
     val pos16 = graft.operators.SuffixArray.prefixRanks(d, 16L)
@@ -1370,8 +1387,8 @@ object Queries {
     // null-text rows contribute nothing either way (the oracle's NULL
     // is_eval fails both WHERE branches); without the guard they would
     // crash typed deserialization into the non-nullable tuple
-    val d = t(spark, dir, "documents")
-      .filter(col("text").isNotNull)
+    val d = par(spark, t(spark, dir, "documents")
+        .filter(col("text").isNotNull), "doc_id")
       .select(col("doc_id"),
         expr("regexp_extract_all(text, '[A-Za-z0-9_]+', 0)").as("ts"),
         substring(md5(col("text").cast("binary")), 1, 1)
@@ -1430,8 +1447,8 @@ object Queries {
     // token-string row ever shuffles (round-4 rewrite — the previous
     // groupBy(doc_id, tok) shuffled the full token stream as strings).
     // The element hash chains exactly like the SQL xxhash64(tok, k).
-    t(spark, dir, "documents")
-      .select(col("doc_id"), col("text"))
+    par(spark, t(spark, dir, "documents")
+        .select(col("doc_id"), col("text")), "doc_id")
       .as[(Long, String)]
       .mapPartitions { it =>
         val sep = java.util.regex.Pattern.compile("[^a-z0-9_]+")
@@ -1769,8 +1786,9 @@ object Queries {
     * O(1) collected scalar row. All-integer arithmetic end to end.
     */
   def dGramQuality(spark: SparkSession, dir: String): DataFrame = {
-    val grams = t(spark, dir, "documents")
-      .filter(length(col("text")) >= 3)
+    val grams = par(spark, t(spark, dir, "documents")
+        .filter(length(col("text")) >= 3)
+        .select(col("doc_id"), col("text")), "doc_id")
       .select(col("doc_id"),
         explode(sequence(lit(1), length(col("text")) - 2)).as("i"),
         col("text"))
@@ -1786,13 +1804,18 @@ object Queries {
     // sc (Σ cnt over a doc) times 2e6, and cnt·2·D in the rare test, both
     // overflow BIGINT on a corpus a few orders past the test sfs — the
     // DuckDB twin computes them in HUGEINT, so the engine must not wrap
-    grams.join(broadcast(model), Seq("gram"))
+    // the rare test (cnt·2·D < T) is per-GRAM, so decide it ONCE on the
+    // bounded model side (≤ charset³ rows) before broadcasting — the
+    // unbounded occurrence stream then carries only long sums, keeping
+    // the decimal(38,0) multiply off the hot path
+    val tagged = model.withColumn("rare",
+      when(col("cnt").cast("decimal(38,0)") * lit(2L * dd)
+        < lit(tt.underlying()), 1L).otherwise(0L))
+    grams.join(broadcast(tagged), Seq("gram"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(col("cnt").cast("decimal(38,0)")).as("sc"),
-        sum(when(col("cnt").cast("decimal(38,0)") * lit(2L * dd)
-            < lit(tt.underlying()), 1L).otherwise(0L))
-          .as("rc"))
+        sum(col("rare")).as("rc"))
       .select(col("doc_id"), col("n_grams"),
         expr("cast((sc * 2000000 + n_grams) div (2 * n_grams) as bigint)")
           .as("mean_freq_micro"),
@@ -1823,11 +1846,11 @@ object Queries {
     */
   def dDocClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val files = t(spark, dir, "documents")
-      .select(col("source").as("repo"),
-        concat(lit("doc/"), col("doc_id")).as("path"),
-        lit("0").as("commit"),
-        col("lang"), col("text").as("content"))
+    val files = par(spark, t(spark, dir, "documents")
+        .select(col("source").as("repo"),
+          concat(lit("doc/"), col("doc_id")).as("path"),
+          lit("0").as("commit"),
+          col("lang"), col("text").as("content")), "path")
       .as[CorpusFile]
     val cfg = DedupConfig()
     val features = DedupPipeline.featurize(files, cfg)
