@@ -1612,6 +1612,16 @@ object Queries {
       s"(strpos('0123456789abcdef', substr($m, $p, 1)) - 1) * ${pow}"
     }.mkString("(", " + ", ")")
 
+  /** General hex-window Horner: the integer value of `n` hex nibbles of
+    * `m` starting at 1-based offset `off` (DuckDB twin of Spark's
+    * `conv(substring(m, off, n), 16, 10)`).
+    */
+  private def hexSql(m: String, off: Int, n: Int): String =
+    (0 until n).map { p =>
+      val pow = 1L << (4 * (n - 1 - p))
+      s"(strpos('0123456789abcdef', substr($m, ${off + p}, 1)) - 1) * ${pow}"
+    }.mkString("(", " + ", ")")
+
   /** Repo-granularity fork detection over the derived (repo, path,
     * content) table — [[operators.RepoDedup.forkPairs]] at θ = 0.5. The
     * oracle is the UNFILTERED brute-force set join, so hash-green
@@ -1820,6 +1830,133 @@ object Queries {
         expr("cast((sc * 2000000 + n_grams) div (2 * n_grams) as bigint)")
           .as("mean_freq_micro"),
         expr("(rc * 2000000 + n_grams) div (2 * n_grams)").as("rare_ppm"))
+  }
+
+  /** Per-domain quota cap for [[dQuotaSample]]. Small enough to BIND on
+    * the 20-source fixture corpus at every sf (so the sample is a real
+    * selection, not a pass-through); the knob a production run sizes per
+    * domain budget.
+    */
+  private val DomainQuota = 10
+
+  /** Per-domain quota sampling — the domain-balancing ACTION a web-scale
+    * corpus runs so no single domain dominates the training mix: keep at
+    * most [[DomainQuota]] documents per `source`, selected
+    * content-deterministically (rank = md5-of-text order, doc_id
+    * tie-break) so the sample is reproducible across runs and cluster
+    * sizes with NO RNG state. Shape: ONE map-side-combinable
+    * [[graft.functions.TopKBy]] aggregate per source — ≤Q rows per
+    * (partition, source) cross the shuffle and nothing is globally
+    * sorted, exactly the hot-domain case where a `row_number` window
+    * would funnel one task per mega-domain. The 48-bit md5 prefix is the
+    * established [[h48Sql]] integer order (collisions land on the
+    * doc_id tie-break identically in both engines).
+    */
+  def dQuotaSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").filter(col("text").isNotNull)
+      .select(col("source"), col("doc_id"),
+        expr("cast(conv(substring(md5(cast(text as binary)), 1, 12), 16, 10) as bigint)")
+          .as("m48"))
+    d.groupBy(col("source"))
+      .agg(graft.functions.TopKBy(-col("m48"), col("doc_id"), DomainQuota)
+        .as("topk"))
+      .select(col("source"), posexplode(col("topk")))
+      .select(col("source"), col("col.id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("rk"))
+  }
+
+  /** Vocabulary size for [[dVocabOov]] — deliberately smaller than the
+    * fixture corpus's token-type count so the OOV rate is nonzero at
+    * every sf (a production run sizes this to the tokenizer budget).
+    */
+  private val VocabSize = 32
+
+  /** Frequency-vocabulary construction + per-document OOV rate — the
+    * tokenizer-budget diagnostic every training-data pipeline runs
+    * (which documents will shatter into unknown tokens?): vocab = the
+    * [[VocabSize]] most frequent tokens (count desc, token asc — total
+    * order, so the boundary is deterministic), then per doc the fraction
+    * of token occurrences outside the vocab, in exact integer ppm.
+    *
+    * Scale: token-count agg is map-side combinable (cardinality =
+    * vocabulary, not corpus); vocab selection is a global top-V over
+    * that bounded table (TakeOrdered, V rows — never a window); the
+    * scoring join BROADCASTS the V-row vocab so the occurrence stream
+    * shuffles only for the doc-keyed rollup.
+    */
+  def dVocabOov(spark: SparkSession, dir: String): DataFrame = {
+    val toks = par(spark, t(spark, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9_]+', 0)"))
+          .as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc).limit(VocabSize)
+      .select(col("tok")).withColumn("inv", lit(1))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("inv").isNull, 1L).otherwise(0L)).as("oov"))
+      .withColumn("oov_ppm",
+        expr("(oov * 2000000 + n_tokens) div (2 * n_tokens)"))
+  }
+
+  /** Bloom-filter incremental dedup — the approximate-membership gate an
+    * ingest pipeline runs against the EXISTING corpus before paying the
+    * exact-index join: the even-doc_id half of the corpus is the
+    * "already ingested" store, the odd half is the arriving batch.
+    * Filter: k=4 probe positions per digest, each the integer value of 8
+    * md5 hex nibbles mod m, with m sized from the store (8 bits/key,
+    * the honest Bloom sizing — fill factor and FP rate are then
+    * sf-INVARIANT, so the driver check is never vacuously FP-free).
+    * Emits per batch doc: bits_set (0-4), bloom_hit (all probes set)
+    * and exact_dup (true membership via the md5 join the Bloom
+    * replaces — the labeled evaluation arm), so the row set
+    * value-checks zero-false-negative behavior AND the FP population.
+    * To keep the true-positive arm non-vacuous at every sf (identical
+    * texts always land on the same side of any content split, and the
+    * fixture's doc-parity dup pairs only appear at sf0.1), the batch
+    * deterministically RE-SENDS every (10k+1)-id document with its even
+    * neighbor's content — the re-crawl case Bloom ingest gates exist
+    * for; the oracle replays the same substitution.
+    *
+    * Scale: the bit-position set is bounded by m = 8·|store| — but the
+    * engine never materializes per-key state wider than a (pos) row;
+    * the distinct-pos table is ≤m rows and broadcasts, the probe side
+    * is map-only + one doc-keyed rollup. The exact arm is a digest-keyed
+    * shuffle join (corpus-sized build — deliberately NOT broadcast).
+    */
+  def dBloomDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("m0"))
+    val resend = base.select((col("doc_id") + 1).as("doc_id"),
+      col("m0").as("mprev"))
+    val d = base.join(resend, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 1 && col("mprev").isNotNull,
+          col("mprev")).otherwise(col("m0")).as("m"))
+    val nStore = d.filter(col("doc_id") % 2 === 0).count()
+    val m = math.max(64L, 8L * nStore)
+    val probeCols = (0 until 4).map { j =>
+      expr(s"cast(conv(substring(m, ${1 + 8 * j}, 8), 16, 10) as bigint) % $m")
+        .as(s"p$j")
+    }
+    val bits = d.filter(col("doc_id") % 2 === 0)
+      .select(explode(array(probeCols: _*)).as("pos")).distinct()
+      .withColumn("set", lit(1))
+    val probed = d.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("m"),
+        explode(array(probeCols: _*)).as("pos"))
+      .join(broadcast(bits), Seq("pos"), "left")
+      .groupBy(col("doc_id"), col("m"))
+      .agg(sum(when(col("set").isNotNull, 1L).otherwise(0L)).as("bits_set"))
+    val store = d.filter(col("doc_id") % 2 === 0)
+      .select(col("m")).distinct().withColumn("dup", lit(1))
+    probed.join(store, Seq("m"), "left")
+      .select(col("doc_id"), col("bits_set"),
+        (col("bits_set") === 4L).as("bloom_hit"),
+        col("dup").isNotNull.as("exact_dup"))
   }
 
   /** Document fingerprinting: gear-shingle MinHash + SimHash signatures
@@ -3176,6 +3313,9 @@ object Queries {
     "d_curation" -> (dCuration _),
     "d_pii_scrub" -> (dPiiScrub _),
     "d_gram_quality" -> (dGramQuality _),
+    "d_quota_sample" -> (dQuotaSample _),
+    "d_vocab_oov" -> (dVocabOov _),
+    "d_bloom_dedup" -> (dBloomDedup _),
     "d_winnow" -> (dWinnow _),
     "d_winnow_pairs" -> (dWinnowPairs _),
     "d_dup_spans" -> (dDupSpans _),
@@ -4527,6 +4667,57 @@ object Queries {
         |  CAST((rc * 2000000 + n_grams) // (2 * n_grams) AS BIGINT)
         |    AS rare_ppm
         |FROM a""".stripMargin,
+    // domain quota: the TopKBy (score desc, id asc) total order equals
+    // the window rank over (md5-prefix asc, doc_id asc)
+    "d_quota_sample" ->
+      s"""WITH d AS (SELECT source, doc_id, md5(text) AS m
+        |           FROM documents WHERE text IS NOT NULL)
+        |SELECT source, doc_id, rk FROM (
+        |  SELECT source, doc_id, CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY ${h48Sql("m")} ASC, doc_id ASC) AS BIGINT) AS rk
+        |  FROM d)
+        |WHERE rk <= $DomainQuota""".stripMargin,
+    // vocab + OOV: deterministic top-V boundary (count desc, token asc),
+    // exact round-half-up ppm
+    "d_vocab_oov" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |vocab AS (
+        |  SELECT tok FROM (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1)
+        |  ORDER BY cnt DESC, tok ASC LIMIT $VocabSize)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov,
+        |  CAST((sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 2000000 + count(*))
+        |    // (2 * count(*)) AS BIGINT) AS oov_ppm
+        |FROM toks LEFT JOIN vocab v USING (tok) GROUP BY doc_id""".stripMargin,
+    // Bloom membership: identical probe arithmetic (8-nibble Horner mod
+    // m, m = greatest(64, 8·|store|)), identical store/batch split
+    "d_bloom_dedup" ->
+      s"""WITH d0 AS (SELECT doc_id, md5(text) AS m0
+        |           FROM documents WHERE text IS NOT NULL),
+        |d AS (SELECT a.doc_id,
+        |        CASE WHEN a.doc_id % 10 = 1 AND b.m0 IS NOT NULL
+        |             THEN b.m0 ELSE a.m0 END AS m
+        |      FROM d0 a LEFT JOIN d0 b ON b.doc_id = a.doc_id - 1),
+        |params AS (SELECT greatest(64, 8 * count(*)) AS mm
+        |           FROM d WHERE doc_id % 2 = 0),
+        |pos AS (SELECT doc_id, m, hv % mm AS pos FROM (
+        |    SELECT doc_id, m, unnest([
+        |      ${hexSql("m", 1, 8)},
+        |      ${hexSql("m", 9, 8)},
+        |      ${hexSql("m", 17, 8)},
+        |      ${hexSql("m", 25, 8)}]) AS hv FROM d) CROSS JOIN params),
+        |bits AS (SELECT DISTINCT pos FROM pos WHERE doc_id % 2 = 0),
+        |probe AS (
+        |  SELECT p.doc_id, p.m,
+        |    CAST(sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS bits_set
+        |  FROM (SELECT * FROM pos WHERE doc_id % 2 = 1) p
+        |  LEFT JOIN bits b USING (pos) GROUP BY 1, 2),
+        |store AS (SELECT DISTINCT m FROM d WHERE doc_id % 2 = 0)
+        |SELECT probe.doc_id, bits_set, bits_set = 4 AS bloom_hit,
+        |  s.m IS NOT NULL AS exact_dup
+        |FROM probe LEFT JOIN store s USING (m)""".stripMargin,
     // PII scrub: identical augmentation arithmetic, identical patterns
     // (dialect-identical regex subset), identical email→IP→phone global
     // scrub order — counts and scrubbed-text md5 must both match

@@ -369,4 +369,91 @@ class QueriesSpec extends AnyFunSuite {
       assert(docs === dq + dd + k, "every doc lands in exactly one bucket")
     }
   }
+
+  /** 48-bit md5 prefix of a text, the content-rank key d_quota_sample and
+    * the oracle share (first 6 digest bytes, big-endian, unsigned).
+    */
+  private def m48(text: String): Long =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(text.getBytes("UTF-8")).take(6)
+      .foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+
+  test("d_quota_sample caps hot domains, keeps cold ones whole, md5 order") {
+    import spark.implicits._
+    val big = (0 until 25).map(i => (i.toLong, "big", s"hot domain doc $i"))
+    val small = (0 until 3).map(i => (100L + i, "small", s"cold doc $i"))
+    val tmp = java.nio.file.Files.createTempDirectory("quota").toString
+    (big ++ small).toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Queries.dQuotaSample(spark, tmp)
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).map { case (s, rs) =>
+        s -> rs.sortBy(_._3).map(r => (r._2, r._3)).toSeq
+      }
+    assert(got("small").map(_._1).toSet === small.map(_._1).toSet,
+      "under-quota domain is kept whole")
+    assert(got("big").size === 10, "hot domain capped at the quota")
+    // replay the content-deterministic selection: md5-prefix asc, id asc
+    val expect = big.sortBy(d => (m48(d._3), d._1)).take(10).map(_._1)
+    assert(got("big").map(_._1) === expect,
+      "selection and rank order = (md5 48-bit prefix asc, doc_id asc)")
+    assert(got("big").map(_._2) === (1L to 10L), "rk is 1-based and dense")
+  }
+
+  test("d_vocab_oov: top-V vocab boundary binds, exact round-half-up ppm") {
+    import spark.implicits._
+    // 32 core tokens appear 3x each (2x in doc A, 1x in doc B); doc B
+    // adds 3 rare tokens -> vocab = exactly the 32 core tokens
+    val core = (0 until 32).map(i => f"tok$i%02d")
+    val docA = (core ++ core).mkString(" ")
+    val docB = (core ++ Seq("uniq1", "uniq2", "uniq3")).mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("oov").toString
+    Seq((0L, docA), (1L, docB)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Queries.dVocabOov(spark, tmp)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(0L) === ((64L, 0L, 0L)), "all-in-vocab doc has zero OOV")
+    // doc B: 35 tokens, 3 OOV -> round_half_up(3e6/35) = 85714
+    assert(got(1L) === ((35L, 3L, 85714L)))
+  }
+
+  test("d_bloom_dedup: no false negatives, probe arithmetic replays") {
+    import spark.implicits._
+    val docs = (0L until 20L).map(i => (i, s"bloom fixture document $i"))
+    val tmp = java.nio.file.Files.createTempDirectory("bloom").toString
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Queries.dBloomDedup(spark, tmp)
+      .as[(Long, Long, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet === (1L until 20L by 2L).toSet, "batch = odd ids")
+    // local replay: store = even docs' original digests, m = 8*10 = 80,
+    // probes = 4x 8-nibble md5 windows mod m; docs 1 and 11 re-send the
+    // even neighbor's content
+    def md5hex(t: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val text = docs.toMap
+    def digest(id: Long): String =
+      if (id % 10 == 1) md5hex(text(id - 1)) else md5hex(text(id))
+    val m = 80L
+    // Seq, not Set: the engine explodes 4 probe rows per doc, so a
+    // within-doc position collision is counted twice in bits_set
+    def probes(hex: String): Seq[Long] =
+      (0 until 4).map(j =>
+        java.lang.Long.parseLong(hex.substring(8 * j, 8 * j + 8), 16) % m)
+    val storeDigests = (0L until 20L by 2L).map(digest).toSet
+    val bits = storeDigests.flatMap(probes(_).toSet)
+    (1L until 20L by 2L).foreach { id =>
+      val h = digest(id)
+      val (bs, hit, dup) = got(id)
+      assert(bs === probes(h).count(bits).toLong, s"bits_set replay id=$id")
+      assert(hit === (bs === 4L), s"bloom_hit replay id=$id")
+      assert(dup === storeDigests(h), s"exact_dup replay id=$id")
+      assert(!dup || hit, s"Bloom false negative at id=$id")
+    }
+    assert(got(1L)._3 && got(11L)._3, "re-sent docs are exact dups")
+    assert(got(3L)._3 === false, "unique batch doc is not an exact dup")
+  }
 }

@@ -84,7 +84,16 @@ object PlanAudit {
     // gram familiarity: bounded (charset³) model BROADCAST into the
     // scoring join — the occurrence stream never shuffles on gram; one
     // model agg + one doc rollup, no windows, no cartesians
-    "d_gram_quality")
+    "d_gram_quality",
+    // domain quota sampling: ONE map-side-combinable top_k_by per
+    // source — no row_number window funneling a task per mega-domain
+    "d_quota_sample",
+    // vocab/OOV: bounded-cardinality token agg + global TakeOrdered
+    // top-V + BROADCAST vocab join — no windows, no full-width scan
+    "d_vocab_oov",
+    // Bloom ingest gate: broadcast bit-set probe (map-only batch side)
+    // + one digest-keyed exact join — no windows, no cartesians
+    "d_bloom_dedup")
 
   /** Queries whose plans may contain Window operators: every window here
     * partitions by a compound key whose per-group size is bounded by the
