@@ -28,7 +28,9 @@ object Bench {
     "e_pq_adc", "d_dup_spans", "d_dup_span_pairs", "d_dup_trim",
     "d_decontam", "d_clone_pairs", "d_self_rep", "d_suffix_rank",
     "q_topk_agg", "d_repo_forks", "d_merkle_dirs", "e_semdedup",
-    "d_pii_scrub", "d_gram_quality")
+    "d_pii_scrub", "d_gram_quality",
+    "d_quota_sample", "d_vocab_oov", "d_bloom_dedup",
+    "d_para_dedup", "d_tfidf_topterms")
 
   /** Materialize the synthetic corpus as a parquet table once (this is
     * input scaffolding, not the engine — the north-rule job reads an

@@ -1959,6 +1959,112 @@ object Queries {
         col("dup").isNotNull.as("exact_dup"))
   }
 
+  /** Paragraph window for [[dParaDedup]] — the corpus has no newline
+    * structure, so "paragraphs" are fixed [[ParaTokens]]-token windows of
+    * the whitespace token stream (deterministic, both-engine replayable);
+    * a production run splits on real paragraph breaks and the pipeline
+    * shape is identical.
+    */
+  private val ParaTokens = 12
+
+  /** Paragraph-level exact dedup + document RECONSTRUCTION — the
+    * CCNet/RefinedWeb curation pass one granularity below document
+    * dedup: every duplicated paragraph except its corpus-wide FIRST
+    * occurrence (first writer = min (doc_id, pid)) is dropped, and each
+    * document is rebuilt from its surviving paragraphs in order.
+    *
+    * Scale shape: paragraphs are derived MAP-SIDE with higher-order
+    * slice/transform over the token array and only their 16-byte md5
+    * ever shuffles (paragraph TEXT stays in the scan task); first-writer
+    * is ONE combinable min(struct) agg on the hash; verdicts re-join the
+    * hash stream hash-keyed; the kept-pid list rolls up doc-keyed
+    * (bounded by the doc's own length — the d_dup_trim span-list bound)
+    * and reconstruction + digesting run map-side against the original
+    * text after a doc-keyed join. No windows, no per-doc sort tasks:
+    * `sort_array` sorts one doc's bounded pid list inside its row.
+    */
+  def dParaDedup(spark: SparkSession, dir: String): DataFrame = {
+    val P = ParaTokens
+    val docs = par(spark, t(spark, dir, "documents")
+      .filter(col("text").isNotNull).select(col("doc_id"), col("text")),
+      "doc_id")
+    val paras = docs
+      .withColumn("ts", expr("split(text, ' ')"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, (size(ts) + ${P - 1}) div $P - 1), " +
+          s"i -> md5(cast(array_join(slice(ts, i * $P + 1, $P), ' ') as binary)))")))
+      .select(col("doc_id"), col("pos").cast("long").as("pid"),
+        col("col").as("h"))
+    val fw = paras.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pid"))).as("w"))
+    val verdicts = paras.join(fw, Seq("h"))
+      .select(col("doc_id"), col("pid"),
+        (col("w.doc_id") === col("doc_id") && col("w.pid") === col("pid"))
+          .as("keep"))
+    val perDoc = verdicts.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_paras"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+      sort_array(collect_list(when(col("keep"), col("pid")))).as("kept"))
+    perDoc.join(docs, Seq("doc_id"))
+      .withColumn("ts", expr("split(text, ' ')"))
+      .select(col("doc_id"), col("n_paras"), col("n_kept"),
+        expr(s"md5(cast(array_join(transform(kept, " +
+          s"p -> array_join(slice(ts, cast(p as int) * $P + 1, $P), ' ')), " +
+          "'\\n') as binary))").as("kept_md5"))
+  }
+
+  /** Top-k for [[dTfidfTopterms]] and the integer score scale (exact in
+    * both engines: BIGINT multiply then integer-divide).
+    */
+  private val TfidfK = 3
+  private val TfidfScale = 1000000000L
+
+  /** Per-document tf·idf top terms — the keyword/feature-extraction pass
+    * (quality signals, topic routing) expressed hash-stably: score =
+    * exact integer `tf·SCALE div df` (identical integer division in both
+    * engines, no floats anywhere), ranked per doc by the native
+    * map-side-combinable [[graft.functions.TopKBy]] (score desc,
+    * token-60-bit-md5 asc tie-break) — ≤k rows per (partition, doc)
+    * cross the shuffle, never a per-doc window sort.
+    *
+    * Scale: one tokenize pass; tf is a (doc, token-id)-keyed combinable
+    * agg over 8-byte ids (token strings never ride the big shuffles —
+    * the d_clone_pairs element-stream rule); df and the id→string vocab
+    * map are vocabulary-bounded combinable aggs BROADCAST into their
+    * joins; output is k rows per doc. The 60-bit md5-prefix id is
+    * collision-free at fixture vocabulary scale and oracle-checked; a
+    * production vocabulary widens ids to the full digest (the
+    * d_fork_families lesson — collisions there merge tf streams
+    * silently).
+    */
+  def dTfidfTopterms(spark: SparkSession, dir: String): DataFrame = {
+    val toks = par(spark, t(spark, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9_]+', 0)"))
+          .as("tok"))
+      .select(col("doc_id"), col("tok"),
+        expr("cast(conv(substring(md5(cast(tok as binary)), 1, 15), 16, 10) as bigint)")
+          .as("tid"))
+    val tf = toks.select(col("doc_id"), col("tid"))
+      .groupBy(col("doc_id"), col("tid")).agg(count(lit(1)).as("tf"))
+    val df = toks.select(col("doc_id"), col("tid")).distinct()
+      .groupBy(col("tid")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), Seq("tid"))
+      .withColumn("score", expr(s"tf * ${TfidfScale}L div df"))
+    val top = scored.groupBy(col("doc_id"))
+      .agg(graft.functions.TopKBy(col("score"), col("tid"), TfidfK)
+        .as("topk"))
+      .select(col("doc_id"), posexplode(col("topk")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.score").as("score"), col("col.id").as("tid"))
+    val vocab = toks.select(col("tok"), col("tid")).distinct()
+    top.join(broadcast(vocab), Seq("tid"))
+      .select(col("doc_id"), col("rk"), col("tok"), col("score"))
+  }
+
   /** Document fingerprinting: gear-shingle MinHash + SimHash signatures
     * (not SQL-expressible — rows-only check).
     */
@@ -3316,6 +3422,8 @@ object Queries {
     "d_quota_sample" -> (dQuotaSample _),
     "d_vocab_oov" -> (dVocabOov _),
     "d_bloom_dedup" -> (dBloomDedup _),
+    "d_para_dedup" -> (dParaDedup _),
+    "d_tfidf_topterms" -> (dTfidfTopterms _),
     "d_winnow" -> (dWinnow _),
     "d_winnow_pairs" -> (dWinnowPairs _),
     "d_dup_spans" -> (dDupSpans _),
@@ -4718,6 +4826,54 @@ object Queries {
         |SELECT probe.doc_id, bits_set, bits_set = 4 AS bloom_hit,
         |  s.m IS NOT NULL AS exact_dup
         |FROM probe LEFT JOIN store s USING (m)""".stripMargin,
+    // paragraph dedup: identical fixed-window split, first-writer =
+    // min (doc_id, pid) struct, kept text reassembled with the same
+    // ' ' / '\n' joins before hashing
+    "d_para_dedup" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |           FROM documents WHERE text IS NOT NULL),
+        |paras AS (
+        |  SELECT doc_id, CAST(pid AS BIGINT) AS pid,
+        |    array_to_string(ts[pid * $ParaTokens + 1 : pid * $ParaTokens + $ParaTokens], ' ') AS para
+        |  FROM (SELECT doc_id, ts,
+        |          unnest(range((len(ts) + ${ParaTokens - 1}) // $ParaTokens)) AS pid
+        |        FROM tok)),
+        |fw AS (SELECT md5(para) AS h,
+        |         min(struct_pack(d := doc_id, p := pid)) AS w
+        |       FROM paras GROUP BY 1),
+        |v AS (SELECT p.doc_id, p.pid, p.para,
+        |        f.w.d = p.doc_id AND f.w.p = p.pid AS keep
+        |      FROM paras p JOIN fw f ON f.h = md5(p.para)),
+        |agg AS (SELECT doc_id, count(*) AS n_paras,
+        |          CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |        FROM v GROUP BY 1),
+        |kt AS (SELECT doc_id,
+        |         string_agg(para, chr(10) ORDER BY pid) AS kept_text
+        |       FROM v WHERE keep GROUP BY 1)
+        |SELECT agg.doc_id, n_paras, n_kept,
+        |  md5(coalesce(kept_text, '')) AS kept_md5
+        |FROM agg LEFT JOIN kt USING (doc_id)""".stripMargin,
+    // tf·idf top terms: identical integer score (tf·SCALE // df), the
+    // top_k_by (score desc, tid asc) total order = the window rank
+    "d_tfidf_topterms" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, tok, ${hexSql("md5(tok)", 1, 15)} AS tid
+        |  FROM (SELECT doc_id,
+        |          unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+        |        FROM documents WHERE text IS NOT NULL)),
+        |tf AS (SELECT doc_id, tid, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT tid, count(*) AS df
+        |       FROM (SELECT DISTINCT doc_id, tid FROM toks) GROUP BY 1),
+        |scored AS (
+        |  SELECT doc_id, tid, tf * $TfidfScale // df AS score
+        |  FROM tf JOIN df USING (tid)),
+        |top AS (
+        |  SELECT doc_id, tid, score, CAST(row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, tid ASC) AS BIGINT) AS rk
+        |  FROM scored),
+        |vocab AS (SELECT DISTINCT tok, tid FROM toks)
+        |SELECT doc_id, rk, tok, score
+        |FROM top JOIN vocab USING (tid) WHERE rk <= $TfidfK""".stripMargin,
     // PII scrub: identical augmentation arithmetic, identical patterns
     // (dialect-identical regex subset), identical email→IP→phone global
     // scrub order — counts and scrubbed-text md5 must both match

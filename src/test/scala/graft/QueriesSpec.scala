@@ -456,4 +456,50 @@ class QueriesSpec extends AnyFunSuite {
     assert(got(1L)._3 && got(11L)._3, "re-sent docs are exact dups")
     assert(got(3L)._3 === false, "unique batch doc is not an exact dup")
   }
+
+  test("d_para_dedup: first-writer paragraph drops, exact reconstruction") {
+    import spark.implicits._
+    def para(p: String) = (1 to 12).map(i => s"$p$i").mkString(" ")
+    val (a, b, c, e) = (para("a"), para("b"), para("c"), para("e"))
+    val dTail = (1 to 5).map(i => s"d$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"$a $b"),     // writes A, B
+      (1L, s"$b $c"),     // B dropped (first writer doc0), C kept
+      (2L, s"$a $b"),     // exact dup -> fully dropped
+      (3L, s"$a $dTail"), // A dropped, short trailing paragraph kept
+      (4L, s"$e $e"))     // within-doc dup: second E dropped
+    val tmp = java.nio.file.Files.createTempDirectory("para").toString
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def md5hex(t: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map(x => f"$x%02x").mkString
+    val got = Queries.dParaDedup(spark, tmp)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(0L) === ((2L, 2L, md5hex(s"$a\n$b"))))
+    assert(got(1L) === ((2L, 1L, md5hex(c))))
+    assert(got(2L) === ((2L, 0L, md5hex(""))), "fully-deduped doc")
+    assert(got(3L) === ((2L, 1L, md5hex(dTail))), "partial trailing window")
+    assert(got(4L) === ((2L, 1L, md5hex(e))), "within-doc repeat dropped")
+  }
+
+  test("d_tfidf_topterms: exact integer tf-idf ranks") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("tfidf").toString
+    Seq((0L, "apple apple apple banana"), (1L, "banana cherry"),
+      (2L, "date"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Queries.dTfidfTopterms(spark, tmp)
+      .as[(Long, Long, String, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // df: apple 1, banana 2, cherry 1, date 1; score = tf*1e9 div df
+    assert(got((0L, 1L)) === (("apple", 3000000000L)))
+    assert(got((0L, 2L)) === (("banana", 500000000L)))
+    assert(got((1L, 1L)) === (("cherry", 1000000000L)))
+    assert(got((1L, 2L)) === (("banana", 500000000L)))
+    assert(got((2L, 1L)) === (("date", 1000000000L)))
+    assert(got.size === 5, "fewer than k terms -> fewer rows, no padding")
+  }
 }

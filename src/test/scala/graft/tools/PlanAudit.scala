@@ -93,7 +93,14 @@ object PlanAudit {
     "d_vocab_oov",
     // Bloom ingest gate: broadcast bit-set probe (map-only batch side)
     // + one digest-keyed exact join — no windows, no cartesians
-    "d_bloom_dedup")
+    "d_bloom_dedup",
+    // paragraph dedup: map-side window hashing (paragraph text never
+    // shuffles), hash-keyed first-writer min(struct), doc-keyed rollup
+    // + map-side reconstruction — no windows, no per-doc sort tasks
+    "d_para_dedup",
+    // tf·idf top terms: 8-byte token-id streams, broadcast df/vocab
+    // joins, per-doc top_k_by — no row_number window
+    "d_tfidf_topterms")
 
   /** Queries whose plans may contain Window operators: every window here
     * partitions by a compound key whose per-group size is bounded by the
