@@ -30,7 +30,7 @@ object Bench {
     "q_topk_agg", "d_repo_forks", "d_merkle_dirs", "e_semdedup",
     "d_pii_scrub", "d_gram_quality",
     "d_quota_sample", "d_vocab_oov", "d_bloom_dedup",
-    "d_para_dedup", "d_tfidf_topterms")
+    "d_para_dedup", "d_tfidf_topterms", "d_mix_alloc")
 
   /** Materialize the synthetic corpus as a parquet table once (this is
     * input scaffolding, not the engine — the north-rule job reads an

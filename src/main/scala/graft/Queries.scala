@@ -2065,6 +2065,68 @@ object Queries {
       .select(col("doc_id"), col("rk"), col("tok"), col("score"))
   }
 
+  /** Sample-size target for [[dMixAlloc]] — small enough that the
+    * apportionment is a real selection at every sf (groups with zero
+    * allocation exist); a production run sizes this to the epoch token
+    * budget.
+    */
+  private val MixTarget = 24
+
+  /** Exact data-mixture apportionment + selection — the final step of a
+    * training-data pipeline: distribute a global sample budget T across
+    * (lang, source) strata by Hamilton's largest-remainder method
+    * (allocᵢ = ⌊T·cᵢ/C⌋ plus one extra for the R = T−Σ⌊⌋ largest
+    * remainders, ties → (lang, source) asc — EXACT integer arithmetic,
+    * Σalloc = T by construction), then pick each stratum's docs
+    * content-deterministically (md5-prefix order, the d_quota_sample
+    * rank) so the mixture is reproducible with no RNG.
+    *
+    * Scale: the stratum census is a combinable count agg whose
+    * cardinality is METADATA-bounded (langs × sources), so the scalar
+    * totals (C, Σ⌊⌋) crossJoin O(1)-row sides and the remainder rank is
+    * a bounded×bounded broadcast non-equi self-join — corpus size never
+    * touches the apportionment arithmetic; per-stratum selection is ONE
+    * map-side-combinable `top_k_by` (≤T rows per (partition, stratum)
+    * cross the shuffle) trimmed to allocᵢ by the broadcast alloc table.
+    */
+  def dMixAlloc(spark: SparkSession, dir: String): DataFrame = {
+    val T = MixTarget
+    val docs = t(spark, dir, "documents").filter(col("text").isNotNull)
+      .select(col("lang"), col("source"), col("doc_id"),
+        expr("cast(conv(substring(md5(cast(text as binary)), 1, 12), 16, 10) as bigint)")
+          .as("m48"))
+    val g = docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("cnt"))
+    val g2 = g.crossJoin(broadcast(g.agg(sum(col("cnt")).as("c_total"))))
+      .withColumn("fl", expr(s"$T * cnt div c_total"))
+      .withColumn("rem", expr(s"$T * cnt % c_total"))
+    val g3 = g2.crossJoin(broadcast(
+      g2.agg((lit(T.toLong) - sum(col("fl"))).as("extra_slots"))))
+    val peers = g3.select(col("lang").as("l2"), col("source").as("s2"),
+      col("rem").as("rem2"))
+    val alloc = g3.join(broadcast(peers),
+        col("rem2") > col("rem") ||
+        (col("rem2") === col("rem") &&
+          (col("l2") < col("lang") ||
+           (col("l2") === col("lang") && col("s2") < col("source")))),
+        "left")
+      .groupBy(col("lang"), col("source"), col("fl"), col("extra_slots"))
+      .agg(count(col("l2")).as("nbefore"))
+      .select(col("lang"), col("source"),
+        (col("fl") + when(col("nbefore") < col("extra_slots"), 1L)
+          .otherwise(0L)).as("alloc"))
+      .filter(col("alloc") > 0)
+    val sel = docs.groupBy(col("lang"), col("source"))
+      .agg(graft.functions.TopKBy(-col("m48"), col("doc_id"), T).as("topk"))
+      .select(col("lang"), col("source"), posexplode(col("topk")))
+      .select(col("lang"), col("source"), col("col.id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("rk"))
+    sel.join(broadcast(alloc), Seq("lang", "source"))
+      .filter(col("rk") <= col("alloc"))
+      .select(col("lang"), col("source"), col("doc_id"), col("rk"),
+        col("alloc"))
+  }
+
   /** Document fingerprinting: gear-shingle MinHash + SimHash signatures
     * (not SQL-expressible — rows-only check).
     */
@@ -3424,6 +3486,7 @@ object Queries {
     "d_bloom_dedup" -> (dBloomDedup _),
     "d_para_dedup" -> (dParaDedup _),
     "d_tfidf_topterms" -> (dTfidfTopterms _),
+    "d_mix_alloc" -> (dMixAlloc _),
     "d_winnow" -> (dWinnow _),
     "d_winnow_pairs" -> (dWinnowPairs _),
     "d_dup_spans" -> (dDupSpans _),
@@ -4874,6 +4937,32 @@ object Queries {
         |vocab AS (SELECT DISTINCT tok, tid FROM toks)
         |SELECT doc_id, rk, tok, score
         |FROM top JOIN vocab USING (tid) WHERE rk <= $TfidfK""".stripMargin,
+    // mixture apportionment: identical Hamilton arithmetic (exact
+    // integer floor + largest-remainder extras, ties (lang, source)
+    // asc) and the d_quota_sample md5-prefix selection order
+    "d_mix_alloc" ->
+      s"""WITH d AS (SELECT lang, source, doc_id, md5(text) AS m
+        |           FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT lang, source, count(*) AS cnt FROM d GROUP BY 1, 2),
+        |tot AS (SELECT sum(cnt) AS c_total FROM g),
+        |g2 AS (SELECT lang, source, cnt,
+        |         $MixTarget * cnt // c_total AS fl,
+        |         $MixTarget * cnt % c_total AS rem
+        |       FROM g, tot),
+        |r AS (SELECT $MixTarget - sum(fl) AS extra FROM g2),
+        |rk AS (SELECT lang, source, fl, row_number() OVER (
+        |         ORDER BY rem DESC, lang ASC, source ASC) AS grank
+        |       FROM g2),
+        |alloc AS (SELECT lang, source,
+        |            CAST(fl + CASE WHEN grank <= extra THEN 1 ELSE 0 END
+        |              AS BIGINT) AS alloc
+        |          FROM rk, r),
+        |sel AS (SELECT lang, source, doc_id, CAST(row_number() OVER (
+        |          PARTITION BY lang, source
+        |          ORDER BY ${h48Sql("m")} ASC, doc_id ASC) AS BIGINT) AS rk
+        |        FROM d)
+        |SELECT sel.lang, sel.source, doc_id, rk, alloc
+        |FROM sel JOIN alloc USING (lang, source) WHERE rk <= alloc""".stripMargin,
     // PII scrub: identical augmentation arithmetic, identical patterns
     // (dialect-identical regex subset), identical email→IP→phone global
     // scrub order — counts and scrubbed-text md5 must both match

@@ -502,4 +502,35 @@ class QueriesSpec extends AnyFunSuite {
     assert(got((2L, 1L)) === (("date", 1000000000L)))
     assert(got.size === 5, "fewer than k terms -> fewer rows, no padding")
   }
+
+  test("d_mix_alloc: Hamilton apportionment, remainder tie, md5 selection") {
+    import spark.implicits._
+    // strata (en,s0)=13, (en,s1)=9, (fr,s2)=8 docs; C=30, T=24:
+    // floors 10/7/6 (rems 12/6/12), R=1 extra -> the rem-12 TIE between
+    // (en,s0) and (fr,s2) is cut by lang asc -> allocs 11/7/6
+    val docs =
+      (0 until 13).map(i => (i.toLong, "en", "s0", s"alpha doc $i")) ++
+      (0 until 9).map(i => (100L + i, "en", "s1", s"beta doc $i")) ++
+      (0 until 8).map(i => (200L + i, "fr", "s2", s"gamma doc $i"))
+    val tmp = java.nio.file.Files.createTempDirectory("mix").toString
+    docs.toDF("doc_id", "lang", "source", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Queries.dMixAlloc(spark, tmp)
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(got.length === 24, "sum of allocations = T exactly")
+    val byG = got.groupBy(r => (r._1, r._2))
+    assert(byG(("en", "s0")).length === 11 && byG(("en", "s0")).head._5 === 11L)
+    assert(byG(("en", "s1")).length === 7)
+    assert(byG(("fr", "s2")).length === 6,
+      "remainder tie goes to (en,s0) by lang asc")
+    // selection replay: md5-48 asc, doc_id asc per stratum
+    val expect = docs.groupBy(d => (d._2, d._3)).map { case (k, ds) =>
+      k -> ds.sortBy(d => (m48(d._4), d._1)).map(_._1)
+    }
+    Seq((("en", "s0"), 11), (("en", "s1"), 7), (("fr", "s2"), 6)).foreach {
+      case (k, n) =>
+        assert(byG(k).sortBy(_._4).map(_._3).toSeq === expect(k).take(n),
+          s"stratum $k selects its $n first docs in md5-prefix order")
+    }
+  }
 }

@@ -100,7 +100,11 @@ object PlanAudit {
     "d_para_dedup",
     // tf·idf top terms: 8-byte token-id streams, broadcast df/vocab
     // joins, per-doc top_k_by — no row_number window
-    "d_tfidf_topterms")
+    "d_tfidf_topterms",
+    // mixture apportionment: bounded stratum census, scalar crossJoins
+    // + bounded×bounded remainder-rank self-join (BNLJ allowlisted),
+    // selection via top_k_by — no windows
+    "d_mix_alloc")
 
   /** Queries whose plans may contain Window operators: every window here
     * partitions by a compound key whose per-group size is bounded by the
@@ -117,7 +121,12 @@ object PlanAudit {
     * past it (brute-force scoring is all-pairs by definition; the scale
     * path is e_ivf_topk / e_lsh_dedup).
     */
-  val bnljAllowed: Set[String] = Set("d_backup_stats", "e_ann_topk")
+  /** d_mix_alloc additionally joins its METADATA-bounded stratum census
+    * (langs × sources rows) to itself non-equi for the largest-remainder
+    * rank — corpus size never enters any of its BNLJ sides.
+    */
+  val bnljAllowed: Set[String] =
+    Set("d_backup_stats", "e_ann_topk", "d_mix_alloc")
 
   final case class Audit(name: String, plan: String, violations: Seq[String])
 
