@@ -460,6 +460,51 @@ object StreamIngest {
       }
   }
 
+  /** One arriving document attributed to a domain. */
+  final case class QuotaEvent(source: String, docId: Long)
+
+  /** Per-arrival quota verdict: `rank` is the document's 1-based arrival
+    * index within its source (monotone across micro-batches).
+    */
+  final case class QuotaVerdict(source: String, docId: Long, rank: Long,
+      kept: Boolean)
+
+  /** Streaming per-domain quota enforcement — the ingest-time twin of
+    * [[graft.Queries.dQuotaSample]]: one GroupState counter per source
+    * caps how many documents a domain may contribute to the mix.
+    * Keep-FIRST discipline (arrival rank ≤ quota — Append mode cannot
+    * retract earlier emissions, the semDedupStream/neardupStream
+    * argument), where the batch pass keeps the md5-smallest Q instead;
+    * the two agree whenever ingest order is the content-rank order, and
+    * the KEPT COUNT per domain (min(arrivals, Q)) agrees always.
+    *
+    * State is ONE long per live domain — bounded by domain cardinality,
+    * never corpus size. Within a micro-batch events fold in docId order
+    * so a batch's verdicts are deterministic under Spark's partition
+    * re-ordering of the same micro-batch.
+    */
+  def quotaStream(docs: Dataset[QuotaEvent], quota: Int)
+      : Dataset[QuotaVerdict] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(quota > 0, s"quota must be positive, got $quota")
+    docs
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[Long, QuotaVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (source: String, events: Iterator[QuotaEvent],
+            state: GroupState[Long]) =>
+          val seen = state.getOption.getOrElse(0L)
+          val ordered = events.toSeq.sortBy(_.docId)
+          val out = ordered.zipWithIndex.map { case (e, i) =>
+            val rank = seen + i + 1
+            QuotaVerdict(source, e.docId, rank, rank <= quota)
+          }
+          state.update(seen + ordered.size)
+          out.iterator
+      }
+  }
+
   def dedupStream(chunks: Dataset[ChunkEvent]): Dataset[DedupDecision] = {
     import chunks.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}

@@ -186,6 +186,40 @@ class StreamIngestSpec extends AnyFunSuite {
       ("R", 7L, "a.c", false, 2L)))
   }
 
+  test("streaming quota: per-domain cap persists across micro-batches") {
+    import StreamIngest.{QuotaEvent, QuotaVerdict}
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[QuotaEvent]
+    val out = StreamIngest.quotaStream(stream.toDS(), quota = 3)
+    val q = out.writeStream.format("memory").queryName("squota")
+      .outputMode("append").start()
+    // batch 1: hot domain sends 2, cold domain sends 1 — all kept
+    stream.addData(QuotaEvent("hot", 10L), QuotaEvent("hot", 11L),
+      QuotaEvent("cold", 20L))
+    q.processAllAvailable()
+    // batch 2: hot crosses the cap mid-batch (rank 3 kept, rank 4-5
+    // dropped — the counter survived the batch boundary); cold stays
+    // under; within-batch fold is docId order, not arrival order
+    stream.addData(QuotaEvent("hot", 14L), QuotaEvent("hot", 12L),
+      QuotaEvent("hot", 13L), QuotaEvent("cold", 21L))
+    q.processAllAvailable()
+    // batch 3: hot is saturated — everything drops
+    stream.addData(QuotaEvent("hot", 15L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT source, docId, rank, kept FROM squota")
+      .as[(String, Long, Long, Boolean)].collect().toSet
+    assert(rows === Set(
+      ("hot", 10L, 1L, true), ("hot", 11L, 2L, true),
+      ("cold", 20L, 1L, true),
+      ("hot", 12L, 3L, true), ("hot", 13L, 4L, false),
+      ("hot", 14L, 5L, false), ("cold", 21L, 2L, true),
+      ("hot", 15L, 6L, false)))
+    // kept count per domain = min(arrivals, Q), matching the batch twin
+    assert(rows.count(r => r._1 == "hot" && r._4) === 3)
+  }
+
   test("streaming near-dup: keep-first curation across micro-batches") {
     import StreamIngest.DocEvent
     implicit val sqlCtx = spark.sqlContext
