@@ -1606,11 +1606,7 @@ object Queries {
     * has no conv(); Spark's `conv(substr(md5, 1, 12), 16, 10)` computes
     * the same value).
     */
-  private def h48Sql(m: String): String =
-    (1 to 12).map { p =>
-      val pow = 1L << (4 * (12 - p))
-      s"(strpos('0123456789abcdef', substr($m, $p, 1)) - 1) * ${pow}"
-    }.mkString("(", " + ", ")")
+  private def h48Sql(m: String): String = hexSql(m, 1, 12)
 
   /** General hex-window Horner: the integer value of `n` hex nibbles of
     * `m` starting at 1-based offset `off` (DuckDB twin of Spark's
@@ -1866,10 +1862,13 @@ object Queries {
   }
 
   /** Vocabulary size for [[dVocabOov]] — deliberately smaller than the
-    * fixture corpus's token-type count so the OOV rate is nonzero at
-    * every sf (a production run sizes this to the tokenizer budget).
+    * fixture corpus's 31 token types so the boundary BINDS and the OOV
+    * rate is nonzero at every sf (the review-caught vacuity: at 32 the
+    * top-V vocab swallowed the whole fixture vocabulary and the oracle's
+    * OOV arm was identically zero); a production run sizes this to the
+    * tokenizer budget.
     */
-  private val VocabSize = 32
+  private val VocabSize = 16
 
   /** Frequency-vocabulary construction + per-document OOV rate — the
     * tokenizer-budget diagnostic every training-data pipeline runs
@@ -1932,10 +1931,16 @@ object Queries {
       .select(col("doc_id"), md5(col("text").cast("binary")).as("m0"))
     val resend = base.select((col("doc_id") + 1).as("doc_id"),
       col("m0").as("mprev"))
+    // eager localCheckpoint (the repo's fence pattern, ContextCleaner-
+    // freed — NOT an unpaired persist): the narrow (doc_id, digest)
+    // table feeds the sizing count, the bit-set build, the probe side
+    // AND the exact arm — without it each re-derives the md5 scan +
+    // augmentation self-join
     val d = base.join(resend, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("doc_id") % 10 === 1 && col("mprev").isNotNull,
           col("mprev")).otherwise(col("m0")).as("m"))
+      .localCheckpoint(true)
     val nStore = d.filter(col("doc_id") % 2 === 0).count()
     val m = math.max(64L, 8L * nStore)
     val probeCols = (0 until 4).map { j =>
@@ -2050,8 +2055,9 @@ object Queries {
           .as("tid"))
     val tf = toks.select(col("doc_id"), col("tid"))
       .groupBy(col("doc_id"), col("tid")).agg(count(lit(1)).as("tf"))
-    val df = toks.select(col("doc_id"), col("tid")).distinct()
-      .groupBy(col("tid")).agg(count(lit(1)).as("df"))
+    // df derives from tf (one row per (doc, tid) already) — never a
+    // second tokenize pass over the corpus
+    val df = tf.groupBy(col("tid")).agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(df), Seq("tid"))
       .withColumn("score", expr(s"tf * ${TfidfScale}L div df"))
     val top = scored.groupBy(col("doc_id"))

@@ -402,9 +402,10 @@ class QueriesSpec extends AnyFunSuite {
 
   test("d_vocab_oov: top-V vocab boundary binds, exact round-half-up ppm") {
     import spark.implicits._
-    // 32 core tokens appear 3x each (2x in doc A, 1x in doc B); doc B
-    // adds 3 rare tokens -> vocab = exactly the 32 core tokens
-    val core = (0 until 32).map(i => f"tok$i%02d")
+    // 16 core tokens appear 3x each (2x in doc A, 1x in doc B); doc B
+    // adds 3 rare tokens -> vocab (V=16) = exactly the core tokens, the
+    // rare ones fall outside the boundary
+    val core = (0 until 16).map(i => f"tok$i%02d")
     val docA = (core ++ core).mkString(" ")
     val docB = (core ++ Seq("uniq1", "uniq2", "uniq3")).mkString(" ")
     val tmp = java.nio.file.Files.createTempDirectory("oov").toString
@@ -413,9 +414,15 @@ class QueriesSpec extends AnyFunSuite {
     val got = Queries.dVocabOov(spark, tmp)
       .as[(Long, Long, Long, Long)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
-    assert(got(0L) === ((64L, 0L, 0L)), "all-in-vocab doc has zero OOV")
-    // doc B: 35 tokens, 3 OOV -> round_half_up(3e6/35) = 85714
-    assert(got(1L) === ((35L, 3L, 85714L)))
+    assert(got(0L) === ((32L, 0L, 0L)), "all-in-vocab doc has zero OOV")
+    // doc B: 19 tokens, 3 OOV -> round_half_up(3e6/19) = 157895
+    assert(got(1L) === ((19L, 3L, 157895L)))
+  }
+
+  test("d_vocab_oov is non-vacuous on the driver corpus (boundary binds)") {
+    val oov = Queries.dVocabOov(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum("oov")).collect()(0).getLong(0)
+    assert(oov > 0, "fixture corpus must produce real OOV tokens")
   }
 
   test("d_bloom_dedup: no false negatives, probe arithmetic replays") {
