@@ -30,7 +30,8 @@ object Bench {
     "q_topk_agg", "d_repo_forks", "d_merkle_dirs", "e_semdedup",
     "d_pii_scrub", "d_gram_quality",
     "d_quota_sample", "d_vocab_oov", "d_bloom_dedup",
-    "d_para_dedup", "d_tfidf_topterms", "d_mix_alloc")
+    "d_para_dedup", "d_tfidf_topterms", "d_mix_alloc",
+    "d_lang_balance", "d_shard_stats")
 
   /** Materialize the synthetic corpus as a parquet table once (this is
     * input scaffolding, not the engine — the north-rule job reads an

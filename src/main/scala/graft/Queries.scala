@@ -2133,6 +2133,92 @@ object Queries {
         col("alloc"))
   }
 
+  /** Language rebalancing to equal shares — the temperature-style
+    * mixture rebalance (τ → 0 limit: every language gets the corpus's
+    * equal share C/L, the multilingual-training counter to English
+    * dominance), with BOTH arms of the real op live: languages above
+    * their share DOWNSAMPLE (select the md5-first U docs), languages
+    * below it UPSAMPLE (every doc repeats ⌊U/cnt⌋ times, the md5-first
+    * U mod cnt docs once more — the epoch/repetition-factor mechanic).
+    * Exact integer apportionment (equal-share Hamilton: ⌊C/L⌋ + one for
+    * the first C mod L languages asc), so Σ target = C and Σ copies per
+    * language = its target, exactly.
+    *
+    * Scale: the language census and target table are metadata-bounded
+    * (the d_mix_alloc argument; alphabetic rank via a bounded broadcast
+    * self-join); the per-language content rank is the WINDOW-FREE
+    * two-phase [[DedupPipeline.streamPrefix]] per-stream rank (range
+    * partition + O(partitions) boundary offsets — a mega-language never
+    * funnels into one task, unlike `row_number() OVER (PARTITION BY
+    * lang)`); copies are computed map-side off the broadcast targets.
+    * The rank phase is also why this op has no top_k_by shortcut: the
+    * upsample arm needs EVERY doc ranked (rank ≤ U mod cnt decides the
+    * extra copy), not a bounded prefix.
+    */
+  def dLangBalance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = par(spark, t(spark, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("lang"), col("doc_id"), col("text")), "doc_id")
+      .select(col("lang"), col("doc_id"),
+        expr("cast(conv(substring(md5(cast(text as binary)), 1, 12), 16, 10) as bigint)")
+          .as("m48"))
+    val census = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+    val c2 = census.crossJoin(broadcast(
+      census.agg(sum(col("cnt")).as("c_total"),
+        count(lit(1)).as("n_langs"))))
+    val peers = c2.select(col("lang").as("l2"))
+    val target = c2.join(broadcast(peers), col("l2") < col("lang"), "left")
+      .groupBy(col("lang"), col("cnt"), col("c_total"), col("n_langs"))
+      .agg(count(col("l2")).as("nbefore"))
+      .select(col("lang"), col("cnt"),
+        (expr("c_total div n_langs") +
+          when(col("nbefore") < expr("c_total % n_langs"), 1L)
+            .otherwise(0L)).as("u"))
+    val ranked = graft.pipeline.DedupPipeline.streamPrefix(
+        docs.withColumn("one", lit(1L)).toDF(),
+        "lang", Seq("m48", "doc_id"), "one", "pre")
+      .withColumn("rk", col("pre") + 1L)
+    ranked.join(broadcast(target), Seq("lang"))
+      .withColumn("copies",
+        expr("u div cnt") +
+          when(col("rk") <= expr("u % cnt"), 1L).otherwise(0L))
+      .filter(col("copies") > 0)
+      .select(col("lang"), col("doc_id"), col("rk"), col("copies"))
+  }
+
+  /** Shard fan-out for [[dShardStats]] — a production run sizes this to
+    * the training-reader parallelism.
+    */
+  private val ShardCount = 8
+
+  /** Deterministic output sharding + balance report — the write-side
+    * final step (spread the curated corpus over S reader shards so no
+    * trainer host starves): shard = md5-prefix mod S (content-keyed, so
+    * re-runs and cluster sizes don't move docs), reporting per shard the
+    * doc count, whitespace-token mass, and its exact share of the
+    * corpus's tokens in round-half-up ppm (ideal = 1e6/S; the skew a
+    * reader scheduler cares about).
+    *
+    * Scale: strictly map-side shard assignment + ONE combinable
+    * S-row aggregate; the scalar total joins back as an O(1)-row
+    * broadcast (the d_backup_stats pattern).
+    */
+  def dShardStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = par(spark, t(spark, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text")), "doc_id")
+      .select(
+        expr(s"cast(conv(substring(md5(cast(text as binary)), 1, 12), 16, 10) as bigint) % $ShardCount")
+          .as("shard"),
+        expr("cast(size(split(text, ' ')) as bigint)").as("toks"))
+    val perShard = d.groupBy(col("shard")).agg(
+      count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+    perShard.crossJoin(broadcast(
+        perShard.agg(sum(col("n_tokens")).as("tot"))))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        expr("(n_tokens * 2000000 + tot) div (2 * tot)").as("share_ppm"))
+  }
+
   /** Document fingerprinting: gear-shingle MinHash + SimHash signatures
     * (not SQL-expressible — rows-only check).
     */
@@ -3493,6 +3579,8 @@ object Queries {
     "d_para_dedup" -> (dParaDedup _),
     "d_tfidf_topterms" -> (dTfidfTopterms _),
     "d_mix_alloc" -> (dMixAlloc _),
+    "d_lang_balance" -> (dLangBalance _),
+    "d_shard_stats" -> (dShardStats _),
     "d_winnow" -> (dWinnow _),
     "d_winnow_pairs" -> (dWinnowPairs _),
     "d_dup_spans" -> (dDupSpans _),
@@ -4969,6 +5057,44 @@ object Queries {
         |        FROM d)
         |SELECT sel.lang, sel.source, doc_id, rk, alloc
         |FROM sel JOIN alloc USING (lang, source) WHERE rk <= alloc""".stripMargin,
+    // language rebalance: identical equal-share Hamilton targets
+    // (alphabetic-rank extras) + the same md5-prefix per-lang rank;
+    // copies arithmetic replayed verbatim
+    "d_lang_balance" ->
+      s"""WITH d AS (SELECT lang, doc_id, md5(text) AS m
+        |           FROM documents WHERE text IS NOT NULL),
+        |census AS (SELECT lang, count(*) AS cnt FROM d GROUP BY 1),
+        |scal AS (SELECT sum(cnt) AS c_total, count(*) AS n_langs
+        |         FROM census),
+        |tgt AS (SELECT lang, cnt,
+        |          c_total // n_langs + CASE WHEN
+        |            CAST(row_number() OVER (ORDER BY lang ASC) AS BIGINT)
+        |              <= c_total % n_langs THEN 1 ELSE 0 END AS u
+        |        FROM census, scal),
+        |rk AS (SELECT lang, doc_id, CAST(row_number() OVER (
+        |         PARTITION BY lang
+        |         ORDER BY ${h48Sql("m")} ASC, doc_id ASC) AS BIGINT) AS rk
+        |       FROM d)
+        |SELECT rk.lang, doc_id, rk,
+        |  CAST(u // cnt + CASE WHEN rk.rk <= u % cnt THEN 1 ELSE 0 END
+        |    AS BIGINT) AS copies
+        |FROM rk JOIN tgt USING (lang)
+        |WHERE u // cnt + CASE WHEN rk.rk <= u % cnt THEN 1 ELSE 0 END
+        |  > 0""".stripMargin,
+    // shard balance: identical content-keyed shard id and exact
+    // round-half-up token-share ppm
+    "d_shard_stats" ->
+      s"""WITH d AS (
+        |  SELECT ${h48Sql("md5(text)")} % $ShardCount AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |per AS (SELECT shard, count(*) AS n_docs, sum(toks) AS n_tokens
+        |        FROM d GROUP BY 1),
+        |tot AS (SELECT sum(n_tokens) AS tot FROM per)
+        |SELECT shard, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST((n_tokens * 2000000 + tot) // (2 * tot) AS BIGINT)
+        |    AS share_ppm
+        |FROM per, tot""".stripMargin,
     // PII scrub: identical augmentation arithmetic, identical patterns
     // (dialect-identical regex subset), identical email→IP→phone global
     // scrub order — counts and scrubbed-text md5 must both match

@@ -540,4 +540,57 @@ class QueriesSpec extends AnyFunSuite {
           s"stratum $k selects its $n first docs in md5-prefix order")
     }
   }
+
+  test("d_lang_balance: downsample + upsample arms, exact equal shares") {
+    import spark.implicits._
+    // en=7, fr=4; C=11, L=2 -> targets: en 6 (alphabetic extra), fr 5.
+    // en (over share) downsamples to its 6 md5-first docs, copies 1;
+    // fr (under share) upsamples: every doc once, md5-first doc twice
+    val docs = (0 until 7).map(i => (i.toLong, "en", s"english doc $i")) ++
+      (0 until 4).map(i => (100L + i, "fr", s"french doc $i"))
+    val tmp = java.nio.file.Files.createTempDirectory("lb").toString
+    docs.toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Queries.dLangBalance(spark, tmp)
+      .as[(String, Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (l, rs) =>
+        l -> rs.sortBy(_._3).map(r => (r._2, r._4)).toSeq
+      }
+    val order = docs.groupBy(_._2).map { case (l, ds) =>
+      l -> ds.sortBy(d => (m48(d._3), d._1)).map(_._1)
+    }
+    assert(got("en").map(_._1) === order("en").take(6),
+      "en keeps its 6 md5-first docs (gets the C mod L extra by lang asc)")
+    assert(got("en").forall(_._2 == 1L) && got("en").map(_._2).sum === 6L)
+    assert(got("fr").map(_._1) === order("fr"),
+      "under-share lang keeps every doc")
+    assert(got("fr").map(_._2) === Seq(2L, 1L, 1L, 1L),
+      "upsample: md5-first doc repeats, sum of copies = target 5")
+  }
+
+  test("d_shard_stats: content-keyed shards, exact token-share ppm") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i =>
+      (i, ("w " * (i % 5 + 1).toInt) + s"t$i")) // distinct texts, 2..6 tokens
+    val tmp = java.nio.file.Files.createTempDirectory("shard").toString
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Queries.dShardStats(spark, tmp)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // local replay of shard = m48 mod 8 over token mass
+    val assign = docs.map { case (_, t) =>
+      (m48(t) % 8, t.split(" ").length.toLong)
+    }
+    val per = assign.groupBy(_._1).map { case (s, xs) =>
+      s -> ((xs.size.toLong, xs.map(_._2).sum))
+    }
+    val tot = assign.map(_._2).sum
+    per.foreach { case (s, (nd, nt)) =>
+      val ppm = (nt * 2000000L + tot) / (2L * tot)
+      assert(got(s) === ((nd, nt, ppm)), s"shard $s replay")
+    }
+    assert(got.keySet === per.keySet, "only populated shards emit rows")
+    assert(got.values.map(_._1).sum === 40L, "every doc lands in a shard")
+  }
 }

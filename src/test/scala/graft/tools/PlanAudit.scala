@@ -104,7 +104,14 @@ object PlanAudit {
     // mixture apportionment: bounded stratum census, scalar crossJoins
     // + bounded×bounded remainder-rank self-join (BNLJ allowlisted),
     // selection via top_k_by — no windows
-    "d_mix_alloc")
+    "d_mix_alloc",
+    // language rebalance: bounded census/targets (BNLJ allowlisted),
+    // per-lang rank via the two-phase streamPrefix — never a
+    // row_number window over a mega-language partition
+    "d_lang_balance",
+    // shard balance: map-side assignment + one S-row agg + scalar
+    // crossJoin (BNLJ allowlisted) — no windows, no cartesians
+    "d_shard_stats")
 
   /** Queries whose plans may contain Window operators: every window here
     * partitions by a compound key whose per-group size is bounded by the
@@ -126,7 +133,8 @@ object PlanAudit {
     * rank — corpus size never enters any of its BNLJ sides.
     */
   val bnljAllowed: Set[String] =
-    Set("d_backup_stats", "e_ann_topk", "d_mix_alloc")
+    Set("d_backup_stats", "e_ann_topk", "d_mix_alloc",
+      "d_lang_balance", "d_shard_stats")
 
   final case class Audit(name: String, plan: String, violations: Seq[String])
 
