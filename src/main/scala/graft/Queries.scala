@@ -2095,6 +2095,31 @@ object Queries {
     * map-side-combinable `top_k_by` (≤T rows per (partition, stratum)
     * cross the shuffle) trimmed to allocᵢ by the broadcast alloc table.
     */
+  /** n-before rank over a METADATA-BOUNDED table via a broadcast
+    * non-equi self-join — never a window: adds `out` = the number of
+    * rows strictly ordered before this one under `keys` (per-key
+    * ascending flag; later keys break ties). Both join sides are the
+    * bounded table itself, so cost is |table|² with |table| bounded by
+    * metadata cardinality, not corpus size. Rows must be unique (they
+    * are group-census rows at every call site) — the final groupBy on
+    * all columns restores one row each.
+    */
+  private def boundedRankBefore(df: DataFrame,
+      keys: Seq[(String, Boolean)], out: String): DataFrame = {
+    val pref = "rb_"
+    val peers = df.select(keys.map { case (k, _) => col(k).as(pref + k) }: _*)
+    def less(i: Int): org.apache.spark.sql.Column = {
+      val (k, asc) = keys(i)
+      val p = col(pref + k)
+      val lt = if (asc) p < col(k) else p > col(k)
+      if (i == keys.length - 1) lt
+      else lt || (p === col(k) && less(i + 1))
+    }
+    df.join(broadcast(peers), less(0), "left")
+      .groupBy(df.columns.map(col): _*)
+      .agg(count(col(pref + keys.head._1)).as(out))
+  }
+
   def dMixAlloc(spark: SparkSession, dir: String): DataFrame = {
     val T = MixTarget
     val docs = t(spark, dir, "documents").filter(col("text").isNotNull)
@@ -2106,18 +2131,11 @@ object Queries {
     val g2 = g.crossJoin(broadcast(g.agg(sum(col("cnt")).as("c_total"))))
       .withColumn("fl", expr(s"$T * cnt div c_total"))
       .withColumn("rem", expr(s"$T * cnt % c_total"))
-    val g3 = g2.crossJoin(broadcast(
-      g2.agg((lit(T.toLong) - sum(col("fl"))).as("extra_slots"))))
-    val peers = g3.select(col("lang").as("l2"), col("source").as("s2"),
-      col("rem").as("rem2"))
-    val alloc = g3.join(broadcast(peers),
-        col("rem2") > col("rem") ||
-        (col("rem2") === col("rem") &&
-          (col("l2") < col("lang") ||
-           (col("l2") === col("lang") && col("s2") < col("source")))),
-        "left")
-      .groupBy(col("lang"), col("source"), col("fl"), col("extra_slots"))
-      .agg(count(col("l2")).as("nbefore"))
+    val alloc = boundedRankBefore(
+        g2.select(col("lang"), col("source"), col("fl"), col("rem")),
+        Seq("rem" -> false, "lang" -> true, "source" -> true), "nbefore")
+      .crossJoin(broadcast(
+        g2.agg((lit(T.toLong) - sum(col("fl"))).as("extra_slots"))))
       .select(col("lang"), col("source"),
         (col("fl") + when(col("nbefore") < col("extra_slots"), 1L)
           .otherwise(0L)).as("alloc"))
@@ -2157,19 +2175,16 @@ object Queries {
     */
   def dLangBalance(spark: SparkSession, dir: String): DataFrame = {
     val docs = par(spark, t(spark, dir, "documents")
-        .filter(col("text").isNotNull)
+        .filter(col("text").isNotNull && col("lang").isNotNull)
         .select(col("lang"), col("doc_id"), col("text")), "doc_id")
       .select(col("lang"), col("doc_id"),
         expr("cast(conv(substring(md5(cast(text as binary)), 1, 12), 16, 10) as bigint)")
           .as("m48"))
     val census = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
-    val c2 = census.crossJoin(broadcast(
-      census.agg(sum(col("cnt")).as("c_total"),
-        count(lit(1)).as("n_langs"))))
-    val peers = c2.select(col("lang").as("l2"))
-    val target = c2.join(broadcast(peers), col("l2") < col("lang"), "left")
-      .groupBy(col("lang"), col("cnt"), col("c_total"), col("n_langs"))
-      .agg(count(col("l2")).as("nbefore"))
+    val target = boundedRankBefore(census, Seq("lang" -> true), "nbefore")
+      .crossJoin(broadcast(
+        census.agg(sum(col("cnt")).as("c_total"),
+          count(lit(1)).as("n_langs"))))
       .select(col("lang"), col("cnt"),
         (expr("c_total div n_langs") +
           when(col("nbefore") < expr("c_total % n_langs"), 1L)
@@ -5062,7 +5077,8 @@ object Queries {
     // copies arithmetic replayed verbatim
     "d_lang_balance" ->
       s"""WITH d AS (SELECT lang, doc_id, md5(text) AS m
-        |           FROM documents WHERE text IS NOT NULL),
+        |           FROM documents
+        |           WHERE text IS NOT NULL AND lang IS NOT NULL),
         |census AS (SELECT lang, count(*) AS cnt FROM d GROUP BY 1),
         |scal AS (SELECT sum(cnt) AS c_total, count(*) AS n_langs
         |         FROM census),
@@ -5084,10 +5100,10 @@ object Queries {
     // shard balance: identical content-keyed shard id and exact
     // round-half-up token-share ppm
     "d_shard_stats" ->
-      s"""WITH d AS (
-        |  SELECT ${h48Sql("md5(text)")} % $ShardCount AS shard,
+      s"""WITH d0 AS (SELECT md5(text) AS m,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
         |  FROM documents WHERE text IS NOT NULL),
+        |d AS (SELECT ${h48Sql("m")} % $ShardCount AS shard, toks FROM d0),
         |per AS (SELECT shard, count(*) AS n_docs, sum(toks) AS n_tokens
         |        FROM d GROUP BY 1),
         |tot AS (SELECT sum(n_tokens) AS tot FROM per)
