@@ -2104,7 +2104,7 @@ object Queries {
     * are group-census rows at every call site) — the final groupBy on
     * all columns restores one row each.
     */
-  private def boundedRankBefore(df: DataFrame,
+  private[graft] def boundedRankBefore(df: DataFrame,
       keys: Seq[(String, Boolean)], out: String): DataFrame = {
     val pref = "rb_"
     val peers = df.select(keys.map { case (k, _) => col(k).as(pref + k) }: _*)

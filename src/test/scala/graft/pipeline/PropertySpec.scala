@@ -225,4 +225,35 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("boundedRankBefore equals the sort-index rank, mixed directions (property)") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    // unique (rem, lang, source) census-style rows — the helper's
+    // contract (group-census rows are unique at every call site)
+    val rows: Gen[List[(Long, String, String)]] = for {
+      n <- Gen.chooseNum(1, 25)
+      xs <- Gen.listOfN(n, for {
+        r <- Gen.chooseNum(0L, 5L) // force rem ties
+        l <- Gen.oneOf("de", "en", "fr", "zh")
+        s <- Gen.oneOf("s0", "s1", "s2", "s3", "s4", "s5", "s6", "s7")
+      } yield (r, l, s))
+    } yield xs.distinct
+    forAll(rows, n = 10) { xs =>
+      val got = graft.Queries.boundedRankBefore(
+          xs.toDF("rem", "lang", "source").repartition(3),
+          Seq("rem" -> false, "lang" -> true, "source" -> true), "nb")
+        .as[(Long, String, String, Long)].collect()
+        .map(r => (r._1, r._2, r._3) -> r._4).toMap
+      val order = xs.sortWith { (a, b) =>
+        a._1 > b._1 || (a._1 == b._1 &&
+          (a._2 < b._2 || (a._2 == b._2 && a._3 < b._3)))
+      }
+      order.zipWithIndex.foreach { case (row, i) =>
+        assert(got(row) === i.toLong,
+          s"row $row expected $i before it under (rem desc, lang, source)")
+      }
+      assert(got.size === xs.size, "one output row per unique input row")
+    }
+  }
 }
