@@ -1608,6 +1608,17 @@ object Queries {
     */
   private def h48Sql(m: String): String = hexSql(m, 1, 12)
 
+  /** ENGINE half of the 48-bit md5 content-rank contract ([[h48Sql]] is
+    * the oracle half): the first 12 hex nibbles of md5 over `c`'s UTF-8
+    * bytes as a BIGINT. All content-deterministic selection orders
+    * (quota, mix, rebalance, sharding) route through this one
+    * definition — widening to more digest bits (the d_fork_families
+    * collision lesson for production vocabularies) happens here and in
+    * h48Sql together, or not at all.
+    */
+  private def m48Col(c: String): org.apache.spark.sql.Column =
+    expr(s"cast(conv(substring(md5(cast($c as binary)), 1, 12), 16, 10) as bigint)")
+
   /** General hex-window Horner: the integer value of `n` hex nibbles of
     * `m` starting at 1-based offset `off` (DuckDB twin of Spark's
     * `conv(substring(m, off, n), 16, 10)`).
@@ -1851,8 +1862,7 @@ object Queries {
   def dQuotaSample(spark: SparkSession, dir: String): DataFrame = {
     val d = t(spark, dir, "documents").filter(col("text").isNotNull)
       .select(col("source"), col("doc_id"),
-        expr("cast(conv(substring(md5(cast(text as binary)), 1, 12), 16, 10) as bigint)")
-          .as("m48"))
+        m48Col("text").as("m48"))
     d.groupBy(col("source"))
       .agg(graft.functions.TopKBy(-col("m48"), col("doc_id"), DomainQuota)
         .as("topk"))
@@ -1884,19 +1894,25 @@ object Queries {
     * shuffles only for the doc-keyed rollup.
     */
   def dVocabOov(spark: SparkSession, dir: String): DataFrame = {
-    val toks = par(spark, t(spark, dir, "documents")
+    // one tokenize pass, checkpointed as the per-doc bag — vocab census
+    // and scoring both read the fence instead of re-tokenizing; counts
+    // carry through `c` so the values are identical to the occurrence
+    // stream's
+    val bag = par(spark, t(spark, dir, "documents")
         .filter(col("text").isNotNull)
         .select(col("doc_id"), col("text")), "doc_id")
       .select(col("doc_id"),
         explode(expr("regexp_extract_all(lower(text), '[a-z0-9_]+', 0)"))
           .as("tok"))
-    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val vocab = bag.groupBy(col("tok")).agg(sum(col("c")).as("cnt"))
       .orderBy(col("cnt").desc, col("tok").asc).limit(VocabSize)
       .select(col("tok")).withColumn("inv", lit(1))
-    toks.join(broadcast(vocab), Seq("tok"), "left")
+    bag.join(broadcast(vocab), Seq("tok"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("inv").isNull, 1L).otherwise(0L)).as("oov"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(when(col("inv").isNull, col("c")).otherwise(0L)).as("oov"))
       .withColumn("oov_ppm",
         expr("(oov * 2000000 + n_tokens) div (2 * n_tokens)"))
   }
@@ -2044,19 +2060,22 @@ object Queries {
     * silently).
     */
   def dTfidfTopterms(spark: SparkSession, dir: String): DataFrame = {
-    val toks = par(spark, t(spark, dir, "documents")
+    // ONE tokenize pass, materialized as the per-doc BAG (the clone
+    // detector's shape) behind an eager localCheckpoint fence — without
+    // it the df/vocab/score branches each re-run the scan + regexp +
+    // explode lineage. The md5 id is computed on bag rows (one hash per
+    // (doc, token-type), not per occurrence).
+    val bag = par(spark, t(spark, dir, "documents")
         .filter(col("text").isNotNull)
         .select(col("doc_id"), col("text")), "doc_id")
       .select(col("doc_id"),
         explode(expr("regexp_extract_all(lower(text), '[a-z0-9_]+', 0)"))
           .as("tok"))
-      .select(col("doc_id"), col("tok"),
-        expr("cast(conv(substring(md5(cast(tok as binary)), 1, 15), 16, 10) as bigint)")
-          .as("tid"))
-    val tf = toks.select(col("doc_id"), col("tid"))
-      .groupBy(col("doc_id"), col("tid")).agg(count(lit(1)).as("tf"))
-    // df derives from tf (one row per (doc, tid) already) — never a
-    // second tokenize pass over the corpus
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .withColumn("tid",
+        expr("cast(conv(substring(md5(cast(tok as binary)), 1, 15), 16, 10) as bigint)"))
+      .localCheckpoint(true)
+    val tf = bag.select(col("doc_id"), col("tid"), col("tf"))
     val df = tf.groupBy(col("tid")).agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(df), Seq("tid"))
       .withColumn("score", expr(s"tf * ${TfidfScale}L div df"))
@@ -2066,7 +2085,7 @@ object Queries {
       .select(col("doc_id"), posexplode(col("topk")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("rk"),
         col("col.score").as("score"), col("col.id").as("tid"))
-    val vocab = toks.select(col("tok"), col("tid")).distinct()
+    val vocab = bag.select(col("tok"), col("tid")).distinct()
     top.join(broadcast(vocab), Seq("tid"))
       .select(col("doc_id"), col("rk"), col("tok"), col("score"))
   }
@@ -2124,8 +2143,7 @@ object Queries {
     val T = MixTarget
     val docs = t(spark, dir, "documents").filter(col("text").isNotNull)
       .select(col("lang"), col("source"), col("doc_id"),
-        expr("cast(conv(substring(md5(cast(text as binary)), 1, 12), 16, 10) as bigint)")
-          .as("m48"))
+        m48Col("text").as("m48"))
     val g = docs.groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("cnt"))
     val g2 = g.crossJoin(broadcast(g.agg(sum(col("cnt")).as("c_total"))))
@@ -2178,8 +2196,7 @@ object Queries {
         .filter(col("text").isNotNull && col("lang").isNotNull)
         .select(col("lang"), col("doc_id"), col("text")), "doc_id")
       .select(col("lang"), col("doc_id"),
-        expr("cast(conv(substring(md5(cast(text as binary)), 1, 12), 16, 10) as bigint)")
-          .as("m48"))
+        m48Col("text").as("m48"))
     val census = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
     val target = boundedRankBefore(census, Seq("lang" -> true), "nbefore")
       .crossJoin(broadcast(
@@ -2223,8 +2240,7 @@ object Queries {
         .filter(col("text").isNotNull)
         .select(col("doc_id"), col("text")), "doc_id")
       .select(
-        expr(s"cast(conv(substring(md5(cast(text as binary)), 1, 12), 16, 10) as bigint) % $ShardCount")
-          .as("shard"),
+        (m48Col("text") % ShardCount).as("shard"),
         expr("cast(size(split(text, ' ')) as bigint)").as("toks"))
     val perShard = d.groupBy(col("shard")).agg(
       count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
@@ -2706,13 +2722,37 @@ object Queries {
     * rebuilt from deduplicated first-writer chunk slices must reproduce
     * its sha256 (rows-only; the per-row invariant check).
     */
-  def dRestoreVerify(spark: SparkSession, dir: String): DataFrame = {
+  /** The documents→[[CorpusFile]] projection shared by the restore/sink
+    * twins — the stream key downstream is `repo@path@commit` =
+    * `source@doc/<id>@0` (concat_ws in backup), which the d_backup_sink
+    * oracle's packing ORDER BY replays verbatim, so the path shape is a
+    * cross-cutting contract and lives ONCE here. `nonEmpty` drops
+    * zero-byte docs (zero-chunk files never reach the chunk writer).
+    * `byteSafe` additionally restricts to docs whose byte and char
+    * lengths agree (pure single-byte text) — required by the two
+    * queries whose ORACLES slice text with character-based substr while
+    * the engine chunker slices BYTES: this DuckDB's sha256 only accepts
+    * VARCHAR, so a mid-character byte slice is not replayable at all,
+    * and the symmetric restriction makes the parity contract explicit
+    * on both sides instead of silently depending on an all-ASCII
+    * fixture corpus.
+    */
+  private def docsAsCorpus(spark: SparkSession, dir: String,
+      nonEmpty: Boolean = true, byteSafe: Boolean = false)
+      : Dataset[CorpusFile] = {
     import spark.implicits._
-    val files = t(spark, dir, "documents")
-      .select(col("source").as("repo"),
+    var d = t(spark, dir, "documents")
+    if (nonEmpty) d = d.filter(length(col("text")) > 0)
+    if (byteSafe)
+      d = d.filter(octet_length(col("text")) === length(col("text")))
+    d.select(col("source").as("repo"),
         concat(lit("doc/"), col("doc_id")).as("path"),
         lit("0").as("commit"), col("lang"), col("text").as("content"))
       .as[CorpusFile]
+  }
+
+  def dRestoreVerify(spark: SparkSession, dir: String): DataFrame = {
+    val files = docsAsCorpus(spark, dir, nonEmpty = false)
     val cfg = DedupConfig(chunker = graft.chunking.ChunkerConfig("fixed", avgSize = 256))
     Restore.verifyRestore(files, cfg)
   }
@@ -2727,13 +2767,7 @@ object Queries {
     * writer) — their restore path is covered by materialize's spec.
     */
   def dRestoreMd5(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val files = t(spark, dir, "documents")
-      .filter(length(col("text")) > 0)
-      .select(col("source").as("repo"),
-        concat(lit("doc/"), col("doc_id")).as("path"),
-        lit("0").as("commit"), col("lang"), col("text").as("content"))
-      .as[CorpusFile]
+    val files = docsAsCorpus(spark, dir)
     val cfg = DedupConfig(chunker = graft.chunking.ChunkerConfig("fixed", avgSize = 256))
     val features = DedupPipeline.featurize(files, cfg).toDF()
     Restore.restoreDigests(features, files, "MD5")
@@ -2755,13 +2789,7 @@ object Queries {
     * AND its byte extraction, not just a roundtrip flag.
     */
   def dFileRestoreMd5(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val files = t(spark, dir, "documents")
-      .filter(length(col("text")) > 0)
-      .select(col("source").as("repo"),
-        concat(lit("doc/"), col("doc_id")).as("path"),
-        lit("0").as("commit"), col("lang"), col("text").as("content"))
-      .as[CorpusFile]
+    val files = docsAsCorpus(spark, dir)
     val cfg = DedupConfig(chunker = graft.chunking.ChunkerConfig("file"))
     val features = DedupPipeline.featurize(files, cfg).toDF()
     val geom = DedupPipeline.chunkTableDF(features)
@@ -2788,13 +2816,7 @@ object Queries {
     * value-certifying WHAT the sink persisted, not just that it wrote.
     */
   def dBackupSink(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val files = t(spark, dir, "documents")
-      .filter(length(col("text")) > 0)
-      .select(col("source").as("repo"),
-        concat(lit("doc/"), col("doc_id")).as("path"),
-        lit("0").as("commit"), col("lang"), col("text").as("content"))
-      .as[CorpusFile]
+    val files = docsAsCorpus(spark, dir, byteSafe = true)
     val settings = pipeline.DestorSettings(
       chunker = graft.chunking.ChunkerConfig("fixed", avgSize = 256))
     val tmp = java.nio.file.Files.createTempDirectory("graft_sink")
@@ -2826,13 +2848,7 @@ object Queries {
     * emit BIGINT.
     */
   def dBackupMetrics(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val files = t(spark, dir, "documents")
-      .filter(length(col("text")) > 0)
-      .select(col("source").as("repo"),
-        concat(lit("doc/"), col("doc_id")).as("path"),
-        lit("0").as("commit"), col("lang"), col("text").as("content"))
-      .as[CorpusFile]
+    val files = docsAsCorpus(spark, dir, byteSafe = true)
     val settings = pipeline.DestorSettings(
       chunker = graft.chunking.ChunkerConfig("fixed", avgSize = 256))
     val tmp = java.nio.file.Files.createTempDirectory("graft_statsink")
@@ -4174,7 +4190,8 @@ object Queries {
     "d_backup_metrics" ->
       """WITH d AS (
         |  SELECT 'doc/' || doc_id AS path, text, length(text) AS len
-        |  FROM documents WHERE length(text) > 0),
+        |  FROM documents WHERE length(text) > 0
+        |    AND octet_length(encode(text)) = length(text)),
         |chunks AS (
         |  SELECT path,
         |    CAST(least(256, len - i * 256) AS BIGINT) AS size,
@@ -4216,7 +4233,8 @@ object Queries {
       """WITH d AS (
         |  SELECT source || '@doc/' || doc_id || '@0' AS path,
         |    text, length(text) AS len
-        |  FROM documents WHERE length(text) > 0),
+        |  FROM documents WHERE length(text) > 0
+        |    AND octet_length(encode(text)) = length(text)),
         |chunks AS (
         |  SELECT path, CAST(i AS BIGINT) AS idx,
         |    CAST(least(256, len - i * 256) AS BIGINT) AS size,

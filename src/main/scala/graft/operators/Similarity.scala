@@ -159,6 +159,10 @@ object Similarity {
       // materialized once: both sides of the pair join and the final
       // projection read it (and the k-means lineage is truncated)
       .localCheckpoint(true)
+    // the assignment map ran inside the eager checkpoint, so the
+    // centroid broadcast is dead — release it now (the pqTopK pattern)
+    // instead of leaving one undestroyed broadcast per call
+    bc.destroy()
     val lhs = asg.select(col("listId"), col("vec_id").as("a"),
       col("embedding").as("ea"), col("csim").as("ca"))
     val rhs = asg.select(col("listId"), col("vec_id").as("b"),

@@ -5,6 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** Stage-by-stage wall profile of d_gram_quality. Run:
   *   sbt "Test/runMain graft.tools.GramQualityProfile [sfDir]"
+  *
+  * CAVEAT: this is a FROZEN inline snapshot of the query's stages (from
+  * the revision it was used to tune), not a decomposition of the shipped
+  * `Queries.dGramQuality` — if the query's shape changes, re-derive the
+  * stages here before trusting the numbers (the shipped query's values
+  * stay gated by its oracle regardless).
   */
 object GramQualityProfile {
   def main(args: Array[String]): Unit = {
