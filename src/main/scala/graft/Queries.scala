@@ -31,9 +31,33 @@ object Queries {
     * of row-group splits and never enters the branch, so no shuffle is
     * ever added at 100 TB — this only moves kilobytes of fixture rows.
     */
+  private val fileLenCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   private def par(spark: SparkSession, df: DataFrame, key: String): DataFrame = {
     val p = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p, col(key)) else df
+    // Gate on the scan's FILE SIZES (FS statuses, cached) instead of
+    // df.rdd.getNumPartitions: .rdd forced eager analysis + physical
+    // planning at query-CONSTRUCTION time for every wrapped query
+    // (round-5 ADVICE), charging planning overhead to every bench sample.
+    // splits ≈ Σ ceil(bytes / maxPartitionBytes) gates identically: a
+    // fixture file is one split (repartition), a production table is
+    // millions of splits (no-op) — unknown sizes conservatively skip the
+    // repartition, matching production behavior.
+    val maxSplit = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val est = df.inputFiles.iterator.map { f =>
+      val len = fileLenCache.computeIfAbsent(f, { _ =>
+        try {
+          val path = new org.apache.hadoop.fs.Path(f)
+          java.lang.Long.valueOf(
+            path.getFileSystem(hconf).getFileStatus(path).getLen)
+        } catch { case _: Throwable => java.lang.Long.valueOf(Long.MaxValue) }
+      }).longValue()
+      // division-form ceil: no overflow at the Long.MaxValue sentinel
+      math.max(1L, len / maxSplit + (if (len % maxSplit > 0) 1L else 0L))
+    }.sum
+    if (est < p) df.repartition(p, col(key)) else df
   }
 
   private def cents(c: org.apache.spark.sql.Column) =
@@ -298,29 +322,35 @@ object Queries {
   def qQuantile(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val o = t(spark, dir, "orders")
-    val src = o.select(cents(col("o_totalprice")).as("c")).as[Long]
-    val sorted = src.repartitionByRange(col("c"))
-      .sortWithinPartitions(col("c")).persist()
-    val perPart = sorted.mapPartitions { it =>
-      Iterator((org.apache.spark.TaskContext.getPartitionId(), it.size.toLong))
-    }.collect().sortBy(_._1)
-    val prefix = new Array[Long](perPart.length + 1)
+    // ONE eager materialization with frozen partition ids (r6 — the
+    // streamPrefix pattern: formerly persist + a checkpointed rank pass,
+    // writing the data twice); per-partition counts via codegen'd groupBy
+    // over the frozen pid, rank pass lazy on the checkpointed blocks.
+    val sorted = o.select(cents(col("o_totalprice")).as("c"))
+      .repartitionByRange(col("c"))
+      .sortWithinPartitions(col("c"))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(true)
+    val perPart = sorted.groupBy(col("_pid")).agg(count(lit(1)).as("n"))
+      .as[(Int, Long)].collect().sortBy(_._1)
+    val maxPid = if (perPart.isEmpty) -1 else perPart.map(_._1).max
+    val prefix = new Array[Long](maxPid + 2)
     perPart.foreach { case (pid, cnt) => prefix(pid + 1) = cnt }
     var i = 1
     while (i < prefix.length) { prefix(i) += prefix(i - 1); i += 1 }
     val n = prefix.last
     val prefixB = spark.sparkContext.broadcast(prefix)
-    val ranked = sorted.mapPartitions { it =>
-      var rn = prefixB.value(org.apache.spark.TaskContext.getPartitionId())
-      it.map { c => rn += 1; (c, rn) }
+    val ranked = sorted.as[(Long, Int)].mapPartitions { it =>
+      var curPid = Int.MinValue; var rn = 0L
+      it.map { case (c, pid) =>
+        if (pid != curPid) { curPid = pid; rn = prefixB.value(pid) }
+        rn += 1; (c, rn)
+      }
     }.toDF("c", "rn")
-    val out = ranked.agg(
+    ranked.agg(
       max(when(col("rn") === math.ceil(n * 0.5).toLong, col("c"))).as("p50"),
       max(when(col("rn") === math.ceil(n * 0.9).toLong, col("c"))).as("p90"),
       max(when(col("rn") === math.ceil(n * 0.99).toLong, col("c"))).as("p99"))
-      .localCheckpoint(true)
-    sorted.unpersist()
-    out
   }
 
   // ====================================================================
@@ -657,8 +687,10 @@ object Queries {
     */
   private def sliceShaChunks(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    t(spark, dir, "documents").filter(length(col("text")) > 0)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    // par(): the fixture table is ONE scan split — without it the whole
+    // chunk + sha256 pass (the bulk of d_backup_stats) ran on one core
+    par(spark, t(spark, dir, "documents").filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("text")), "doc_id").as[(Long, String)]
       .mapPartitions { it =>
         val cut = graft.chunking.Chunkers.forConfig(
           graft.chunking.ChunkerConfig("fixed", avgSize = 256))
@@ -878,12 +910,14 @@ object Queries {
         // the Spark-side dNgramDfStats and the DuckDB oracle — Java
         // substring counts UTF-16 units and would diverge on non-BMP text)
         val cps = text.codePoints().toArray
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val off = graft.functions.Hash64.utf8Offsets(cps)
         val set = scala.collection.mutable.HashSet.empty[Long]
         var i = 0
         val n = cps.length - 7
         while (i < n) {
-          set += graft.functions.Hash64.hashString(
-            new String(cps, i, 8))
+          set += graft.functions.Hash64.hashBytes(
+            bytes, off(i), off(i + 8) - off(i), 0L)
           i += 1
         }
         set.iterator.map(g => (g, id))
@@ -934,18 +968,21 @@ object Queries {
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (id, text) =>
           // windows of 8 CODE POINTS (SQL substr semantics; Java substring
-          // counts UTF-16 units and would diverge on non-BMP text)
+          // counts UTF-16 units and would diverge on non-BMP text). md5
+          // runs over byte slices of ONE per-doc UTF-8 encode — identical
+          // digests, no per-position String + encode (r6 per-task opt).
           val cps = text.codePoints().toArray
           val n = cps.length - 7
           if (n < w) Iterator.empty
           else {
+            val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val off = graft.functions.Hash64.utf8Offsets(cps)
             val hs = new Array[String](n)
             var i = 0
             while (i < n) {
               md.reset()
-              val gram = new String(cps, i, 8)
-              hs(i) = DedupPipeline.toHex(md.digest(
-                gram.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+              md.update(bytes, off(i), off(i + 8) - off(i))
+              hs(i) = DedupPipeline.toHex(md.digest())
               i += 1
             }
             // rolling window min (w=4: direct scan beats a deque), per-doc
@@ -1024,11 +1061,16 @@ object Queries {
         .select(col("doc_id"), col("text")), "doc_id").as[(Long, String)]
       .flatMap { case (id, text) =>
         // windows of G CODE POINTS (SQL substr semantics — Java substring
-        // counts UTF-16 units and would diverge on non-BMP text)
+        // counts UTF-16 units and would diverge on non-BMP text). Hashed
+        // over byte slices of ONE per-doc UTF-8 encode (bit-identical to
+        // hashString of the gram string — r6 per-task optimization: the
+        // former String + encode per position dominated the map stage).
         val cps = text.codePoints().toArray
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val off = graft.functions.Hash64.utf8Offsets(cps)
         val n = cps.length - (G - 1)
         Iterator.tabulate(n) { i =>
-          (graft.functions.Hash64.hashString(new String(cps, i, G)),
+          (graft.functions.Hash64.hashBytes(bytes, off(i), off(i + G) - off(i), 0L),
             id, (i + 1).toLong)
         }
       }
@@ -1154,11 +1196,16 @@ object Queries {
   def dSelfRep(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val G = DupSpanGram
-    t(spark, dir, "documents")
-      .select(col("doc_id"), col("text"))
+    // par(): the fixture table is ONE scan split, and this map pass (gram
+    // hash + count per position) is the whole query — unparallelized it
+    // ran on a single core (r6 measurement)
+    par(spark, t(spark, dir, "documents")
+        .select(col("doc_id"), col("text")), "doc_id")
       .as[(Long, String)]
       .map { case (id, text) =>
         val cps = text.codePoints().toArray
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val off = graft.functions.Hash64.utf8Offsets(cps)
         val n = cps.length - (G - 1)
         if (n < 1) (id, -1L, 0L, cps.length.toLong)
         else {
@@ -1166,7 +1213,8 @@ object Queries {
           val hs = new Array[Long](n)
           var i = 0
           while (i < n) {
-            val h = graft.functions.Hash64.hashString(new String(cps, i, G))
+            val h = graft.functions.Hash64.hashBytes(
+              bytes, off(i), off(i + G) - off(i), 0L)
             hs(i) = h
             counts.merge(h, Integer.valueOf(1),
               (a, b) => Integer.valueOf(a.intValue + b.intValue))
@@ -1803,14 +1851,33 @@ object Queries {
     * O(1) collected scalar row. All-integer arithmetic end to end.
     */
   def dGramQuality(spark: SparkSession, dir: String): DataFrame = {
-    val grams = par(spark, t(spark, dir, "documents")
+    import spark.implicits._
+    // ONE tokenize pass (r6, round-5 ADVICE): the per-doc 3-gram MULTISET
+    // is built map-side in bounded local state (the doc's own gram count)
+    // and checkpointed as a (doc_id, gram, n) bag — the former explode
+    // lineage ran twice (model aggregation + scoring join) and shipped
+    // one row per occurrence; bag rows carry counts, and every downstream
+    // value is the identical integer (sums weight by n).
+    val bag = par(spark, t(spark, dir, "documents")
         .filter(length(col("text")) >= 3)
         .select(col("doc_id"), col("text")), "doc_id")
-      .select(col("doc_id"),
-        explode(sequence(lit(1), length(col("text")) - 2)).as("i"),
-        col("text"))
-      .select(col("doc_id"), expr("substring(text, i, 3)").as("gram"))
-    val model = grams.groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val cps = text.codePoints().toArray
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        var i = 0
+        val n = cps.length - 2
+        while (i < n) {
+          // 3 CODE POINTS — identical to the former SQL substring(text,i,3)
+          val g = new String(cps, i, 3)
+          m.update(g, m.getOrElse(g, 0L) + 1L)
+          i += 1
+        }
+        m.iterator.map { case (g, c) => (id, g, c) }
+      }
+      .toDF("doc_id", "gram", "n")
+      .localCheckpoint(true) // model aggregation + scoring join both read it
+    val model = bag.groupBy(col("gram")).agg(sum(col("n")).as("cnt"))
       .localCheckpoint(true) // reused: the scalar row + the broadcast side
     val scal = model.agg(count(lit(1)).as("d"), sum(col("cnt")).as("t")).head()
     // empty filtered corpus → sum is NULL; tt = 0 keeps the (empty)
@@ -1828,11 +1895,11 @@ object Queries {
     val tagged = model.withColumn("rare",
       when(col("cnt").cast("decimal(38,0)") * lit(2L * dd)
         < lit(tt.underlying()), 1L).otherwise(0L))
-    grams.join(broadcast(tagged), Seq("gram"))
+    bag.join(broadcast(tagged), Seq("gram"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(col("cnt").cast("decimal(38,0)")).as("sc"),
-        sum(col("rare")).as("rc"))
+      .agg(sum(col("n")).as("n_grams"),
+        sum(col("cnt").cast("decimal(38,0)") * col("n")).as("sc"),
+        sum(col("rare") * col("n")).as("rc"))
       .select(col("doc_id"), col("n_grams"),
         expr("cast((sc * 2000000 + n_grams) div (2 * n_grams) as bigint)")
           .as("mean_freq_micro"),

@@ -96,6 +96,26 @@ object Hash64 {
   def hashString(s: String, seed: Long = 0L): Long =
     hashBytes(s.getBytes(java.nio.charset.StandardCharsets.UTF_8), seed)
 
+  /** Per-codepoint UTF-8 byte offsets (length n+1; offsets(n) = total
+    * encoded length). With the document encoded ONCE, the UTF-8 bytes of
+    * the g-codepoint window starting at codepoint i are exactly
+    * bytes[offsets(i), offsets(i+g)) — so rolling-gram hashing
+    * (`hashString(new String(cps, i, g))`, one String + one encode per
+    * position) reduces to `hashBytes(bytes, off(i), off(i+g)-off(i))`
+    * with zero per-position allocation and bit-identical values.
+    */
+  def utf8Offsets(cps: Array[Int]): Array[Int] = {
+    val off = new Array[Int](cps.length + 1)
+    var i = 0
+    while (i < cps.length) {
+      val c = cps(i)
+      off(i + 1) = off(i) +
+        (if (c < 0x80) 1 else if (c < 0x800) 2 else if (c < 0x10000) 3 else 4)
+      i += 1
+    }
+    off
+  }
+
   /** Stable 64-bit file id over the corpus primary key (repo,path,commit).
     * 64 bits suffice for test scales; at 10^12 files switch to the 128-bit
     * variant (two independent seeds) to keep collision odds negligible.

@@ -138,13 +138,20 @@ object Similarity {
     * expected cluster size c constant), so the pair stage is Σ c_i² ≈
     * N·c — LINEAR in N for fixed c; the only unbounded shuffle is the
     * listId-keyed join of narrow (id, vec, csim) rows. Skewed mega-
-    * clusters are a real hazard at 100 TB — the mitigation is the same
-    * as everywhere else in this repo (cap + hub-star linearization,
-    * see [[lshDedup]]); here the Lloyd refinement itself balances list
-    * sizes (SimilaritySpec's skewed-corpus gate).
+    * clusters (a near-dup-heavy corpus — the very workload a semantic
+    * dedup targets) are CAPPED since r6: lists above `maxList` members
+    * switch from all-pairs to hub-star duels against the list's rim hub
+    * (min (csim, id) member — exactly the member the uncapped semantics
+    * keeps in a fully-connected ≥tau cluster), the [[lshDedup]]
+    * discipline, so the worst case is O(n) duels per list; the Lloyd
+    * refinement additionally balances list sizes (SimilaritySpec's
+    * skewed-corpus gate). `maxList` defaults far above every shipped
+    * fixture/oracle operating size, so capped and uncapped semantics
+    * coincide everywhere the DuckDB oracle replays the all-pairs join
+    * (the d_dup_span_pairs cap precedent).
     */
   def semDedup(embeddings: DataFrame, nlist: Int = 16, iters: Int = 5,
-      tau: Double = 0.95): DataFrame = {
+      tau: Double = 0.95, maxList: Int = 100000): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val cents = kmeansCentroids(embeddings, nlist, iters)
@@ -163,17 +170,58 @@ object Similarity {
     // centroid broadcast is dead — release it now (the pqTopK pattern)
     // instead of leaving one undestroyed broadcast per call
     bc.destroy()
-    val lhs = asg.select(col("listId"), col("vec_id").as("a"),
-      col("embedding").as("ea"), col("csim").as("ca"))
-    val rhs = asg.select(col("listId"), col("vec_id").as("b"),
-      col("embedding").as("eb"), col("csim").as("cb"))
-    val victims = lhs.join(rhs, Seq("listId"))
-      .filter(col("a") < col("b"))
-      .filter(graft.functions.CosineSim(col("ea"), col("eb")) >= tau)
-      .select(when(col("ca") > col("cb"), col("a"))
-        .when(col("cb") > col("ca"), col("b"))
-        .otherwise(greatest(col("a"), col("b"))).as("victim"))
-      .distinct()
+    // HOT-LIST CAP (r6, the lshDedup hub-star discipline — round-5
+    // verdict: the all-pairs duel was the repo's one uncapped fan-out):
+    // a list above maxList members duels every member against the list's
+    // RIM HUB — its min (csim, vec_id) member — instead of all pairs. In
+    // the uncapped semantics a fully-connected ≥tau cluster keeps exactly
+    // that member (every other member loses some duel to a
+    // closer-to-centroid ordering), so the hub-star arm reproduces the
+    // keep-the-rim outcome with O(n) duels and O(1) extra state where a
+    // near-dup-heavy corpus — the very workload a semantic dedup targets
+    // — previously went quadratic. List sizes are an nlist-row aggregate
+    // over the checkpointed assignment: collected to the DRIVER (the
+    // centroid-pull pattern) so the no-hot-list case — every shipped
+    // fixture — keeps the round-5 plan byte-for-byte with zero extra
+    // joins, and hot lists gate with literal isin predicates.
+    val victimOf = when(col("ca") > col("cb"), col("a"))
+      .when(col("cb") > col("ca"), col("b"))
+      .otherwise(greatest(col("a"), col("b"))).as("victim")
+    def allPairVictims(part: DataFrame): DataFrame = {
+      val lhs = part.select(col("listId"), col("vec_id").as("a"),
+        col("embedding").as("ea"), col("csim").as("ca"))
+      val rhs = part.select(col("listId"), col("vec_id").as("b"),
+        col("embedding").as("eb"), col("csim").as("cb"))
+      lhs.join(rhs, Seq("listId"))
+        .filter(col("a") < col("b"))
+        .filter(graft.functions.CosineSim(col("ea"), col("eb")) >= tau)
+        .select(victimOf)
+    }
+    val hotLists = asg.groupBy(col("listId")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxList)
+      .select(col("listId")).as[Int].collect().toSeq
+    val victims0 =
+      if (hotLists.isEmpty) allPairVictims(asg)
+      else {
+        val coldVictims = allPairVictims(
+          asg.filter(!col("listId").isin(hotLists: _*)))
+        val hot = asg.filter(col("listId").isin(hotLists: _*))
+        val hubs = hot.groupBy(col("listId"))
+          .agg(min(struct(col("csim"), col("vec_id"))).as("h"))
+          .select(col("listId"), col("h.vec_id").as("hubId"))
+        val hubRows = hot.join(broadcast(hubs), Seq("listId"))
+          .filter(col("vec_id") === col("hubId"))
+          .select(col("listId"), col("vec_id").as("a"),
+            col("embedding").as("ea"), col("csim").as("ca"))
+        val hotVictims = broadcast(hubRows)
+          .join(hot.select(col("listId"), col("vec_id").as("b"),
+            col("embedding").as("eb"), col("csim").as("cb")), Seq("listId"))
+          .filter(col("a") =!= col("b"))
+          .filter(graft.functions.CosineSim(col("ea"), col("eb")) >= tau)
+          .select(victimOf)
+        coldVictims.union(hotVictims)
+      }
+    val victims = victims0.distinct()
     asg.join(victims, col("vec_id") === col("victim"), "left_outer")
       .select(col("vec_id"), col("listId").cast("long").as("list_id"),
         round(col("csim"), 4).as("centroid_sim_r"),

@@ -21,16 +21,20 @@ import org.apache.spark.sql.functions._
   * suffix)` — which is how DuckDB replays the whole structure for the
   * `d_suffix_rank` oracle.
   *
-  * Algorithm: rank_1 = dense rank of the first codepoint; round k
-  * re-keys every suffix by (rank_k(pos), rank_k(pos+k) or 0) — 0 for
-  * "suffix ends within k" sorts first, shorter-prefix-first — and
-  * re-densifies; after ceil(log2(maxLen)) rounds ranks order by the full
-  * suffix. Ties that survive all rounds are genuinely identical
-  * suffixes. Two early exits, both read off the rank pass's own stats
-  * (no extra job): all ranks distinct, or a FIXED POINT — the distinct-
-  * rank count did not grow in a round, so no class split occurred; keys
-  * are a function of the (unchanged) rank partition, hence no class can
-  * ever split again.
+  * Algorithm: the base rank orders by the first SIX codepoints (three
+  * packed per 63-bit key — see [[explodePacked]]; r6, replaces the
+  * one-codepoint base + two doubling rounds); each later round re-keys
+  * every suffix by (rank_cover(pos), rank_cover(pos+s) or 0) with shift
+  * s = min(cover, limit−cover) — 0 for "suffix ends within s" sorts
+  * first, shorter-prefix-first — and re-densifies; once cover ≥ limit
+  * ranks order by the full suffix (the variable shift lands on `limit`
+  * exactly, so bounded prefixRanks tie on true L-prefix equality). Ties
+  * that survive all rounds are genuinely identical suffixes. Two early
+  * exits, both read off the rank pass's own stats (no extra job): all
+  * ranks distinct, or a FIXED POINT — the distinct-rank count did not
+  * grow in a round, so no class split occurred; equal keys chain
+  * r(p+m·s) = r(q+m·s) for every m, which pins every codepoint of both
+  * suffixes, hence no class can ever split again.
   *
   * Scale shape: the initial explode is one 24-byte row per text
   * codepoint (the suffix array is Θ(corpus length) by definition — the
@@ -72,32 +76,93 @@ object SuffixArray {
     doubling(docs, L)
   }
 
-  /** The doubling loop, covering min(bound, maxLen) codepoints. */
+  /** The doubling loop, covering min(bound, maxLen) codepoints.
+    *
+    * r6 optimization, two parts, both order-preserving so the final dense
+    * ranks are UNCHANGED:
+    *  - WIDE BASE: the first sort keys on SIX codepoints — three packed
+    *    per 63-bit key, (cp+1) in 21 bits each (cp+1 ≤ 0x110000 fits; 0
+    *    pads past the suffix end, so a shorter suffix that is a prefix of
+    *    a longer one still sorts first). Lexicographic order on the two
+    *    packed longs equals codepoint order, so rank_6 costs ONE
+    *    range-sort where rank_1 → rank_2 → rank_4 cost three.
+    *  - EXACT LANDING: a round may shift by any s ≤ cover (key
+    *    (rank_cover(pos), rank_cover(pos+s)) orders by the first cover+s
+    *    codepoints), so the loop lands on `limit` exactly instead of
+    *    overshooting to the next power of two. The fixed-point exit stays
+    *    sound for s < cover: equal keys chain r(p+m·s) = r(q+m·s) for all
+    *    m, which pins every codepoint of both suffixes.
+    * Rounds for 4k-cp documents drop from 12 range-sorts + 11 joins to
+    * 10 + 9, and the base sort's key is 2 longs either way.
+    */
   private def doubling(docs: DataFrame, bound: Long): DataFrame = {
     val maxLen = docs
       .agg(coalesce(max(length(col("text"))), lit(0)).cast("long")).head()
       .getLong(0)
     val limit = math.min(bound, maxLen)
-    val rows = explodeCodepoints(docs)
-      .select(col("doc_id"), col("pos"),
-        col("cp").as("_k1"), lit(0L).as("_k2"))
-    var (cur, nd, nRows) = denseRankSorted(rows) // rank_1: first codepoint
-    var k = 1L
-    var done = k >= limit || nd == nRows
+    // pack ≤3 codepoints per key, and never more than `limit` in total —
+    // prefixRanks(L) must tie on EXACTLY the first L codepoints
+    val c1 = math.min(3L, math.max(1L, limit)).toInt
+    val c2 = (math.min(6L, math.max(1L, limit)) - c1).toInt
+    val rows = explodePacked(docs, c1, c2)
+    var (cur, nd, nRows) = denseRankSorted(rows) // rank over first c1+c2 cps
+    var cover = (c1 + c2).toLong
+    var done = cover >= limit || nd == nRows
     while (!done) {
+      val s = math.min(cover, limit - cover)
       val shifted = cur.select(col("doc_id"),
-        (col("pos") - k).as("pos"), col("srank").as("r2"))
-      val keyed = cur.join(shifted, Seq("doc_id", "pos"), "left")
+        (col("pos") - s).as("pos"), col("srank").as("r2"))
+      // SHUFFLE_HASH: the default sort-merge join would sort both sides
+      // by (doc_id, pos) only for denseRankSorted to re-sort the output
+      // by rank keys immediately — two wasted sorts per round. Build-side
+      // memory is one post-shuffle partition of fixed-width (doc, pos,
+      // rank) rows, the same bound every shuffle here already carries.
+      val keyed = cur.join(shifted.hint("SHUFFLE_HASH"),
+          Seq("doc_id", "pos"), "left")
         .na.fill(0L, Seq("r2"))
         .select(col("doc_id"), col("pos"),
           col("srank").as("_k1"), col("r2").as("_k2"))
       val (cur2, nd2, _) = denseRankSorted(keyed)
       cur = cur2
-      k *= 2
-      done = k >= limit || nd2 == nRows || nd2 == nd // distinct | fixed point
+      cover += s
+      done = cover >= limit || nd2 == nRows || nd2 == nd // distinct | fixed point
       nd = nd2
     }
     cur
+  }
+
+  /** (doc_id, text) → one (doc_id, pos, _k1, _k2) row per codepoint
+    * position: _k1 packs codepoints [pos, pos+c1) and _k2 packs
+    * [pos+c1, pos+c1+c2), each codepoint as (cp+1) in 21 bits
+    * (big-endian within the long, 0-padded past the suffix end), so
+    * (_k1, _k2) sorts exactly like the first c1+c2 codepoints with
+    * shorter-suffix-first termination. c1, c2 ≤ 3.
+    */
+  private[graft] def explodePacked(docs: DataFrame, c1: Int, c2: Int): DataFrame = {
+    require(c1 >= 1 && c1 <= 3 && c2 >= 0 && c2 <= 3, s"bad pack $c1/$c2")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val cps = text.codePoints().toArray
+        val n = cps.length
+        def pack(from: Int, width: Int): Long = {
+          var acc = 0L; var j = 0
+          while (j < width) {
+            val v = if (from + j < n) (cps(from + j) + 1).toLong else 0L
+            acc = (acc << 21) | v
+            j += 1
+          }
+          acc
+        }
+        Iterator.tabulate(n) { i =>
+          (id, (i + 1).toLong, pack(i, c1), pack(i + c1, c2))
+        }
+      }
+      .toDF("doc_id", "pos", "_k1", "_k2")
   }
 
   /** (doc_id, text) → one (doc_id, pos, cp) row per codepoint; pos is

@@ -33,11 +33,14 @@ object ConnectedComponents {
     import spark.implicits._
 
     // cache pre-partitioned by the per-round join key: rounds shuffle only
-    // the (small) labels side, never the edge table
+    // the (small) labels side, never the edge table. ONE exchange (r6):
+    // hash-partitioning by src colocates every (src, dst) duplicate, so
+    // the dedup aggregate runs where the repartition lands the rows —
+    // the former distinct() paid its own full exchange first.
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
-      .distinct()
       .repartition(col("src"))
+      .dropDuplicates(Seq("src", "dst"))
       .persist()
 
     // round 0 fused into initialization: label = min(self, direct nbrs)

@@ -178,33 +178,39 @@ object DedupPipeline {
   def packContainers(unique: Dataset[UniqueChunk], cfg: DedupConfig): Dataset[PackedChunk] = {
     val spark = unique.sparkSession
     import spark.implicits._
+    // ONE eager materialization with frozen partition ids (r6 — see
+    // streamPrefix: formerly persist + a second full checkpoint write);
+    // per-partition byte totals come from a codegen'd groupBy over the
+    // frozen pid instead of a typed per-row fold.
     val sorted = unique
       .repartitionByRange($"repo", $"path", $"commit", $"chunkIdx")
       .sortWithinPartitions($"repo", $"path", $"commit", $"chunkIdx")
-      .persist()
-    val perPart = sorted
-      .mapPartitions { it =>
-        var bytes = 0L
-        it.foreach(c => bytes += c.size)
-        Iterator((TaskContext.getPartitionId(), bytes))
-      }
-      .collect()
-      .sortBy(_._1)
-    val prefix = new Array[Long](perPart.length + 1)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(true)
+    val perPart = sorted.groupBy($"_pid")
+      .agg(sum($"size").cast("long").as("bytes"))
+      .as[(Int, Long)].collect().sortBy(_._1)
+    val maxPid = if (perPart.isEmpty) -1 else perPart.map(_._1).max
+    val prefix = new Array[Long](maxPid + 2)
     perPart.foreach { case (pid, b) => prefix(pid + 1) = b }
     var i = 1
     while (i < prefix.length) { prefix(i) += prefix(i - 1); i += 1 }
     val prefixB = spark.sparkContext.broadcast(prefix)
     val payload = cfg.containerPayload
-    val out = sorted.mapPartitions { it =>
-      var cum = prefixB.value(TaskContext.getPartitionId())
-      it.map { c =>
-        cum += c.size
-        PackedChunk(c.fp, c.size, (cum - 1) / payload)
+    val fpIdx = sorted.schema.fieldIndex("fp")
+    val szIdx = sorted.schema.fieldIndex("size")
+    val pIdx = sorted.schema.fieldIndex("_pid")
+    // LAZY packing pass keyed on the FROZEN pid (coalesce-safe)
+    sorted.toDF().mapPartitions { it =>
+      var curPid = Int.MinValue; var cum = 0L
+      it.map { r =>
+        val pid = r.getInt(pIdx)
+        if (pid != curPid) { curPid = pid; cum = prefixB.value(pid) }
+        val size = r.getInt(szIdx)
+        cum += size
+        PackedChunk(r.getString(fpIdx), size, (cum - 1) / payload)
       }
-    }.localCheckpoint(true) // materialize so the sorted cache can be freed
-    sorted.unpersist()
-    out
+    }
   }
 
   /** Chunk table with duplicate marking + owning container — the recipe
@@ -258,9 +264,11 @@ object DedupPipeline {
     * per-stream window: a mega-stream with 10^9 rows would funnel one
     * window-sort task. Streams are contiguous under the range
     * partitioning, so each partition carries only a handful of distinct
-    * stream offsets and the driver exchange is O(partitions). The result
-    * is localCheckpoint-materialized so the sampled range boundaries the
-    * offsets were computed against can be freed safely. Stream keys may be
+    * stream offsets and the driver exchange is O(partitions). The SORTED
+    * input is eagerly localCheckpoint-materialized (partition ids frozen
+    * into the rows) and the offset pass stays LAZY on top of it — the
+    * offsets can never drift from the blocks they were computed against,
+    * and the data is written once, not twice (r6). Stream keys may be
     * any atomic type (grouped by their string rendering, injective within
     * one column type) but must be non-null (enforced loudly); `valueCol`
     * must be LongType (validated up front); values may be any sign — only
@@ -274,22 +282,36 @@ object DedupPipeline {
       s"streamPrefix: $valueCol must be LongType, " +
         s"got ${df.schema(valueCol).dataType}")
     val sortCols = (streamCol +: orderCols).map(col)
+    // ONE eager materialization (r6: formerly persist + a SECOND full
+    // checkpoint write of the result — the data was written and re-read
+    // twice). The range-partition id is FROZEN into the checkpointed rows
+    // (the SuffixArray.denseRankSorted pattern): the lazy offset pass
+    // below reads it from the row, never from TaskContext — a downstream
+    // coalesce() merges parent partitions into one task and would
+    // otherwise feed every parent offset 0.
     val ordered = df.repartitionByRange(sortCols: _*)
-      .sortWithinPartitions(sortCols: _*).persist()
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("_spfx_pid", org.apache.spark.sql.functions.spark_partition_id())
+      .localCheckpoint(true)
     val sIdx = ordered.schema.fieldIndex(streamCol)
     val vIdx = ordered.schema.fieldIndex(valueCol)
+    val pIdx = ordered.schema.fieldIndex("_spfx_pid")
+    require(pIdx == ordered.schema.length - 1,
+      "streamPrefix: _spfx_pid must be the last column")
     // Streams are CONTIGUOUS under the range partitioning, so only a
     // partition's FIRST and LAST stream can cross a partition boundary —
     // emitting just those two keeps the driver exchange and the broadcast
     // at O(partitions) even with millions of single-partition streams
     // (whose base offset is 0 and needs no entry).
     val counts = ordered.mapPartitions { it =>
+      var pid = -1
       var firstStream: String = null; var firstSum = 0L
       var curStream: String = null; var curSum = 0L
       it.foreach { r =>
         val k0 = r.get(sIdx); val v = r.getLong(vIdx)
         require(k0 != null, s"streamPrefix: null $streamCol key unsupported")
         val k = k0.toString
+        pid = r.getInt(pIdx)
         if (curStream == null) { curStream = k; curSum = v }
         else if (k == curStream) curSum += v
         else {
@@ -297,7 +319,6 @@ object DedupPipeline {
           curStream = k; curSum = v
         }
       }
-      val pid = TaskContext.getPartitionId()
       if (curStream == null) Iterator.empty
       else if (firstStream == null) Iterator((pid, curStream, curSum))
       else Iterator((pid, firstStream, firstSum), (pid, curStream, curSum))
@@ -319,21 +340,27 @@ object DedupPipeline {
       m.map { case (k, v) => (k, v.toMap) }.toMap
     }
     val offB = spark.sparkContext.broadcast(offsets)
-    val outSchema = ordered.schema
+    val outSchema = org.apache.spark.sql.types.StructType(
+      ordered.schema.dropRight(1)) // drop _spfx_pid
       .add(out, org.apache.spark.sql.types.LongType, nullable = false)
-    val res = ordered.mapPartitions { it =>
-      val base = offB.value.getOrElse(
-        TaskContext.getPartitionId(), Map.empty[String, Long])
-      val running = scala.collection.mutable.Map.empty[String, Long]
+    // LAZY offset pass: rows are sorted by (stream, order) within each
+    // frozen pid, so the running sum resets exactly at (pid, stream) run
+    // boundaries — no per-row map updates, no second materialization.
+    ordered.mapPartitions { it =>
+      val off = offB.value
+      var curPid = -1; var curKey: String = null; var running = 0L
       it.map { r =>
+        val pid = r.getInt(pIdx)
         val k = String.valueOf(r.get(sIdx))
-        val before = running.getOrElse(k, base.getOrElse(k, 0L))
-        running(k) = before + r.getLong(vIdx)
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ before)
+        if (pid != curPid || k != curKey) {
+          curPid = pid; curKey = k
+          running = off.getOrElse(pid, Map.empty[String, Long]).getOrElse(k, 0L)
+        }
+        val before = running
+        running += r.getLong(vIdx)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq.dropRight(1) :+ before)
       }
-    }(org.apache.spark.sql.Encoders.row(outSchema)).localCheckpoint(true)
-    ordered.unpersist()
-    res
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** Per-stream consecutive-run detection over rows ordered by
@@ -351,7 +378,8 @@ object DedupPipeline {
     * under the range partitioning, so only a partition's FIRST stream can
     * continue a run from the previous partition. `chainCol` must be
     * LongType (validated); stream keys non-null, any atomic type. The
-    * result is localCheckpoint-materialized like [[streamPrefix]].
+    * SORTED input is eagerly localCheckpoint-materialized with frozen
+    * partition ids and the run pass stays lazy, like [[streamPrefix]].
     */
   private[graft] def streamRuns(df: DataFrame, streamCol: String,
       orderCols: Seq[String], chainCol: String, newRunOut: String,
@@ -362,11 +390,20 @@ object DedupPipeline {
       s"streamRuns: $chainCol must be LongType, " +
         s"got ${df.schema(chainCol).dataType}")
     val sortCols = (streamCol +: orderCols).map(col)
+    // ONE eager materialization with frozen partition ids — see
+    // [[streamPrefix]] (r6: formerly persist + a second full checkpoint
+    // write of the result).
     val ordered = df.repartitionByRange(sortCols: _*)
-      .sortWithinPartitions(sortCols: _*).persist()
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("_srun_pid", org.apache.spark.sql.functions.spark_partition_id())
+      .localCheckpoint(true)
     val sIdx = ordered.schema.fieldIndex(streamCol)
     val cIdx = ordered.schema.fieldIndex(chainCol)
+    val pIdx = ordered.schema.fieldIndex("_srun_pid")
+    require(pIdx == ordered.schema.length - 1,
+      "streamRuns: _srun_pid must be the last column")
     val summaries = ordered.mapPartitions { it =>
+      var pid = -1
       var firstStream: String = null; var firstChain = 0L; var runsFirst = 0L
       var curStream: String = null; var prevChain = 0L; var runs = 0L
       var inFirst = true
@@ -375,6 +412,7 @@ object DedupPipeline {
         require(k0 != null, s"streamRuns: null $streamCol key unsupported")
         val k = k0.toString
         val c = r.getLong(cIdx)
+        pid = r.getInt(pIdx)
         if (curStream == null) {
           firstStream = k; firstChain = c; curStream = k; runs = 1
         } else if (k != curStream) {
@@ -386,7 +424,7 @@ object DedupPipeline {
       if (curStream == null) Iterator.empty
       else {
         if (inFirst) runsFirst = runs
-        Iterator.single(RunsPart(TaskContext.getPartitionId(), firstStream,
+        Iterator.single(RunsPart(pid, firstStream,
           firstChain, runsFirst, curStream, prevChain, runs))
       }
     }(org.apache.spark.sql.Encoders.product[RunsPart]).collect().sortBy(_.pid)
@@ -406,23 +444,28 @@ object DedupPipeline {
       stStream = p.lastStream; stChain = p.lastChain
     }
     val inhB = spark.sparkContext.broadcast(inherited.toMap)
-    val outSchema = ordered.schema
+    val outSchema = org.apache.spark.sql.types.StructType(
+      ordered.schema.dropRight(1)) // drop _srun_pid
       .add(newRunOut, org.apache.spark.sql.types.BooleanType,
         nullable = false)
       .add(runIdOut, org.apache.spark.sql.types.LongType, nullable = false)
-    val res = ordered.mapPartitions { it =>
-      val (base, cont) = inhB.value.getOrElse(
-        TaskContext.getPartitionId(), (0L, false))
+    // LAZY pass over the checkpointed blocks: "first row of a partition"
+    // is detected by the FROZEN pid changing, so the logic survives a
+    // downstream coalesce that concatenates parent partitions in order.
+    ordered.mapPartitions { it =>
+      val inh = inhB.value
+      var curPid = Int.MinValue
       var curStream: String = null; var prevChain = 0L; var runId = 0L
-      var firstRow = true
       it.map { r =>
+        val pid = r.getInt(pIdx)
         val k = String.valueOf(r.get(sIdx))
         val c = r.getLong(cIdx)
         val isNew =
-          if (firstRow) {
+          if (pid != curPid) {
             // `cont` already encodes the chain comparison against the
             // previous partition's LAST row (decided in the driver fold)
-            firstRow = false; curStream = k
+            val (base, cont) = inh.getOrElse(pid, (0L, false))
+            curPid = pid; curStream = k
             if (cont) { runId = base; false }
             else { runId = base + 1; true }
           } else if (k != curStream) {
@@ -430,11 +473,9 @@ object DedupPipeline {
           } else if (c != prevChain) { runId += 1; true }
           else false
         prevChain = c
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ isNew :+ runId)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq.dropRight(1) :+ isNew :+ runId)
       }
-    }(org.apache.spark.sql.Encoders.row(outSchema)).localCheckpoint(true)
-    ordered.unpersist()
-    res
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   // ------------------------------------------------------------------
@@ -763,5 +804,14 @@ object DedupPipeline {
   }
 
   def cluster(features: Dataset[FileFeatures], cfg: DedupConfig): DataFrame =
-    clusterSigs(sigs(features), cfg)
+    // Eagerly materialize the NARROW signature projection before the
+    // clustering stages (r6): clusterSigs reads its input from four
+    // subtrees (candidates, both verify sides, exact edges, vertices)
+    // keyed differently, so nothing upstream is exchange-reusable and the
+    // full featurize map — chunking + SHA-1 + shingles + minhash over
+    // every byte of content — re-ran per subtree (~4×; Bench.runPipeline
+    // already persisted this projection for the same reason). The
+    // checkpoint truncates at the sigs projection, so content itself is
+    // never stored.
+    clusterSigs(sigs(features).localCheckpoint(true), cfg)
 }

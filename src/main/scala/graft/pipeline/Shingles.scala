@@ -41,7 +41,15 @@ object Shingles {
     if (bytes.isEmpty) return Array.emptyLongArray
     val gear = Chunkers.gearTable
     val mask = cfg.shingleMask
-    val out = scala.collection.mutable.TreeSet.empty[Long]
+    // primitive buffer + sort + in-place dedup (r6): the former boxed
+    // TreeSet allocated a node per shingle on the featurize hot path;
+    // output is the identical sorted-distinct array
+    var buf = new Array[Long](math.max(8, bytes.length / cfg.minShingle + 2))
+    var m = 0
+    def push(h: Long): Unit = {
+      if (m == buf.length) buf = java.util.Arrays.copyOf(buf, m * 2)
+      buf(m) = h; m += 1
+    }
     var start = 0
     var fp = 0L
     var i = 0
@@ -50,14 +58,21 @@ object Shingles {
       fp = (fp << 1) + gear(bytes(i) & 0xff)
       val len = i - start + 1
       if ((len >= cfg.minShingle && (fp & mask) == 0L) || len >= cfg.maxShingle) {
-        out += Hash64.hashBytes(bytes, start, len, 0L)
+        push(Hash64.hashBytes(bytes, start, len, 0L))
         start = i + 1
         fp = 0L
       }
       i += 1
     }
-    if (start < n) out += Hash64.hashBytes(bytes, start, n - start, 0L)
-    out.toArray
+    if (start < n) push(Hash64.hashBytes(bytes, start, n - start, 0L))
+    java.util.Arrays.sort(buf, 0, m)
+    var w = 0
+    i = 0
+    while (i < m) {
+      if (w == 0 || buf(i) != buf(w - 1)) { buf(w) = buf(i); w += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(buf, w)
   }
 
   /** k-permutation MinHash signature over shingle hashes.

@@ -344,4 +344,29 @@ class SimilaritySpec extends AnyFunSuite {
           s"kept pair ${ids(i)},${ids(j)} above tau")
     }
   }
+
+  test("semDedup maxList cap: one mega-cluster stays linear, rim kept") {
+    // ONE fully-connected near-dup cluster (the SemDeDup worst case a
+    // near-dup-heavy corpus produces): n copies of a base vector with a
+    // tiny deterministic jitter so centroid similarities are distinct.
+    // Under the uncapped all-pairs rule a fully-connected ≥tau cluster
+    // keeps exactly its min-(csim, id) member; the hub-star cap must
+    // reproduce that verdict with O(n) duels.
+    val n = 64
+    val mega = spark.createDataset((0 until n).map { i =>
+      val v = Array.tabulate(8)(d =>
+        (if (d == 0) 1f else 0f) + (if (d == 1) i * 1e-4f else 0f))
+      (i.toLong, v, i % 2)
+    }).toDF("vec_id", "embedding", "label")
+    val uncapped = Similarity.semDedup(mega, nlist = 2, iters = 2, tau = 0.9)
+      .select($"vec_id", $"kept").as[(Long, Boolean)].collect().toMap
+    val capped = Similarity.semDedup(mega, nlist = 2, iters = 2, tau = 0.9,
+        maxList = 8) // well below n: the hub-star arm MUST fire
+      .select($"vec_id", $"kept").as[(Long, Boolean)].collect().toMap
+    assert(capped.count(_._2) >= 1, "cap dropped everything")
+    assert(capped.count(!_._2) >= n - 2, "cap fired no duels")
+    // fully-connected cluster: capped and uncapped keep the same rim set
+    assert(capped === uncapped,
+      "hub-star cap diverged from all-pairs on a fully-connected cluster")
+  }
 }
