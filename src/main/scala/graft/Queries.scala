@@ -330,7 +330,8 @@ object Queries {
       .repartitionByRange(col("c"))
       .sortWithinPartitions(col("c"))
       .withColumn("_pid", spark_partition_id())
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy: the perPart aggregate below
+      // materializes the blocks in the same job (streamPrefix pattern)
     val perPart = sorted.groupBy(col("_pid")).agg(count(lit(1)).as("n"))
       .as[(Int, Long)].collect().sortBy(_._1)
     val maxPid = if (perPart.isEmpty) -1 else perPart.map(_._1).max
@@ -1269,7 +1270,8 @@ object Queries {
     * prefix ranks — the collision-FREE cross-check of the hashed-gram
     * surface ([[dDupSpans]] keys on 64-bit gram hashes; this keys on
     * true prefix equality): [[graft.operators.SuffixArray.prefixRanks]]
-    * runs a fixed 5 doubling rounds so positions with ≥16 codepoints
+    * covers exactly 16 codepoints (≤ a handful of adaptive-packed rank
+    * rounds; ONE on an ASCII corpus) so positions with ≥16 codepoints
     * remaining share `srank` iff their 16-cp grams are byte-identical.
     * Per doc (slice docs with ≥16 cps): total gram positions, positions
     * whose gram recurs anywhere in the slice, and positions whose gram
@@ -1577,18 +1579,25 @@ object Queries {
       .toDF("doc_id", "n", "toks", "prefix")
       .localCheckpoint(true) // prefix join and verify join both read it
     val pre = docs.select(col("doc_id"), col("n"), explode(col("prefix")).as("h"))
+    // r6: the candidate dedup ships (a, b) ONLY — na/nb are functions of
+    // the doc ids (re-attached by the verify joins below), so the former
+    // 4-column distinct shuffled twice the bytes for the identical row
+    // set; the length filter still prunes BEFORE the dedup exchange. (A
+    // SHUFFLE_HASH hint on the self-join was tried and measured 2.5×
+    // WORSE: AQE broadcasts the prefix side here, and the hint blocked
+    // that.)
     val cand = pre.toDF("a", "na", "h")
       .join(pre.toDF("b", "nb", "h"), Seq("h"))
       .filter(col("a") < col("b") &&
         least(col("na"), col("nb")) * 100 >=
           greatest(col("na"), col("nb")) * CloneThetaPct)
-      .select(col("a"), col("b"), col("na"), col("nb"))
-      .distinct()
-    val arrays = docs.select(col("doc_id"), col("toks"))
+      .select(col("a"), col("b"))
+      .dropDuplicates(Seq("a", "b"))
+    val arrays = docs.select(col("doc_id"), col("n"), col("toks"))
     cand
-      .join(arrays.toDF("a", "ta"), Seq("a"))
-      .join(arrays.toDF("b", "tb"), Seq("b"))
-      .select(col("a"), col("b"), col("na").as("n_a"), col("nb").as("n_b"),
+      .join(arrays.toDF("a", "n_a", "ta"), Seq("a"))
+      .join(arrays.toDF("b", "n_b", "tb"), Seq("b"))
+      .select(col("a"), col("b"), col("n_a"), col("n_b"),
         graft.functions.IntersectSorted(col("ta"), col("tb")).as("inter"))
       .filter(col("inter") * 100 >=
         greatest(col("n_a"), col("n_b")) * CloneThetaPct)
@@ -1852,12 +1861,12 @@ object Queries {
     */
   def dGramQuality(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // ONE tokenize pass (r6, round-5 ADVICE): the per-doc 3-gram MULTISET
-    // is built map-side in bounded local state (the doc's own gram count)
-    // and checkpointed as a (doc_id, gram, n) bag — the former explode
-    // lineage ran twice (model aggregation + scoring join) and shipped
-    // one row per occurrence; bag rows carry counts, and every downstream
-    // value is the identical integer (sums weight by n).
+    // Map-side per-doc 3-gram MULTISET bag (r6, round-5 ADVICE): built in
+    // bounded local state (the doc's own gram count) as (doc_id, gram, n)
+    // rows — the former explode lineage shipped one row per OCCURRENCE
+    // through the model aggregation and the scoring join; bag rows carry
+    // counts, and every downstream value is the identical integer (sums
+    // weight by n).
     val bag = par(spark, t(spark, dir, "documents")
         .filter(length(col("text")) >= 3)
         .select(col("doc_id"), col("text")), "doc_id")
@@ -1876,7 +1885,11 @@ object Queries {
         m.iterator.map { case (g, c) => (id, g, c) }
       }
       .toDF("doc_id", "gram", "n")
-      .localCheckpoint(true) // model aggregation + scoring join both read it
+      // NOT checkpointed (measured 0.86 vs 1.08 s at sf0.1): both
+      // consumers re-run the cheap map-side bag build over the SHARED
+      // par() exchange (AQE reuses that stage), which beats writing and
+      // re-reading a corpus-sized bag materialization at every scale the
+      // recompute is map-only
     val model = bag.groupBy(col("gram")).agg(sum(col("n")).as("cnt"))
       .localCheckpoint(true) // reused: the scalar row + the broadcast side
     val scal = model.agg(count(lit(1)).as("d"), sum(col("cnt")).as("t")).head()
@@ -2583,35 +2596,39 @@ object Queries {
       .withColumn("cid",
         floor((col("pre") + col("size") - 1) / payload).cast("long"))
       .select(col("size"), col("n2"), col("cid"))
-      .persist()
-    val cbytes = u1c.groupBy(col("cid")).agg(sum(col("size")).as("cb"))
-    // backup-1-owned shas referenced by backup 2 (n2 dup instances each)
-    val refs = u1c.filter(col("n2") > 0)
-    // one-shot HAR: utilization of each backup-1 container under backup
-    // 2's references (distinct chunks), sparse iff < 0.5 of actual bytes
-    val util = refs.groupBy(col("cid")).agg(sum(col("size")).as("refb"))
-    val sparse = cbytes.join(util, Seq("cid"), "left")
-      .filter(coalesce(col("refb"), lit(0L)) < lit(0.5) * col("cb"))
-      .select(col("cid"))
-      .persist()
-    val rw = refs.join(broadcast(sparse), Seq("cid"))
-    val rwAgg = rw.agg(
-        coalesce(sum(col("n2")), lit(0L)).as("rewritten_chunks"),
-        coalesce(sum(col("n2") * col("size")), lit(0L)).as("rewritten_size"))
-      .withColumn("b", lit(2L))
-    val extras = sparse.agg(count(lit(1)).as("sparse_containers"))
-      .crossJoin(rw.agg(
-        countDistinct(col("cid")).as("inherited_sparse")))
-      .crossJoin(refs.join(broadcast(sparse), Seq("cid"), "left_anti")
-        .agg(countDistinct(col("cid")).as("prefetch_units")))
+    // ONE container-keyed aggregation + ONE scalar aggregate (r6): per
+    // container — total bytes, backup-2-referenced bytes/instances, ref
+    // presence — then every one-shot-HAR quantity (sparse set, rewrite
+    // sums, sparse/inherited/prefetch counts) reads off the per-container
+    // row. Replaces five aggregations + three joins (cbytes, util,
+    // sparse, rw, rwAgg, extras) over the same rows; identical integer
+    // values, sparse rule unchanged (referenced bytes < 0.5 of actual).
+    val perCid = u1c.groupBy(col("cid")).agg(
+        sum(col("size")).as("cb"),
+        coalesce(sum(when(col("n2") > 0, col("size"))), lit(0L)).as("refb"),
+        coalesce(sum(when(col("n2") > 0, col("n2"))), lit(0L)).as("rwChunks"),
+        coalesce(sum(when(col("n2") > 0, col("n2") * col("size"))), lit(0L))
+          .as("rwSize"),
+        coalesce(sum(when(col("n2") > 0, 1L)), lit(0L)).as("nref"))
+      .withColumn("sparse", col("refb") < lit(0.5) * col("cb"))
+    val scalars = perCid.agg(
+        coalesce(sum(when(col("sparse"), col("rwChunks"))), lit(0L))
+          .as("rewritten_chunks"),
+        coalesce(sum(when(col("sparse"), col("rwSize"))), lit(0L))
+          .as("rewritten_size"),
+        coalesce(sum(when(col("sparse"), 1L)), lit(0L))
+          .as("sparse_containers"),
+        coalesce(sum(when(col("sparse") && col("nref") > 0, 1L)), lit(0L))
+          .as("inherited_sparse"),
+        coalesce(sum(when(!col("sparse") && col("nref") > 0, 1L)), lit(0L))
+          .as("prefetch_units"))
       .withColumn("b", lit(2L))
     // the 2-row per-backup aggregate is MATERIALIZED once (localCheckpoint)
     // before the cumulative step so the whole upstream replay never runs
     // twice
     val base = core0
       .join(uniq, Seq("b"))
-      .join(rwAgg, Seq("b"), "left")
-      .join(extras, Seq("b"), "left")
+      .join(scalars, Seq("b"), "left")
       .na.fill(0L, Seq("rewritten_chunks", "rewritten_size",
         "sparse_containers", "inherited_sparse", "prefetch_units"))
       .withColumn("stored_size", col("unique_size") + col("rewritten_size"))
@@ -2647,7 +2664,6 @@ object Queries {
         col("inherited_sparse"), col("prefetch_units"),
         col("lookup_requests"), col("update_requests"))
       .localCheckpoint(true)
-    sparse.unpersist(); u1c.unpersist()
     perSha.unpersist(); chunks.unpersist()
     out
   }

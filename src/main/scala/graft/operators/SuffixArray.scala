@@ -21,9 +21,11 @@ import org.apache.spark.sql.functions._
   * suffix)` — which is how DuckDB replays the whole structure for the
   * `d_suffix_rank` oracle.
   *
-  * Algorithm: the base rank orders by the first SIX codepoints (three
-  * packed per 63-bit key — see [[explodePacked]]; r6, replaces the
-  * one-codepoint base + two doubling rounds); each later round re-keys
+  * Algorithm: the base rank orders by the first 2·⌊63/bits⌋ codepoints —
+  * bits = ⌈log2(maxCp+2)⌉, codepoints packed fixed-width into the two
+  * 63-bit sort keys (see [[explodePacked]]; r6 — 18 codepoints on an
+  * ASCII corpus, replacing the one-codepoint base plus four doubling
+  * rounds); each later round re-keys
   * every suffix by (rank_cover(pos), rank_cover(pos+s) or 0) with shift
   * s = min(cover, limit−cover) — 0 for "suffix ends within s" sorts
   * first, shorter-prefix-first — and re-densifies; once cover ≥ limit
@@ -43,12 +45,13 @@ import org.apache.spark.sql.functions._
   * partition with in-partition sort whose two mapPartitions passes
   * assign dense ranks from broadcast per-partition offsets (equal keys
   * land in one partition under RangePartitioner, so offsets are exact).
-  * Per-round lineage is truncated by eager localCheckpoint (the
+  * Per-round lineage is truncated by localCheckpoint (the
   * iterative-join rule [[graft.pipeline.ConnectedComponents]] follows;
   * blocks are MEMORY_AND_DISK, so storage pressure spills rather than
-  * losing truncated lineage). Rounds ≤ log2(max document length) — 12
-  * for 4k-char source files — independent of corpus size, so the 100 TB
-  * cost is ~24 shuffles of Θ(corpus) fixed-width rows: heavy but exactly
+  * losing truncated lineage). Rounds ≤ log2(max document length / base
+  * cover) + 1 — 9 for 4k-char ASCII source files — independent of corpus
+  * size, so the 100 TB
+  * cost is ~18 shuffles of Θ(corpus) fixed-width rows: heavy but exactly
   * the published distributed-SA cost, and the reason the gram-sketch
   * passes (`d_dup_spans`, `d_winnow`) exist as the cheaper defaults.
   */
@@ -80,31 +83,55 @@ object SuffixArray {
     *
     * r6 optimization, two parts, both order-preserving so the final dense
     * ranks are UNCHANGED:
-    *  - WIDE BASE: the first sort keys on SIX codepoints — three packed
-    *    per 63-bit key, (cp+1) in 21 bits each (cp+1 ≤ 0x110000 fits; 0
-    *    pads past the suffix end, so a shorter suffix that is a prefix of
-    *    a longer one still sorts first). Lexicographic order on the two
-    *    packed longs equals codepoint order, so rank_6 costs ONE
-    *    range-sort where rank_1 → rank_2 → rank_4 cost three.
+    *  - ADAPTIVE WIDE BASE: the stats pass that finds the longest
+    *    document also finds the largest codepoint, which fixes a
+    *    fixed-width packing — (cp+1) in bits = ⌈log2(maxCp+2)⌉, 63/bits
+    *    codepoints per 63-bit sort key, 0-padded past the suffix end so a
+    *    shorter suffix that is a prefix of a longer one still sorts
+    *    first. Lexicographic order on the two packed longs equals
+    *    codepoint order, so an ASCII corpus (7 bits/cp → 9 cps/key) gets
+    *    rank_18 from ONE range-sort — the former one-codepoint base plus
+    *    FOUR doubling rounds — and even an astral-codepoint corpus
+    *    (21 bits) still gets rank_6. prefixRanks(16) on ASCII needs ZERO
+    *    doubling rounds (c1 = 9, c2 = 7 lands exactly).
     *  - EXACT LANDING: a round may shift by any s ≤ cover (key
     *    (rank_cover(pos), rank_cover(pos+s)) orders by the first cover+s
     *    codepoints), so the loop lands on `limit` exactly instead of
     *    overshooting to the next power of two. The fixed-point exit stays
     *    sound for s < cover: equal keys chain r(p+m·s) = r(q+m·s) for all
     *    m, which pins every codepoint of both suffixes.
-    * Rounds for 4k-cp documents drop from 12 range-sorts + 11 joins to
-    * 10 + 9, and the base sort's key is 2 longs either way.
     */
   private def doubling(docs: DataFrame, bound: Long): DataFrame = {
-    val maxLen = docs
-      .agg(coalesce(max(length(col("text"))), lit(0)).cast("long")).head()
-      .getLong(0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // one stats pass over the text: longest doc (codepoints) AND largest
+    // codepoint — the former SQL max(length()) scan read the same bytes
+    val stats = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        var ml = 0L; var mc = 0
+        it.foreach { case (_, t) =>
+          var i = 0; var n = 0L
+          while (i < t.length) {
+            val cp = t.codePointAt(i)
+            if (cp > mc) mc = cp
+            i += Character.charCount(cp); n += 1
+          }
+          if (n > ml) ml = n
+        }
+        Iterator.single((ml, mc))
+      }
+      .collect()
+    val maxLen = if (stats.isEmpty) 0L else stats.map(_._1).max
+    val maxCp = if (stats.isEmpty) 0 else stats.map(_._2).max
     val limit = math.min(bound, maxLen)
-    // pack ≤3 codepoints per key, and never more than `limit` in total —
-    // prefixRanks(L) must tie on EXACTLY the first L codepoints
-    val c1 = math.min(3L, math.max(1L, limit)).toInt
-    val c2 = (math.min(6L, math.max(1L, limit)) - c1).toInt
-    val rows = explodePacked(docs, c1, c2)
+    val bits = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(maxCp + 1L))
+    val perKey = math.max(1L, 63L / bits)
+    // never pack more than `limit` codepoints in total — prefixRanks(L)
+    // must tie on EXACTLY the first L codepoints
+    val c1 = math.min(perKey, math.max(1L, limit)).toInt
+    val c2 = math.min(perKey, math.max(0L, limit - c1)).toInt
+    val rows = explodePacked(docs, c1, c2, bits)
     var (cur, nd, nRows) = denseRankSorted(rows) // rank over first c1+c2 cps
     var cover = (c1 + c2).toLong
     var done = cover >= limit || nd == nRows
@@ -112,12 +139,10 @@ object SuffixArray {
       val s = math.min(cover, limit - cover)
       val shifted = cur.select(col("doc_id"),
         (col("pos") - s).as("pos"), col("srank").as("r2"))
-      // SHUFFLE_HASH: the default sort-merge join would sort both sides
-      // by (doc_id, pos) only for denseRankSorted to re-sort the output
-      // by rank keys immediately — two wasted sorts per round. Build-side
-      // memory is one post-shuffle partition of fixed-width (doc, pos,
-      // rank) rows, the same bound every shuffle here already carries.
-      val keyed = cur.join(shifted.hint("SHUFFLE_HASH"),
+      // no join hint: AQE broadcasts the shifted side when a round's rank
+      // table is small and falls back to sort-merge when it is not — a
+      // forced SHUFFLE_HASH was measured to block the broadcast case
+      val keyed = cur.join(shifted,
           Seq("doc_id", "pos"), "left")
         .na.fill(0L, Seq("r2"))
         .select(col("doc_id"), col("pos"),
@@ -133,13 +158,17 @@ object SuffixArray {
 
   /** (doc_id, text) → one (doc_id, pos, _k1, _k2) row per codepoint
     * position: _k1 packs codepoints [pos, pos+c1) and _k2 packs
-    * [pos+c1, pos+c1+c2), each codepoint as (cp+1) in 21 bits
+    * [pos+c1, pos+c1+c2), each codepoint as (cp+1) in `bits` bits
     * (big-endian within the long, 0-padded past the suffix end), so
     * (_k1, _k2) sorts exactly like the first c1+c2 codepoints with
-    * shorter-suffix-first termination. c1, c2 ≤ 3.
+    * shorter-suffix-first termination. Caller guarantees every
+    * codepoint + 1 fits in `bits` bits and ci·bits ≤ 63.
     */
-  private[graft] def explodePacked(docs: DataFrame, c1: Int, c2: Int): DataFrame = {
-    require(c1 >= 1 && c1 <= 3 && c2 >= 0 && c2 <= 3, s"bad pack $c1/$c2")
+  private[graft] def explodePacked(docs: DataFrame, c1: Int, c2: Int,
+      bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= 21, s"bad pack width $bits")
+    require(c1 >= 1 && c1 * bits <= 63 && c2 >= 0 && c2 * bits <= 63,
+      s"bad pack $c1/$c2 at $bits bits")
     val spark = docs.sparkSession
     import spark.implicits._
     docs
@@ -153,7 +182,7 @@ object SuffixArray {
           var acc = 0L; var j = 0
           while (j < width) {
             val v = if (from + j < n) (cps(from + j) + 1).toLong else 0L
-            acc = (acc << 21) | v
+            acc = (acc << bits) | v
             j += 1
           }
           acc
@@ -199,13 +228,17 @@ object SuffixArray {
     // sort): the lazy rank pass below reads it from the row, never from
     // TaskContext — a downstream coalesce() merges parent partitions
     // into one task and would otherwise feed every parent offset 0.
+    // LAZY localCheckpoint (r6): the stats pass below is the first action
+    // and scans every partition exactly once, so it materializes the
+    // checkpoint blocks AND collects the stats in ONE job — the eager
+    // form paid a separate materialization job per doubling round.
     val sorted = keyed
       .select(col("doc_id"), col("pos"), col("_k1"), col("_k2"))
       .repartitionByRange(p, col("_k1"), col("_k2"))
       .sortWithinPartitions(col("_k1"), col("_k2"))
       .withColumn("_pid", spark_partition_id().cast("long"))
       .as[(Long, Long, Long, Long, Long)]
-      .localCheckpoint(true)
+      .localCheckpoint(eager = false)
     val stats = sorted.mapPartitions { it =>
       var pid = -1L; var n = 0L; var d = 0L
       var pk1 = 0L; var pk2 = 0L; var first = true

@@ -44,12 +44,15 @@ object ConnectedComponents {
       .persist()
 
     // round 0 fused into initialization: label = min(self, direct nbrs)
+    // LAZY localCheckpoint (r6): labelSum is always the first action on a
+    // round's labels and scans them exactly once, so block
+    // materialization and the fixpoint sum share ONE job per round
     var labels: Dataset[(Long, Long)] = sym
       .groupBy(col("src").as("fileId"))
       .agg(min(col("dst")).as("nbrMin"))
       .select(col("fileId"), least(col("fileId"), col("nbrMin")).as("label"))
       .as[(Long, Long)]
-      .localCheckpoint(true)
+      .localCheckpoint(eager = false)
 
     def labelSum(ds: Dataset[(Long, Long)]): java.math.BigDecimal = {
       val d = ds.toDF("fileId", "label")
@@ -90,7 +93,7 @@ object ConnectedComponents {
         }
       labels = jumped
         .as[(Long, Long)]
-        .localCheckpoint(true)
+        .localCheckpoint(eager = false) // materialized by labelSum below
       val s = labelSum(labels)
       converged = prevSum.exists(_.compareTo(s) == 0)
       prevSum = Some(s)

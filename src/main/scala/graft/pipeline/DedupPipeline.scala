@@ -186,7 +186,8 @@ object DedupPipeline {
       .repartitionByRange($"repo", $"path", $"commit", $"chunkIdx")
       .sortWithinPartitions($"repo", $"path", $"commit", $"chunkIdx")
       .withColumn("_pid", spark_partition_id())
-      .localCheckpoint(true)
+      .localCheckpoint(eager = false) // lazy: the perPart aggregate below
+      // materializes the blocks in the same job (see streamPrefix)
     val perPart = sorted.groupBy($"_pid")
       .agg(sum($"size").cast("long").as("bytes"))
       .as[(Int, Long)].collect().sortBy(_._1)
@@ -265,7 +266,8 @@ object DedupPipeline {
     * window-sort task. Streams are contiguous under the range
     * partitioning, so each partition carries only a handful of distinct
     * stream offsets and the driver exchange is O(partitions). The SORTED
-    * input is eagerly localCheckpoint-materialized (partition ids frozen
+    * input is localCheckpoint-materialized inside the counts job
+    * (partition ids frozen
     * into the rows) and the offset pass stays LAZY on top of it — the
     * offsets can never drift from the blocks they were computed against,
     * and the data is written once, not twice (r6). Stream keys may be
@@ -292,7 +294,9 @@ object DedupPipeline {
     val ordered = df.repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("_spfx_pid", org.apache.spark.sql.functions.spark_partition_id())
-      .localCheckpoint(true)
+      .localCheckpoint(eager = false) // the counts pass below is the
+      // first action and scans every partition once: it materializes the
+      // blocks AND collects the boundary sums in ONE job (r6)
     val sIdx = ordered.schema.fieldIndex(streamCol)
     val vIdx = ordered.schema.fieldIndex(valueCol)
     val pIdx = ordered.schema.fieldIndex("_spfx_pid")
@@ -378,7 +382,8 @@ object DedupPipeline {
     * under the range partitioning, so only a partition's FIRST stream can
     * continue a run from the previous partition. `chainCol` must be
     * LongType (validated); stream keys non-null, any atomic type. The
-    * SORTED input is eagerly localCheckpoint-materialized with frozen
+    * SORTED input is localCheckpoint-materialized inside the summaries
+    * job with frozen
     * partition ids and the run pass stays lazy, like [[streamPrefix]].
     */
   private[graft] def streamRuns(df: DataFrame, streamCol: String,
@@ -396,7 +401,8 @@ object DedupPipeline {
     val ordered = df.repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("_srun_pid", org.apache.spark.sql.functions.spark_partition_id())
-      .localCheckpoint(true)
+      .localCheckpoint(eager = false) // lazy: the summaries pass below
+      // materializes the blocks in the same job (see streamPrefix)
     val sIdx = ordered.schema.fieldIndex(streamCol)
     val cIdx = ordered.schema.fieldIndex(chainCol)
     val pIdx = ordered.schema.fieldIndex("_srun_pid")
