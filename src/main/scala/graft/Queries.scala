@@ -1578,18 +1578,31 @@ object Queries {
       }
       .toDF("doc_id", "n", "toks", "prefix")
       .localCheckpoint(true) // prefix join and verify join both read it
-    val pre = docs.select(col("doc_id"), col("n"), explode(col("prefix")).as("h"))
-    // r6: the candidate dedup ships (a, b) ONLY — na/nb are functions of
-    // the doc ids (re-attached by the verify joins below), so the former
-    // 4-column distinct shuffled twice the bytes for the identical row
-    // set; the length filter still prunes BEFORE the dedup exchange. (A
-    // SHUFFLE_HASH hint on the self-join was tried and measured 2.5×
-    // WORSE: AQE broadcasts the prefix side here, and the hint blocked
-    // that.)
-    val cand = pre.toDF("a", "na", "h")
-      .join(pre.toDF("b", "nb", "h"), Seq("h"))
+    // posexplode: the element's index within the rarity-ordered prefix —
+    // which is its index in the doc's FULL rarity order, since the prefix
+    // is its head — drives the PPJoin POSITIONAL filter below
+    val pre = docs.select(col("doc_id"), col("n"),
+      posexplode(col("prefix")).as(Seq("p", "h")))
+    // r6: two lossless pruning layers BEFORE the dedup exchange — the
+    // length filter, plus PPJoin's positional filter (Xiao et al. 2008):
+    // a pair's overlap is at most 1 + min(elements of a at/after this
+    // match, same for b) in the shared rarity order, and for a
+    // qualifying pair the FIRST shared prefix element always passes this
+    // bound, so dropping matched rows that fail it never drops a
+    // qualifying pair. (Measured NEUTRAL on the fixture corpus: its
+    // near-dups are near-EQUAL-sized, and for na ≈ nb every prefix
+    // position passes the bound by construction — the filter bites on
+    // size-mismatched pairs, the shape real mixed corpora produce.) The
+    // dedup then ships (a, b) ONLY — na/nb are functions of the doc ids
+    // (re-attached by the verify joins below). (A SHUFFLE_HASH hint on
+    // the self-join was tried and measured 2.5× WORSE: AQE broadcasts
+    // the prefix side here, and the hint blocked that.)
+    val cand = pre.toDF("a", "na", "pa", "h")
+      .join(pre.toDF("b", "nb", "pb", "h"), Seq("h"))
       .filter(col("a") < col("b") &&
         least(col("na"), col("nb")) * 100 >=
+          greatest(col("na"), col("nb")) * CloneThetaPct &&
+        (lit(1) + least(col("na") - 1 - col("pa"), col("nb") - 1 - col("pb"))) * 100 >=
           greatest(col("na"), col("nb")) * CloneThetaPct)
       .select(col("a"), col("b"))
       .dropDuplicates(Seq("a", "b"))
